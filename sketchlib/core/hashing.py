@@ -1,0 +1,82 @@
+"""Vectorized 64-bit hashing for sketch inputs.
+
+All hash-based sketches (HLL / CMS / Bloom) operate on pre-hashed
+uint64 streams.  In Spark pipelines the hashing happens JVM-side with
+``F.xxhash64`` (whole-stage-codegen, no Python cost) and the int64
+column is reinterpreted as uint64 here.  For pure-numpy use (unit
+tests, oracles) these helpers provide a deterministic, vectorized
+splitmix64.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_U64 = np.uint64
+_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over a uint64 array (wraps mod 2^64)."""
+    z = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        z += _U64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)
+        z = z ^ (z >> _U64(31))
+    return z
+
+
+def hash_i64(values, seed: int = 0) -> np.ndarray:
+    """Hash an int-like array to uint64 via splitmix64(x ^ seed)."""
+    arr = np.asarray(values).astype(np.int64, copy=False).view(np.uint64)
+    if seed:
+        arr = arr ^ _U64(seed & 0xFFFFFFFFFFFFFFFF)
+    return splitmix64(arr)
+
+
+def hash_f64(values, seed: int = 0) -> np.ndarray:
+    """Hash a float64 array by its bit pattern (canonicalizing -0.0 to 0.0)."""
+    arr = np.asarray(values, dtype=np.float64)
+    arr = np.where(arr == 0.0, 0.0, arr)  # -0.0 -> 0.0
+    return hash_i64(arr.view(np.int64), seed)
+
+
+def hash_str(values, seed: int = 0) -> np.ndarray:
+    """Hash a sequence of strings to uint64 (blake2b-8; test-path only).
+
+    Spark pipelines should hash strings JVM-side with F.xxhash64 instead.
+    """
+    out = np.empty(len(values), dtype=np.uint64)
+    sd = seed.to_bytes(8, "little", signed=False) if seed else b""
+    for i, s in enumerate(values):
+        h = hashlib.blake2b(sd + str(s).encode("utf-8"), digest_size=8).digest()
+        out[i] = int.from_bytes(h, "little")
+    return out
+
+
+def clz64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros for uint64 (x==0 -> 64)."""
+    x = np.asarray(x, dtype=np.uint64)
+    r = np.zeros(x.shape, dtype=np.int64)
+    y = x.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        big = y >= (_U64(1) << _U64(s))
+        r[big] += s
+        y = np.where(big, y >> _U64(s), y)
+    # r == floor(log2(x)) for x > 0
+    return np.where(x == 0, 64, 63 - r)
+
+
+def mix_seed(*parts: int) -> int:
+    """Deterministically combine integer parts into one 64-bit seed.
+
+    Used to seed per-(lineage, level, counter) RNG so that compaction
+    coin flips are reproducible across job resume (SURVEY.md §7.4).
+    """
+    acc = np.uint64(0x243F6A8885A308D3)
+    for p in parts:
+        acc = splitmix64(np.array([acc ^ _U64(int(p) & 0xFFFFFFFFFFFFFFFF)]))[0]
+    return int(acc)

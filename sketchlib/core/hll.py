@@ -1,0 +1,99 @@
+"""HyperLogLog cardinality sketch (dense registers, vectorized).
+
+Not in the reference crate — mandated by the north rule; semantics and
+error bound from the published HyperLogLog paper (Flajolet et al. 2007):
+relative standard error ~= 1.04 / sqrt(m) with m = 2^p registers, with
+the paper's small-range linear-counting correction.  Merge is the
+element-wise register max — exactly associative/commutative/idempotent.
+
+Inputs are pre-hashed uint64 streams: Spark pipelines hash JVM-side
+with ``F.xxhash64`` (no per-row Python); numpy tests use
+``sketchlib.core.hashing``.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from sketchlib.core.hashing import clz64
+
+_MAGIC = b"HL01"
+
+
+class HyperLogLog:
+    __slots__ = ("p", "m", "registers")
+
+    def __init__(self, p: int = 14):
+        if not 4 <= int(p) <= 18:
+            raise ValueError("p must be in [4, 18]")
+        self.p = int(p)
+        self.m = 1 << self.p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    # ------------------------------------------------------------------- build
+
+    def add_hashes(self, hashes) -> None:
+        h = np.asarray(hashes)
+        if h.dtype != np.uint64:
+            h = h.astype(np.int64, copy=False).view(np.uint64)
+        if h.size == 0:
+            return
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        w = h << np.uint64(self.p)  # remaining 64-p bits, top-aligned
+        rho = np.minimum(clz64(w) + 1, 64 - self.p + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rho)
+
+    # ------------------------------------------------------------------- merge
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        if other.p != self.p:
+            raise ValueError("cannot merge HLLs with different precision")
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    # ----------------------------------------------------------------- queries
+
+    @property
+    def _alpha(self) -> float:
+        m = self.m
+        if m <= 16:
+            return 0.673
+        if m <= 32:
+            return 0.697
+        if m <= 64:
+            return 0.709
+        return 0.7213 / (1.0 + 1.079 / m)
+
+    def estimate(self) -> float:
+        regs = self.registers.astype(np.float64)
+        e = self._alpha * self.m * self.m / np.sum(np.exp2(-regs))
+        if e <= 2.5 * self.m:
+            zeros = int(np.count_nonzero(self.registers == 0))
+            if zeros:
+                return self.m * np.log(self.m / zeros)
+        return float(e)
+
+    def relative_std_error(self) -> float:
+        return 1.04 / np.sqrt(self.m)
+
+    # ------------------------------------------------------------------- serde
+
+    def owned_size(self) -> int:
+        return len(self.to_bytes())
+
+    def to_bytes(self) -> bytes:
+        return struct.pack("<4sB", _MAGIC, self.p) + self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "HyperLogLog":
+        magic, p = struct.unpack("<4sB", data[:5])
+        if magic != _MAGIC:
+            raise ValueError("not a HyperLogLog blob")
+        sk = cls(p=p)
+        sk.registers = np.frombuffer(data, dtype=np.uint8, count=sk.m, offset=5).copy()
+        return sk
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"HyperLogLog(p={self.p}, est={self.estimate():.1f})"

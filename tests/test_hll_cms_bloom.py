@@ -1,0 +1,187 @@
+"""HLL / count-min / Bloom property tests against published bounds
+(BASELINE.md: sigma ~= 1.04/sqrt(m); err <= eps*N w.p. 1-delta;
+FPR ~= (1 - e^(-kn/m))^k) plus exact merge-law tests: these three have
+set-semantics states, so associativity/commutativity hold as exact
+state equality (FIXTURES.md §C)."""
+
+import numpy as np
+import pytest
+
+from sketchlib.core.bloom import BloomFilter
+from sketchlib.core.cms import CountMinSketch
+from sketchlib.core.hashing import hash_i64, hash_str
+from sketchlib.core.hll import HyperLogLog
+
+# ----------------------------------------------------------------------- HLL
+
+
+@pytest.mark.parametrize("n", [100, 10_000, 1_000_000])
+def test_hll_accuracy(n):
+    h = HyperLogLog(p=14)
+    h.add_hashes(hash_i64(np.arange(n), seed=1))
+    sigma = h.relative_std_error()
+    assert abs(h.estimate() - n) / n <= 4 * sigma
+
+
+def test_hll_duplicates_dont_count():
+    h = HyperLogLog(p=12)
+    keys = np.arange(5000)
+    for _ in range(3):
+        h.add_hashes(hash_i64(keys, seed=2))
+    assert abs(h.estimate() - 5000) / 5000 <= 4 * h.relative_std_error()
+
+
+def test_hll_merge_exact_laws():
+    a, b, c = (HyperLogLog(p=10) for _ in range(3))
+    a.add_hashes(hash_i64(np.arange(0, 3000)))
+    b.add_hashes(hash_i64(np.arange(2000, 6000)))
+    c.add_hashes(hash_i64(np.arange(5000, 9000)))
+
+    def m(*sks):
+        acc = HyperLogLog(p=10)
+        for s in sks:
+            acc.merge(s)
+        return acc.registers
+
+    ab_c = m(a, b, c)
+    np.testing.assert_array_equal(ab_c, m(c, b, a))  # commutative
+    left = HyperLogLog(p=10).merge(a).merge(b)
+    right = HyperLogLog(p=10).merge(b).merge(c)
+    np.testing.assert_array_equal(
+        left.merge(c).registers, HyperLogLog(p=10).merge(a).merge(right).registers
+    )  # associative
+    np.testing.assert_array_equal(
+        m(a), HyperLogLog(p=10).merge(a).merge(HyperLogLog(p=10)).registers
+    )  # identity
+    merged = HyperLogLog(p=10).merge(a).merge(b).merge(c)
+    assert abs(merged.estimate() - 9000) / 9000 <= 4 * merged.relative_std_error()
+
+
+def test_hll_serde():
+    h = HyperLogLog(p=11)
+    h.add_hashes(hash_str(["a", "b", "c"]))
+    h2 = HyperLogLog.from_bytes(h.to_bytes())
+    np.testing.assert_array_equal(h.registers, h2.registers)
+    assert h2.p == 11
+
+
+# ----------------------------------------------------------------------- CMS
+
+
+def test_cms_never_underestimates_and_bound():
+    rng = np.random.default_rng(0)
+    # zipf-ish stream over 2000 keys
+    keys = rng.zipf(1.3, 200_000) % 2000
+    cms = CountMinSketch.from_error_bounds(eps=0.001, delta=0.01)
+    cms.add_hashes(hash_i64(keys))
+    true = np.bincount(keys, minlength=2000)
+    probe = np.arange(2000)
+    est = cms.estimate_hashes(hash_i64(probe))
+    assert np.all(est >= true)
+    # err <= eps*N for >= (1-delta) of keys (here: for all, generous width)
+    overs = est - true
+    assert np.mean(overs <= cms.error_bound()) >= 0.99
+
+
+def test_cms_heavy_hitters_identified():
+    rng = np.random.default_rng(1)
+    keys = np.concatenate([np.repeat(7, 50_000), rng.integers(100, 10_000, 50_000)])
+    cms = CountMinSketch(depth=5, width=8192)
+    cms.add_hashes(hash_i64(keys))
+    est7 = cms.estimate_hashes(hash_i64(np.array([7])))[0]
+    assert 50_000 <= est7 <= 50_000 + cms.error_bound()
+
+
+def test_cms_weighted_counts():
+    cms = CountMinSketch(depth=4, width=1024)
+    cms.add_hashes(hash_i64(np.array([1, 2])), counts=np.array([10, 5]))
+    est = cms.estimate_hashes(hash_i64(np.array([1, 2])))
+    assert est[0] >= 10 and est[1] >= 5
+    assert cms.total == 15
+
+
+def test_cms_merge_exact_laws():
+    streams = [np.arange(i * 100, i * 100 + 500) for i in range(3)]
+    sks = []
+    for s in streams:
+        c = CountMinSketch(depth=4, width=512)
+        c.add_hashes(hash_i64(s))
+        sks.append(c)
+
+    def m(order):
+        acc = CountMinSketch(depth=4, width=512)
+        for i in order:
+            acc.merge(sks[i])
+        return acc
+
+    np.testing.assert_array_equal(m([0, 1, 2]).table, m([2, 0, 1]).table)
+    assert m([0, 1, 2]).total == sum(500 for _ in streams)
+    # merged estimate == single-stream build estimate
+    single = CountMinSketch(depth=4, width=512)
+    single.add_hashes(hash_i64(np.concatenate(streams)))
+    np.testing.assert_array_equal(m([0, 1, 2]).table, single.table)
+
+
+def test_cms_serde():
+    c = CountMinSketch(depth=3, width=256)
+    c.add_hashes(hash_i64(np.arange(100)))
+    c2 = CountMinSketch.from_bytes(c.to_bytes())
+    np.testing.assert_array_equal(c.table, c2.table)
+    assert c2.total == 100
+
+
+# --------------------------------------------------------------------- Bloom
+
+
+def test_bloom_no_false_negatives():
+    bf = BloomFilter.from_capacity(10_000, fpr=0.01)
+    present = hash_i64(np.arange(10_000))
+    bf.add_hashes(present)
+    assert bf.contains_hashes(present).all()
+
+
+def test_bloom_fpr_near_formula():
+    bf = BloomFilter.from_capacity(10_000, fpr=0.01)
+    bf.add_hashes(hash_i64(np.arange(10_000)))
+    absent = hash_i64(np.arange(1_000_000, 1_100_000))
+    fpr = bf.contains_hashes(absent).mean()
+    assert fpr <= 3 * max(bf.expected_fpr(), 0.01)
+
+
+def test_bloom_merge_exact_laws():
+    a = BloomFilter(1 << 16, k=5)
+    b = BloomFilter(1 << 16, k=5)
+    a.add_hashes(hash_i64(np.arange(0, 1000)))
+    b.add_hashes(hash_i64(np.arange(1000, 2000)))
+    ab = BloomFilter(1 << 16, k=5).merge(a).merge(b)
+    ba = BloomFilter(1 << 16, k=5).merge(b).merge(a)
+    np.testing.assert_array_equal(ab.words, ba.words)
+    # union contains both streams
+    assert ab.contains_hashes(hash_i64(np.arange(0, 2000))).all()
+    # idempotent
+    aa = BloomFilter(1 << 16, k=5).merge(a).merge(a)
+    np.testing.assert_array_equal(aa.words, a.words)
+
+
+def test_bloom_serde():
+    bf = BloomFilter(1 << 12, k=3)
+    bf.add_hashes(hash_str(["x", "y"]))
+    bf2 = BloomFilter.from_bytes(bf.to_bytes())
+    np.testing.assert_array_equal(bf.words, bf2.words)
+    assert bf2.contains_hashes(hash_str(["x", "y"])).all()
+
+
+def test_serde_dispatch():
+    from sketchlib import serde
+
+    sk = HyperLogLog(p=8)
+    sk.add_hashes(hash_i64(np.arange(10)))
+    rt = serde.from_bytes(serde.to_bytes(sk))
+    assert isinstance(rt, HyperLogLog)
+    blobs = []
+    for lo in (0, 5):
+        s = HyperLogLog(p=8)
+        s.add_hashes(hash_i64(np.arange(lo, lo + 5)))
+        blobs.append(s.to_bytes())
+    merged = serde.from_bytes(serde.merge_blobs(blobs))
+    assert isinstance(merged, HyperLogLog)
