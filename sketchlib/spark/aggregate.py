@@ -1,0 +1,332 @@
+"""Partial/merge staging for sketches over DataFrames.
+
+Three-stage plan, the distributed generalization of the reference's
+``ParTDigest::flush`` (par_t_digest.rs:59-89) and ``ParallelDigest``
+rank-combine (parallel_digest.rs:25-51):
+
+  stage 1  mapInArrow over the value column: one sketch per input
+           partition, updated per Arrow batch with numpy kernels
+           (zero per-row Python).  Emits ``state: binary`` rows of
+           bounded size (KBs), so stage-2 shuffle volume is
+           ~num_partitions * sketch_size regardless of input size.
+  stage 2  salted tree-reduce: group the partial states into
+           ceil(P/fanout) buckets keyed by spark_partition_id() %
+           buckets, merge each bucket with applyInPandas; repeat until
+           few enough rows remain.  No reducer ever sees more than
+           ``fanout`` states — this is the explicit skew defence the
+           north rule mandates (a single global groupBy would funnel
+           every state into one task at 1000-executor scale).
+  stage 3  driver-side final merge of the surviving handful of states.
+
+Hash-based sketches (HLL/CMS/Bloom) consume a ``F.xxhash64`` column
+computed JVM-side inside whole-stage codegen, so Python only ever sees
+uint64 numpy arrays.
+
+Grouped variant: stage 1 keeps a dict key->sketch per partition (the
+map-side combine Catalyst cannot plan for opaque Python state —
+SURVEY.md §4), so stage 2 shuffles at most P states per key, then an
+optional salt level caps per-task fan-in for hot keys.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sketchlib import serde
+
+# value-column input kinds
+KIND_DOUBLE = "double"  # numeric column -> float64 stream
+KIND_ARRAY = "array"  # array<numeric> column -> flattened element stream
+KIND_HASH64 = "hash64"  # any column -> xxhash64 JVM-side -> uint64 stream
+KIND_ARRAY_HASH = "array_hash"  # array<int> column -> flattened, hashed in numpy
+
+_PARTIAL_SCHEMA = "state binary, items long, build_secs double"
+
+
+# --------------------------------------------------------------------- feeding
+
+
+def _feed(sk, vals: np.ndarray) -> int:
+    """Route a numpy batch into a sketch; returns item count."""
+    if vals.size == 0:
+        return 0
+    if hasattr(sk, "add_hashes") and vals.dtype == np.uint64:
+        sk.add_hashes(vals)
+        return int(vals.size)
+    if np.issubdtype(vals.dtype, np.integer) and hasattr(sk, "add_weighted"):
+        # low-cardinality integer fast path (token ids): pre-reduce via
+        # bincount, feed weighted centroids — turns O(n log n) sorting
+        # into O(n) counting per batch
+        vmin = int(vals.min())
+        vmax = int(vals.max())
+        if vmax - vmin < (1 << 22):
+            counts = np.bincount(vals.astype(np.int64) - vmin)
+            nz = np.flatnonzero(counts)
+            sk.add_weighted((nz + vmin).astype(np.float64), counts[nz].astype(np.float64))
+            return int(vals.size)
+    sk.add_buffer(vals.astype(np.float64, copy=False))
+    return int(vals.size)
+
+
+def _batch_values(batch: pa.RecordBatch, col_idx: int, kind: str) -> np.ndarray:
+    """Extract a numpy value stream from one Arrow batch (no Python rows)."""
+    arr = batch.column(col_idx)
+    if kind == KIND_DOUBLE:
+        if arr.null_count:
+            arr = arr.drop_null()
+        return arr.to_numpy(zero_copy_only=False)
+    if kind in (KIND_ARRAY, KIND_ARRAY_HASH):
+        if arr.null_count:
+            arr = arr.drop_null()
+        flat = arr.flatten()  # zero-copy over list offsets
+        if flat.null_count:
+            flat = flat.drop_null()
+        vals = flat.to_numpy(zero_copy_only=False)
+        if kind == KIND_ARRAY_HASH:
+            from sketchlib.core.hashing import hash_i64
+
+            return hash_i64(vals)
+        return vals
+    if kind == KIND_HASH64:
+        if arr.null_count:
+            arr = arr.drop_null()
+        return arr.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+    raise ValueError(f"unknown input kind {kind!r}")
+
+
+def _prepare_value_df(df: DataFrame, col: str, kind: str) -> DataFrame:
+    """Project to the minimal column set; hash JVM-side when needed.
+
+    Column pruning here reaches the parquet scan (ReadSchema shows only
+    the sketched column) and the xxhash64 stays in whole-stage codegen.
+    """
+    if kind == KIND_HASH64:
+        return df.select(F.xxhash64(F.col(col)).alias("__v"))
+    return df.select(F.col(col).alias("__v"))
+
+
+# --------------------------------------------------------------------- stage 1
+
+
+def build_partials(
+    df: DataFrame,
+    col: str,
+    factory: Callable[[], object],
+    kind: str = KIND_DOUBLE,
+) -> DataFrame:
+    """Stage 1: one serialized partial sketch per input partition."""
+    vdf = _prepare_value_df(df, col, kind)
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        t0 = time.monotonic()
+        sk = factory()
+        items = 0
+        for b in batches:
+            items += _feed(sk, _batch_values(b, 0, kind))
+        if items == 0:
+            return
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([sk.to_bytes()], type=pa.binary()),
+                pa.array([items], type=pa.int64()),
+                pa.array([time.monotonic() - t0], type=pa.float64()),
+            ],
+            names=["state", "items", "build_secs"],
+        )
+
+    return vdf.mapInArrow(fn, _PARTIAL_SCHEMA)
+
+
+# --------------------------------------------------------------------- stage 2
+
+
+def _merge_pdf(pdf):
+    import pandas as pd
+
+    blob = serde.merge_blobs(pdf["state"])
+    return pd.DataFrame(
+        {
+            "state": [blob],
+            "items": [int(pdf["items"].sum())],
+            "build_secs": [float(pdf["build_secs"].sum())],
+        }
+    )
+
+
+def tree_merge(
+    partials: DataFrame,
+    fanout: int = 64,
+    collect_threshold: int = 64,
+):
+    """Stages 2+3: fanout-ary tree reduce of partial states, final
+    merge on the driver.  Returns the merged sketch object (or None if
+    the input was empty)."""
+    df = partials
+    size = df.rdd.getNumPartitions()  # upper bound on state rows
+    while size > collect_threshold:
+        buckets = max((size + fanout - 1) // fanout, 1)
+        df = df.groupBy(
+            (F.spark_partition_id() % F.lit(buckets)).alias("__g")
+        ).applyInPandas(
+            lambda pdf: _merge_pdf(pdf),
+            _PARTIAL_SCHEMA,
+        )
+        size = buckets
+    rows = df.collect()
+    if not rows:
+        return None
+    acc = serde.from_bytes(rows[0]["state"])
+    for row in rows[1:]:
+        acc.merge(serde.from_bytes(row["state"]))
+    return acc
+
+
+def sketch_column(
+    df: DataFrame,
+    col: str,
+    factory: Callable[[], object],
+    kind: str = KIND_DOUBLE,
+    fanout: int = 64,
+):
+    """End-to-end: build partials, tree-merge, return the final sketch."""
+    return tree_merge(build_partials(df, col, factory, kind), fanout=fanout)
+
+
+# --------------------------------------------------------------- grouped build
+
+
+def _gather_list_slices(
+    flat: np.ndarray, offsets: np.ndarray, rows: np.ndarray
+) -> np.ndarray:
+    """Concatenate flat[offsets[r]:offsets[r+1]] for r in rows, vectorized."""
+    starts = offsets[rows]
+    lens = offsets[rows + 1] - starts
+    total = int(lens.sum())
+    if total == 0:
+        return flat[:0]
+    reps = np.repeat(starts, lens)
+    base = np.repeat(np.cumsum(lens) - lens, lens)
+    idx = reps + (np.arange(total) - base)
+    return flat[idx]
+
+
+def grouped_sketch(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    factory: Callable[[], object],
+    kind: str = KIND_DOUBLE,
+    salt_buckets: int = 0,
+) -> DataFrame:
+    """Per-group sketches: DataFrame[*keys, state binary, items long].
+
+    Stage 1 is a map-side combine: within each input partition a dict
+    key->sketch absorbs every Arrow batch, so the stage-2 shuffle
+    carries at most (#partitions x #keys) small state rows — raw rows
+    never shuffle.  With ``salt_buckets > 0`` an intermediate merge
+    level caps the per-key fan-in for hot keys (Zipf sources).
+    """
+    if kind == KIND_HASH64:
+        vdf = df.select(*keys, F.xxhash64(F.col(col)).alias("__v"))
+    else:
+        vdf = df.select(*keys, F.col(col).alias("__v"))
+    nk = len(keys)
+    key_fields = [vdf.schema[k] for k in keys]
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        t0 = time.monotonic()
+        sketches: dict[tuple, list] = {}  # key -> [sketch, items]
+        for b in batches:
+            import pandas as pd
+
+            kcols = [b.column(i) for i in range(nk)]
+            kpdf = pa.Table.from_arrays(kcols, names=keys).to_pandas()
+            codes, uniques = pd.factorize(
+                pd.MultiIndex.from_frame(kpdf) if nk > 1 else kpdf[keys[0]],
+                sort=False,
+            )
+            varr = b.column(nk)
+            if kind in (KIND_ARRAY, KIND_ARRAY_HASH):
+                offsets = varr.offsets.to_numpy()
+                flat = varr.values.to_numpy(zero_copy_only=False)
+                valid = (
+                    ~np.asarray(varr.is_null())
+                    if varr.null_count
+                    else np.ones(len(varr), dtype=bool)
+                )
+            else:
+                vals_all = varr.to_numpy(zero_copy_only=False)
+                valid = (
+                    ~np.asarray(varr.is_null())
+                    if varr.null_count
+                    else np.ones(len(varr), dtype=bool)
+                )
+            for gi, key in enumerate(uniques):
+                rows = np.flatnonzero((codes == gi) & valid)
+                if rows.size == 0:
+                    continue
+                if kind in (KIND_ARRAY, KIND_ARRAY_HASH):
+                    vals = _gather_list_slices(flat, offsets, rows)
+                    if kind == KIND_ARRAY_HASH:
+                        from sketchlib.core.hashing import hash_i64
+
+                        vals = hash_i64(vals)
+                else:
+                    vals = vals_all[rows]
+                    if kind == KIND_HASH64:
+                        vals = vals.astype(np.int64).view(np.uint64)
+                kt = key if nk > 1 else (key,)
+                ent = sketches.get(kt)
+                if ent is None:
+                    ent = sketches[kt] = [factory(), 0]
+                ent[1] += _feed(ent[0], vals)
+        if not sketches:
+            return
+        elapsed = time.monotonic() - t0
+        names = keys + ["state", "items", "build_secs"]
+        key_arrays = [pa.array([kt[i] for kt in sketches]) for i in range(nk)]
+        yield pa.RecordBatch.from_arrays(
+            key_arrays
+            + [
+                pa.array([e[0].to_bytes() for e in sketches.values()], type=pa.binary()),
+                pa.array([e[1] for e in sketches.values()], type=pa.int64()),
+                pa.array(
+                    [elapsed / len(sketches)] * len(sketches), type=pa.float64()
+                ),
+            ],
+            names=names,
+        )
+
+    key_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in key_fields)
+    partials = vdf.mapInArrow(fn, f"{key_schema}, {_PARTIAL_SCHEMA}")
+
+    out_schema = f"{key_schema}, {_PARTIAL_SCHEMA}"
+
+    def merge_group(pdf):
+        import pandas as pd
+
+        out = {k: [pdf[k].iloc[0]] for k in keys}
+        out["state"] = [serde.merge_blobs(pdf["state"])]
+        out["items"] = [int(pdf["items"].sum())]
+        out["build_secs"] = [float(pdf["build_secs"].sum())]
+        return pd.DataFrame(out)
+
+    if salt_buckets > 0:
+        salted = partials.withColumn(
+            "__salt", F.spark_partition_id() % F.lit(salt_buckets)
+        )
+        level1 = salted.groupBy(*keys, "__salt").applyInPandas(
+            lambda pdf: merge_group(pdf), out_schema
+        )
+        return level1.groupBy(*keys).applyInPandas(
+            lambda pdf: merge_group(pdf), out_schema
+        )
+    return partials.groupBy(*keys).applyInPandas(
+        lambda pdf: merge_group(pdf), out_schema
+    )

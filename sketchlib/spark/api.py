@@ -1,0 +1,203 @@
+"""High-level query API: the Spark-facing analogue of the reference's
+``Digest`` trait surface (/root/reference/src/traits.rs:3-34) —
+build+query in one call, with the partial/merge staging hidden."""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sketchlib import serde
+from sketchlib.core.bloom import BloomFilter
+from sketchlib.core.cms import CountMinSketch
+from sketchlib.core.hll import HyperLogLog
+from sketchlib.core.kll import KLL
+from sketchlib.core.tdigest import TDigest
+from sketchlib.spark.aggregate import (
+    KIND_ARRAY,
+    KIND_ARRAY_HASH,
+    KIND_DOUBLE,
+    KIND_HASH64,
+    grouped_sketch,
+    sketch_column,
+)
+
+
+def _quantile_factory(kind: str, **params):
+    if kind == "tdigest":
+        delta = params.get("delta", 2000.0)
+        scale = params.get("scale", "k2")
+        return lambda: TDigest(delta=delta, scale=scale)
+    if kind == "kll":
+        k = params.get("k", 200)
+        seed = params.get("seed", 42)
+        return lambda: KLL(k=k, seed=seed)
+    raise ValueError(f"unknown quantile sketch {kind!r}")
+
+
+def approx_quantiles(
+    df: DataFrame,
+    col: str,
+    probabilities: Sequence[float],
+    sketch: str = "tdigest",
+    is_array: bool = False,
+    **params,
+):
+    """Distributed quantile estimate; returns (values, sketch)."""
+    factory = _quantile_factory(sketch, **params)
+    kind = KIND_ARRAY if is_array else KIND_DOUBLE
+    sk = sketch_column(df, col, factory, kind)
+    if sk is None:
+        return [float("nan")] * len(probabilities), None
+    vals = sk.value_at_quantile(np.asarray(probabilities, dtype=np.float64))
+    return [float(v) for v in np.atleast_1d(vals)], sk
+
+
+def approx_distinct(
+    df: DataFrame, col: str, p: int = 14, is_array: bool = False
+):
+    """HyperLogLog distinct count; returns (estimate, sketch)."""
+    kind = KIND_ARRAY_HASH if is_array else KIND_HASH64
+    sk = sketch_column(df, col, lambda: HyperLogLog(p=p), kind)
+    if sk is None:
+        return 0.0, HyperLogLog(p=p)
+    return sk.estimate(), sk
+
+
+def build_cms(
+    df: DataFrame,
+    col: str,
+    depth: int = 5,
+    width: int = 16384,
+    is_array: bool = False,
+) -> CountMinSketch:
+    """Count-min over a key column (hashed JVM-side)."""
+    kind = KIND_ARRAY_HASH if is_array else KIND_HASH64
+    sk = sketch_column(df, col, lambda: CountMinSketch(depth=depth, width=width), kind)
+    return sk if sk is not None else CountMinSketch(depth=depth, width=width)
+
+
+def build_bloom(
+    df: DataFrame,
+    col: str,
+    capacity: int | None = None,
+    fpr: float = 0.01,
+    m_bits: int | None = None,
+    k: int | None = None,
+) -> BloomFilter:
+    """Bloom filter over a key column (hashed JVM-side)."""
+    if m_bits is not None and k is not None:
+        factory = lambda: BloomFilter(m_bits=m_bits, k=k)  # noqa: E731
+    else:
+        cap = capacity if capacity is not None else 1_000_000
+        proto = BloomFilter.from_capacity(cap, fpr)
+        m, kk = proto.m, proto.k
+        factory = lambda: BloomFilter(m_bits=m, k=kk)  # noqa: E731
+    sk = sketch_column(df, col, factory, KIND_HASH64)
+    return sk if sk is not None else factory()
+
+
+def bloom_contains(df: DataFrame, col: str, bloom: BloomFilter, out_col: str = "member") -> DataFrame:
+    """Append a membership column by probing a broadcast Bloom filter.
+
+    The filter bytes ship once per executor inside the serialized
+    function; probing is a vectorized numpy gather per Arrow batch.
+    """
+    blob = bloom.to_bytes()
+    cols = df.columns
+
+    def fn(batches):
+        bf = BloomFilter.from_bytes(blob)
+        for b in batches:
+            h = (
+                b.column(len(cols))
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+                .view(np.uint64)
+            )
+            got = bf.contains_hashes(h)
+            yield pa.RecordBatch.from_arrays(
+                [b.column(i) for i in range(len(cols))] + [pa.array(got)],
+                names=cols + [out_col],
+            )
+
+    hashed = df.select(*cols, F.xxhash64(F.col(col)).alias("__h"))
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    return hashed.mapInArrow(fn, f"{schema}, {out_col} boolean")
+
+
+def cms_frequencies(
+    cms: CountMinSketch, spark_df: DataFrame, col: str
+) -> DataFrame:
+    """Per-distinct-key CMS estimates: DataFrame[col, est_count].
+
+    Distinct keys are computed JVM-side; estimates probe the broadcast
+    CMS per Arrow batch.
+    """
+    blob = cms.to_bytes()
+
+    def fn(batches):
+        sk = CountMinSketch.from_bytes(blob)
+        for b in batches:
+            h = (
+                b.column(1)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+                .view(np.uint64)
+            )
+            est = sk.estimate_hashes(h)
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0), pa.array(est, type=pa.int64())],
+                names=[b.schema.names[0], "est_count"],
+            )
+
+    distinct = spark_df.select(col).distinct()
+    hashed = distinct.select(F.col(col), F.xxhash64(F.col(col)).alias("__h"))
+    f = spark_df.schema[col]
+    return hashed.mapInArrow(
+        fn, f"{f.name} {f.dataType.simpleString()}, est_count long"
+    )
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    probabilities: Sequence[float],
+    sketch: str = "tdigest",
+    is_array: bool = False,
+    salt_buckets: int = 0,
+    **params,
+) -> DataFrame:
+    """Per-group quantiles: DataFrame[*keys, q double, value double].
+
+    The estimate extraction runs in applyInPandas over the (tiny)
+    per-group state rows.
+    """
+    factory = _quantile_factory(sketch, **params)
+    kind = KIND_ARRAY if is_array else KIND_DOUBLE
+    states = grouped_sketch(df, keys, col, factory, kind, salt_buckets=salt_buckets)
+    probs = [float(p) for p in probabilities]
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.select(*keys).schema.fields
+    )
+
+    def extract(pdf):
+        import pandas as pd
+
+        sk = serde.from_bytes(pdf["state"].iloc[0])
+        vals = np.atleast_1d(sk.value_at_quantile(np.array(probs)))
+        out = {k: [pdf[k].iloc[0]] * len(probs) for k in keys}
+        out["q"] = probs
+        out["value"] = [float(v) for v in vals]
+        return pd.DataFrame(out)
+
+    return states.groupBy(*keys).applyInPandas(
+        extract, f"{key_schema}, q double, value double"
+    )

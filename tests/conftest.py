@@ -65,6 +65,17 @@ def rng():
     return np.random.default_rng(SEED)
 
 
+@pytest.fixture(scope="session")
+def spark():
+    """Shared local SparkSession for integration tests."""
+    from sketchlib.spark.session import get_spark
+
+    s = get_spark(master="local[4]", app_name="sketchlib-tests",
+                  shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
 def make_values(name: str, n: int, seed: int = SEED) -> np.ndarray:
     gen = DISTRIBUTIONS[name]
     return np.asarray(gen(n, np.random.default_rng(seed)), dtype=np.float64)

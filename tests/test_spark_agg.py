@@ -1,0 +1,212 @@
+"""End-to-end Spark integration: scan -> vectorized partial sketches ->
+tree merge -> query, verified against exact numpy/Spark answers
+(SURVEY.md §7.2 step 2), plus the per-row token-array invariant
+(input_hint) and grouped/skewed paths."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sketchlib.core.hll import HyperLogLog
+from sketchlib.core.kll import KLL
+from sketchlib.core.tdigest import TDigest
+from sketchlib.spark.aggregate import (
+    KIND_ARRAY,
+    KIND_ARRAY_HASH,
+    KIND_DOUBLE,
+    KIND_HASH64,
+    build_partials,
+    grouped_sketch,
+    sketch_column,
+    tree_merge,
+)
+from sketchlib.spark.api import (
+    approx_distinct,
+    approx_quantiles,
+    bloom_contains,
+    build_bloom,
+    build_cms,
+    cms_frequencies,
+    grouped_quantiles,
+)
+from sketchlib.spark.datagen import token_sequences, token_checksums
+
+N_ROWS = 20_000
+
+
+@pytest.fixture(scope="module")
+def tokens_df(spark):
+    df = token_sequences(spark, N_ROWS, seed=42, partitions=16)
+    df.cache().count()
+    return df
+
+
+def test_token_table_shape(tokens_df):
+    schema = {f.name: f.dataType.simpleString() for f in tokens_df.schema.fields}
+    assert schema == {
+        "doc_id": "string",
+        "tokens": "array<int>",
+        "n_tok": "int",
+        "source": "string",
+    }
+    row = tokens_df.first()
+    assert len(row.tokens) == row.n_tok
+    assert all(0 <= t < 50_000 for t in row.tokens[:10])
+
+
+def test_token_generation_deterministic(spark, tokens_df):
+    again = token_sequences(spark, N_ROWS, seed=42, partitions=8)
+    c1 = sorted(token_checksums(tokens_df).collect())
+    c2 = sorted(token_checksums(again).collect())
+    assert c1 == c2
+
+
+def test_tdigest_n_tok_quantiles(spark, tokens_df):
+    exact = np.array(
+        tokens_df.select("n_tok").toPandas()["n_tok"], dtype=np.float64
+    )
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    est, sk = approx_quantiles(tokens_df, "n_tok", qs, sketch="tdigest", delta=500)
+    true = np.quantile(exact, qs)
+    # n_tok is integer-valued: allow sub-unit interpolation slack at
+    # the small-value quantiles, 1% relative elsewhere
+    err = np.abs(np.array(est) - true)
+    assert np.all(err <= np.maximum(0.01 * np.abs(true), 1.0)), err
+    assert sk.count == N_ROWS
+    assert sk.min == exact.min() and sk.max == exact.max()
+
+
+def test_kll_flattened_tokens(spark, tokens_df):
+    est, sk = approx_quantiles(
+        tokens_df, "tokens", [0.25, 0.5, 0.75], sketch="kll", is_array=True, k=200
+    )
+    n_total = tokens_df.select(F.sum("n_tok")).first()[0]
+    assert sk.count == n_total
+    # tokens ~ U[0, 50000) so quantiles are near q * 50000
+    true = np.array([0.25, 0.5, 0.75]) * 50_000
+    assert np.all(np.abs(np.array(est) - true) / true <= 0.02)
+
+
+def test_tdigest_flattened_tokens_matches_exact(spark, tokens_df):
+    est, sk = approx_quantiles(
+        tokens_df, "tokens", [0.5], sketch="tdigest", is_array=True, delta=1000
+    )
+    # exact via Spark explode (test-scale only)
+    exact = (
+        tokens_df.select(F.explode("tokens").alias("t"))
+        .select(F.expr("percentile(t, 0.5)").alias("p"))
+        .first()["p"]
+    )
+    assert abs(est[0] - exact) / max(abs(exact), 1.0) <= 0.01
+
+
+def test_hll_distinct_doc_ids(spark, tokens_df):
+    est, sk = approx_distinct(tokens_df, "doc_id", p=14)
+    assert abs(est - N_ROWS) / N_ROWS <= 4 * sk.relative_std_error()
+
+
+def test_hll_distinct_token_values(spark, tokens_df):
+    est, sk = approx_distinct(tokens_df, "tokens", p=14, is_array=True)
+    true = (
+        tokens_df.select(F.explode("tokens").alias("t")).select("t").distinct().count()
+    )
+    assert abs(est - true) / true <= 4 * sk.relative_std_error()
+
+
+def test_cms_source_frequencies(spark, tokens_df):
+    cms = build_cms(tokens_df, "source", depth=5, width=8192)
+    freq = {
+        r["source"]: r["cnt"]
+        for r in tokens_df.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    ests = cms_frequencies(cms, tokens_df, "source").collect()
+    assert cms.total == N_ROWS
+    for r in ests:
+        true = freq[r["source"]]
+        assert r["est_count"] >= true
+        assert r["est_count"] <= true + cms.error_bound()
+
+
+def test_bloom_membership(spark, tokens_df):
+    bloom = build_bloom(tokens_df, "doc_id", capacity=N_ROWS, fpr=0.01)
+    # no false negatives: every present doc_id must be a member
+    probed = bloom_contains(tokens_df.limit(500), "doc_id", bloom)
+    assert probed.filter(~F.col("member")).count() == 0
+    # false-positive rate on absent keys is near the formula
+    absent = spark.range(10_000).select(
+        F.format_string("absent-%010d", F.col("id")).alias("doc_id")
+    )
+    fp = bloom_contains(absent, "doc_id", bloom).filter(F.col("member")).count()
+    assert fp / 10_000 <= 0.05
+
+
+def test_grouped_quantiles_by_source(spark, tokens_df):
+    res = grouped_quantiles(
+        tokens_df, ["source"], "n_tok", [0.5, 0.9], sketch="tdigest",
+        delta=500, salt_buckets=4,
+    ).toPandas()
+    pdf = tokens_df.select("source", "n_tok").toPandas()
+    for (src, q), grp in res.groupby(["source", "q"]):
+        true = np.quantile(pdf[pdf.source == src].n_tok.astype(float), q)
+        est = grp["value"].iloc[0]
+        # n_tok is integer-valued; allow 1 unit or 2% rel error
+        assert abs(est - true) <= max(0.02 * true, 1.5), (src, q, est, true)
+
+
+def test_grouped_sketch_array_kind(spark, tokens_df):
+    states = grouped_sketch(
+        tokens_df, ["source"], "tokens", lambda: KLL(k=128), KIND_ARRAY
+    ).collect()
+    by_src = {r["source"]: r for r in states}
+    true_items = {
+        r["source"]: r["s"]
+        for r in tokens_df.groupBy("source").agg(F.sum("n_tok").alias("s")).collect()
+    }
+    assert set(by_src) == set(true_items)
+    for src, row in by_src.items():
+        assert row["items"] == true_items[src]
+
+
+def test_tokens_invariant_roundtrip(spark, tokens_df):
+    """Pipeline stages must not mutate the token arrays (input_hint)."""
+    before = token_checksums(tokens_df).toPandas().sort_values("doc_id")
+    # run a full sketch pass over the same cached df
+    sketch_column(tokens_df, "tokens", lambda: TDigest(delta=200), KIND_ARRAY)
+    after = token_checksums(tokens_df).toPandas().sort_values("doc_id")
+    assert (before["tok_checksum"].values == after["tok_checksum"].values).all()
+
+
+def test_tree_merge_matches_driver_merge(spark):
+    vals = np.random.default_rng(0).uniform(0, 1000, 50_000)
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double").repartition(16)
+    partials = build_partials(df, "v", lambda: TDigest(delta=500), KIND_DOUBLE)
+    merged = tree_merge(partials, fanout=4, collect_threshold=2)
+    assert merged.count == 50_000
+    true = np.quantile(vals, [0.1, 0.5, 0.9])
+    est = merged.value_at_quantile(np.array([0.1, 0.5, 0.9]))
+    assert np.all(np.abs(est - true) / true <= 0.01)
+
+
+def test_partials_bounded_size(spark, tokens_df):
+    partials = build_partials(
+        tokens_df, "n_tok", lambda: TDigest(delta=500), KIND_DOUBLE
+    ).collect()
+    assert 0 < len(partials) <= 16
+    for row in partials:
+        assert len(row["state"]) < 200_000  # bounded regardless of input rows
+    assert sum(r["items"] for r in partials) == N_ROWS
+
+
+def test_null_handling(spark):
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (3.0,), (None,), (5.0,)], "v double"
+    )
+    sk = sketch_column(df, "v", lambda: TDigest(delta=100), KIND_DOUBLE)
+    assert sk.count == 3
+    assert sk.min == 1.0 and sk.max == 5.0
+
+
+def test_empty_input(spark):
+    df = spark.createDataFrame([], "v double")
+    sk = sketch_column(df, "v", lambda: TDigest(delta=100), KIND_DOUBLE)
+    assert sk is None
