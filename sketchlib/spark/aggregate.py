@@ -146,10 +146,16 @@ def build_partials(
 # --------------------------------------------------------------------- stage 2
 
 
+def _sorted_blobs(series):
+    """Shuffle delivery order is nondeterministic; sort blobs so merge
+    results are reproducible run-to-run (checkpoint resume bit-equality)."""
+    return sorted((bytes(b) for b in series), key=lambda b: (len(b), b))
+
+
 def _merge_pdf(pdf):
     import pandas as pd
 
-    blob = serde.merge_blobs(pdf["state"])
+    blob = serde.merge_blobs(_sorted_blobs(pdf["state"]))
     return pd.DataFrame(
         {
             "state": [blob],
@@ -181,9 +187,10 @@ def tree_merge(
     rows = df.collect()
     if not rows:
         return None
-    acc = serde.from_bytes(rows[0]["state"])
-    for row in rows[1:]:
-        acc.merge(serde.from_bytes(row["state"]))
+    blobs = _sorted_blobs(r["state"] for r in rows)
+    acc = serde.from_bytes(blobs[0])
+    for b in blobs[1:]:
+        acc.merge(serde.from_bytes(b))
     return acc
 
 
@@ -312,7 +319,7 @@ def grouped_sketch(
         import pandas as pd
 
         out = {k: [pdf[k].iloc[0]] for k in keys}
-        out["state"] = [serde.merge_blobs(pdf["state"])]
+        out["state"] = [serde.merge_blobs(_sorted_blobs(pdf["state"]))]
         out["items"] = [int(pdf["items"].sum())]
         out["build_secs"] = [float(pdf["build_secs"].sum())]
         return pd.DataFrame(out)

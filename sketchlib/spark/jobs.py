@@ -1,0 +1,179 @@
+"""spark-submit entrypoints.
+
+Packaging (north rule):
+
+    python -m sketchlib.spark.jobs package          # -> dist/sketchlib.zip
+    spark-submit --py-files dist/sketchlib.zip \
+        $(python -c 'import sketchlib.spark.jobs as j; print(j.__file__)') \
+        build --input /path/to/table --col tokens --kind array \
+        --sketch tdigest --checkpoint /tmp/ckpt --lineage-col doc_id
+
+Jobs:
+  build     build one sketch over a column (optionally checkpointed /
+            resumed), print estimates as one JSON line
+  datagen   materialize the deterministic token-sequence table
+  package   zip the library for --py-files
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import zipfile
+
+
+def _make_factory(sketch: str, args):
+    from sketchlib.core.bloom import BloomFilter
+    from sketchlib.core.cms import CountMinSketch
+    from sketchlib.core.hll import HyperLogLog
+    from sketchlib.core.kll import KLL
+    from sketchlib.core.tdigest import TDigest
+
+    if sketch == "tdigest":
+        return lambda: TDigest(delta=args.delta, scale=args.scale)
+    if sketch == "kll":
+        return lambda: KLL(k=args.k, seed=args.seed)
+    if sketch == "hll":
+        return lambda: HyperLogLog(p=args.p)
+    if sketch == "cms":
+        return lambda: CountMinSketch(depth=args.depth, width=args.width)
+    if sketch == "bloom":
+        return lambda: BloomFilter(m_bits=args.m_bits, k=args.bloom_k)
+    raise ValueError(sketch)
+
+
+def _default_kind(sketch: str, kind: str) -> str:
+    if kind != "auto":
+        return kind
+    return "double" if sketch in ("tdigest", "kll") else "hash64"
+
+
+def job_build(args) -> None:
+    from sketchlib.spark.aggregate import sketch_column
+    from sketchlib.spark.checkpoint import run_checkpointed
+    from sketchlib.spark.io import read_table
+    from sketchlib.spark.session import get_spark
+
+    spark = get_spark(master=args.master)
+    df = read_table(spark, args.input, args.format)
+    factory = _make_factory(args.sketch, args)
+    kind = _default_kind(args.sketch, args.kind)
+    if kind == "array" and args.sketch in ("hll", "cms", "bloom"):
+        kind = "array_hash"
+
+    metrics = {}
+    if args.checkpoint:
+        sk, metrics = run_checkpointed(
+            spark,
+            df,
+            args.col,
+            factory,
+            checkpoint_dir=args.checkpoint,
+            lineage_col=args.lineage_col or args.col,
+            kind=kind,
+            sketch_kind=args.sketch,
+            n_lineage=args.n_lineage,
+            resume=not args.no_resume,
+        )
+    else:
+        sk = sketch_column(df, args.col, factory, kind)
+
+    out: dict = {"sketch": args.sketch, "col": args.col, "metrics": metrics}
+    if sk is None:
+        out["empty"] = True
+    elif args.sketch in ("tdigest", "kll"):
+        qs = [float(q) for q in args.quantiles.split(",")]
+        vals = sk.value_at_quantile(__import__("numpy").array(qs))
+        out["quantiles"] = dict(zip(map(str, qs), map(float, vals)))
+        out["count"] = float(sk.count)
+        out["state_bytes"] = sk.owned_size()
+    elif args.sketch == "hll":
+        out["estimate"] = sk.estimate()
+        out["state_bytes"] = sk.owned_size()
+    else:
+        out["total"] = getattr(sk, "total", getattr(sk, "n_added", None))
+        out["state_bytes"] = sk.owned_size()
+    if args.save_state and sk is not None:
+        with open(args.save_state, "wb") as f:
+            f.write(sk.to_bytes())
+    print(json.dumps(out))
+    spark.stop()
+
+
+def job_datagen(args) -> None:
+    from sketchlib.spark.datagen import token_sequences
+    from sketchlib.spark.session import get_spark
+
+    spark = get_spark(master=args.master)
+    df = token_sequences(spark, args.rows, seed=args.seed)
+    df.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"rows": args.rows, "output": args.output}))
+    spark.stop()
+
+
+def job_package(args) -> None:
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    repo = os.path.dirname(root)
+    out = args.output or os.path.join(repo, "dist", "sketchlib.zip")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        for dirpath, _dirnames, filenames in os.walk(root):
+            if "__pycache__" in dirpath:
+                continue
+            for fn in filenames:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    rel = os.path.relpath(full, repo)
+                    zf.write(full, rel)
+    print(json.dumps({"zip": out}))
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(prog="sketchlib.spark.jobs")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--input", required=True)
+    b.add_argument("--format", default="auto", choices=["auto", "parquet", "iceberg"])
+    b.add_argument("--col", required=True)
+    b.add_argument("--kind", default="auto",
+                   choices=["auto", "double", "array", "hash64", "array_hash"])
+    b.add_argument("--sketch", default="tdigest",
+                   choices=["tdigest", "kll", "hll", "cms", "bloom"])
+    b.add_argument("--master", default=None)
+    b.add_argument("--delta", type=float, default=2000.0)
+    b.add_argument("--scale", default="k2")
+    b.add_argument("--k", type=int, default=200)
+    b.add_argument("--seed", type=int, default=42)
+    b.add_argument("--p", type=int, default=14)
+    b.add_argument("--depth", type=int, default=5)
+    b.add_argument("--width", type=int, default=16384)
+    b.add_argument("--m-bits", type=int, default=1 << 23)
+    b.add_argument("--bloom-k", type=int, default=7)
+    b.add_argument("--quantiles", default="0.01,0.25,0.5,0.75,0.99")
+    b.add_argument("--checkpoint", default=None)
+    b.add_argument("--lineage-col", default=None)
+    b.add_argument("--n-lineage", type=int, default=64)
+    b.add_argument("--no-resume", action="store_true")
+    b.add_argument("--save-state", default=None)
+    b.set_defaults(fn=job_build)
+
+    d = sub.add_parser("datagen")
+    d.add_argument("--rows", type=int, required=True)
+    d.add_argument("--output", required=True)
+    d.add_argument("--seed", type=int, default=42)
+    d.add_argument("--master", default=None)
+    d.set_defaults(fn=job_datagen)
+
+    p = sub.add_parser("package")
+    p.add_argument("--output", default=None)
+    p.set_defaults(fn=job_package)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

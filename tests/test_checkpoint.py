@@ -1,0 +1,98 @@
+"""Checkpoint/resume: a killed run's completed lineages are reused; the
+resumed run recomputes only the missing ones and the final sketch
+covers everything (SURVEY.md §7.2 step 6)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sketchlib.core.kll import KLL
+from sketchlib.core.tdigest import TDigest
+from sketchlib.spark.checkpoint import completed_lineages, run_checkpointed
+from sketchlib.spark.datagen import token_sequences
+
+N_LINEAGE = 8
+N_ROWS = 5_000
+
+
+@pytest.fixture(scope="module")
+def tokens_df(spark):
+    df = token_sequences(spark, N_ROWS, seed=7, partitions=8)
+    df.cache().count()
+    return df
+
+
+def test_full_run_then_resume_noop(spark, tokens_df, tmp_path):
+    ckpt = str(tmp_path / "ckpt_full")
+    sk, m = run_checkpointed(
+        spark, tokens_df, "n_tok", lambda: TDigest(delta=300),
+        checkpoint_dir=ckpt, lineage_col="doc_id", n_lineage=N_LINEAGE,
+        sketch_kind="tdigest",
+    )
+    assert m["lineages_total"] == N_LINEAGE
+    assert m["lineages_recomputed"] == N_LINEAGE
+    assert m["n_updates"] == N_ROWS
+    assert sk.count == N_ROWS
+
+    # resume over a complete ledger: nothing recomputed, same answer
+    sk2, m2 = run_checkpointed(
+        spark, tokens_df, "n_tok", lambda: TDigest(delta=300),
+        checkpoint_dir=ckpt, lineage_col="doc_id", n_lineage=N_LINEAGE,
+        sketch_kind="tdigest",
+    )
+    assert m2["lineages_recomputed"] == 0
+    assert m2["lineages_resumed"] == N_LINEAGE
+    assert sk2.count == N_ROWS
+
+
+def test_partial_run_resume_completes(spark, tokens_df, tmp_path):
+    ckpt = str(tmp_path / "ckpt_partial")
+    # simulate a killed run: only lineages {0,1,2} were completed
+    lineage = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(N_LINEAGE))
+    subset = tokens_df.filter(lineage < 3)
+    run_checkpointed(
+        spark, subset, "n_tok", lambda: TDigest(delta=300),
+        checkpoint_dir=ckpt, lineage_col="doc_id", n_lineage=N_LINEAGE,
+        sketch_kind="tdigest", resume=False,
+    )
+    done = completed_lineages(spark, ckpt)
+    assert done == {0, 1, 2}
+
+    # resume over the full input: recomputes exactly the missing 5
+    sk, m = run_checkpointed(
+        spark, tokens_df, "n_tok", lambda: TDigest(delta=300),
+        checkpoint_dir=ckpt, lineage_col="doc_id", n_lineage=N_LINEAGE,
+        sketch_kind="tdigest",
+    )
+    assert m["lineages_recomputed"] == N_LINEAGE - 3
+    assert m["lineages_resumed"] == 3
+    assert m["n_updates"] == N_ROWS
+    assert sk.count == N_ROWS
+
+    # estimates match an uncheckpointed build within epsilon
+    exact = np.array(tokens_df.select("n_tok").toPandas()["n_tok"], float)
+    for q in (0.25, 0.5, 0.9):
+        true = np.quantile(exact, q)
+        assert abs(sk.value_at_quantile(q) - true) <= max(0.02 * true, 1.5)
+
+
+def test_deterministic_lineage_recompute(spark, tokens_df, tmp_path):
+    """KLL lineage states are bit-identical across recomputation
+    (seeded compaction coins -> reproducible resume)."""
+    ck1 = str(tmp_path / "kll1")
+    ck2 = str(tmp_path / "kll2")
+    for ck in (ck1, ck2):
+        run_checkpointed(
+            spark, tokens_df, "n_tok", lambda: KLL(k=64, seed=99),
+            checkpoint_dir=ck, lineage_col="doc_id", n_lineage=4,
+            sketch_kind="kll", resume=False,
+        )
+    s1 = {
+        r["lineage_id"]: bytes(r["state"])
+        for r in spark.read.parquet(ck1).collect()
+    }
+    s2 = {
+        r["lineage_id"]: bytes(r["state"])
+        for r in spark.read.parquet(ck2).collect()
+    }
+    assert s1 == s2
