@@ -1,38 +1,377 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Queries come in three flavors:
+
+* **Self-validating sketch queries** — the Spark side computes BOTH the
+  sketch estimate and the exact answer (exact via built-in Spark
+  aggregates), and emits ``(keys..., exact_value, ok)`` where ``ok``
+  asserts the estimate is within the sketch's published error bound of
+  the exact answer.  The DuckDB oracle recomputes the exact values
+  (genuine cross-engine check) and emits ``TRUE`` for ok — so the
+  value-hash matches iff (a) Spark's exact aggregation agrees with
+  DuckDB and (b) every sketch met its error bound.
+* **Exact relational queries** — plain cross-engine parity on the
+  hosting layer (scan/filter/groupBy).
+* **Token-table queries** — run over the deterministically synthesized
+  token_sequences table (BASELINE.json input_hint shape), which DuckDB
+  cannot see; their oracle emits only the constant ``(key, ok)`` shape,
+  with the real verification done Spark-side against exact aggregates.
+
+All float outputs are rounded to 4 decimals in both engines (parity
+verified: Spark ``percentile`` and DuckDB ``quantile_cont`` both use
+the (n-1)*q linear-interpolation convention).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sketchlib.spark.api import (
+    approx_distinct,
+    approx_quantiles,
+    bloom_contains,
+    build_bloom,
+    build_cms,
+    cms_frequencies,
+    grouped_quantiles,
+)
+from sketchlib.spark.datagen import token_sequences
+
+RANK_TOL = 0.005  # reference rank-error bar (t_digest.rs:800-835)
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _sf_rows(sf_dir: str) -> int:
+    """Deterministic token-table size for this scale factor."""
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = 0.01
+    return max(int(1_000_000 * sf), 1_000)
+
+
+def _rank_ok(df: DataFrame, col: str, qs: list[float], ests: list[float]) -> list[bool]:
+    """Rank-space error check: the CDF interval [P(<e), P(<=e)] around
+    the estimate (or its nearest-integer snap — interpolated estimates
+    on discrete columns land in probability-mass gaps) must contain q
+    within RANK_TOL."""
+    aggs = []
+    cands = [(float(e), float(np.rint(e))) for e in ests]
+    for i, (e, r) in enumerate(cands):
+        c = F.col(col).cast("double")
+        aggs.append(F.avg((c < F.lit(e)).cast("double")).alias(f"lt{i}"))
+        aggs.append(F.avg((c <= F.lit(e)).cast("double")).alias(f"le{i}"))
+        aggs.append(F.avg((c < F.lit(r)).cast("double")).alias(f"rlt{i}"))
+        aggs.append(F.avg((c <= F.lit(r)).cast("double")).alias(f"rle{i}"))
+    row = df.agg(*aggs).first()
+    return [
+        bool(
+            row[f"lt{i}"] - RANK_TOL <= q <= row[f"le{i}"] + RANK_TOL
+            or row[f"rlt{i}"] - RANK_TOL <= q <= row[f"rle{i}"] + RANK_TOL
+        )
+        for i, q in enumerate(qs)
+    ]
+
+
+def _quantile_query(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    col: str,
+    sketch: str,
+    qs: list[float],
+    **params,
+) -> DataFrame:
+    df = _read(spark, sf_dir, table).filter(F.col(col).isNotNull())
+    ests, _sk = approx_quantiles(df, col, qs, sketch=sketch, **params)
+    exact = df.select(
+        F.percentile(F.col(col).cast("double"), F.array(*[F.lit(q) for q in qs])).alias("p")
+    ).first()["p"]
+    oks = _rank_ok(df, col, qs, ests)
+    rows = [
+        (float(q), float(round(x, 4)), bool(ok))
+        for q, x, ok in zip(qs, exact, oks)
+    ]
+    return spark.createDataFrame(rows, "q double, exact_value double, ok boolean")
+
+
+# --------------------------------------------------------------------- queries
+
+
+def q_tdigest_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest quantiles of lineitem.l_extendedprice vs exact."""
+    return _quantile_query(
+        spark, sf_dir, "lineitem", "l_extendedprice", "tdigest",
+        [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99], delta=2000, scale="k2",
+    )
+
+
+def q_kll_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantiles of events.value vs exact."""
+    return _quantile_query(
+        spark, sf_dir, "events", "value", "kll",
+        [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99], k=200,
+    )
+
+
+def q_tdigest_orders_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest (k1 scale) quantiles of orders.o_totalprice vs exact."""
+    return _quantile_query(
+        spark, sf_dir, "orders", "o_totalprice", "tdigest",
+        [0.05, 0.25, 0.5, 0.75, 0.95], delta=1000, scale="k1",
+    )
+
+
+def q_grouped_doc_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language t-digest quantiles of documents.n_chars.
+
+    Exercises the grouped (map-side-combine + salted merge) path."""
+    qs = [0.5, 0.9]
+    docs = _read(spark, sf_dir, "documents")
+    est_df = grouped_quantiles(
+        docs, ["lang"], "n_chars", qs, sketch="tdigest", delta=1000,
+        salt_buckets=4,
+    ).toPandas()
+    pdf = docs.select("lang", "n_chars").toPandas()
+    rows = []
+    for lang, grp in sorted(pdf.groupby("lang")):
+        vals = grp["n_chars"].to_numpy(dtype=np.float64)
+        n = vals.size
+        srt = np.sort(vals)
+        for q in qs:
+            exact = float(np.quantile(vals, q))
+            est = float(
+                est_df[(est_df.lang == lang) & (est_df.q == q)]["value"].iloc[0]
+            )
+            ok = False
+            for cand in (est, float(np.rint(est))):
+                lt = np.searchsorted(srt, cand, side="left") / n
+                le = np.searchsorted(srt, cand, side="right") / n
+                if (lt - RANK_TOL) <= q <= (le + RANK_TOL):
+                    ok = True
+                    break
+            rows.append((lang, float(q), float(round(exact, 4)), bool(ok)))
+    return spark.createDataFrame(
+        rows, "lang string, q double, exact_value double, ok boolean"
+    )
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct counts vs exact for three key columns."""
+    specs = [
+        ("orders.o_custkey", "orders", "o_custkey"),
+        ("events.user_id", "events", "user_id"),
+        ("part.p_partkey", "part", "p_partkey"),
+    ]
+    rows = []
+    for metric, table, col in specs:
+        df = _read(spark, sf_dir, table)
+        est, sk = approx_distinct(df, col, p=14)
+        exact = df.select(F.countDistinct(col).alias("d")).first()["d"]
+        ok = abs(est - exact) / max(exact, 1) <= 4 * sk.relative_std_error()
+        rows.append((metric, int(exact), bool(ok)))
+    return spark.createDataFrame(rows, "metric string, exact_count bigint, ok boolean")
+
+
+def q_cms_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequencies of events.event_type: estimates must be
+    >= exact and within the eps*N bound."""
+    events = _read(spark, sf_dir, "events")
+    cms = build_cms(events, "event_type", depth=5, width=16384)
+    est_pdf = cms_frequencies(cms, events, "event_type").toPandas()
+    exact = {
+        r["event_type"]: r["cnt"]
+        for r in events.groupBy("event_type").agg(F.count("*").alias("cnt")).collect()
+    }
+    bound = cms.error_bound()
+    rows = []
+    for _, r in est_pdf.iterrows():
+        t = exact[r["event_type"]]
+        ok = (r["est_count"] >= t) and (r["est_count"] <= t + bound)
+        rows.append((r["event_type"], int(t), bool(ok)))
+    rows.sort()
+    return spark.createDataFrame(
+        rows, "event_type string, exact_count bigint, ok boolean"
+    )
+
+
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter over orders.o_custkey probed with every customer
+    that has orders: no false negatives means every row is member=true."""
+    orders = _read(spark, sf_dir, "orders")
+    customers = _read(spark, sf_dir, "customer")
+    bloom = build_bloom(orders, "o_custkey", capacity=200_000, fpr=0.001)
+    with_orders = customers.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+        "c_custkey",
+        "semi",
+    ).select("c_custkey")
+    probed = bloom_contains(with_orders, "c_custkey", bloom)
+    return probed.select(F.col("c_custkey").cast("bigint"), F.col("member"))
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact relational hosting-layer parity (scan+filter+groupBy)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") < F.lit("1998-06-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
+def q_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch quantiles over the synthesized token table (input_hint
+    shape): n_tok row-level via t-digest, flattened token values via
+    KLL.  Verified Spark-side against exact percentiles; the oracle
+    carries the constant shape only (DuckDB cannot see this table)."""
+    n = _sf_rows(sf_dir)
+    df = token_sequences(spark, n, seed=42)
+    qs = [0.1, 0.5, 0.9, 0.99]
+
+    ests_row, _ = approx_quantiles(df, "n_tok", qs, sketch="tdigest", delta=2000)
+    exact_row = df.select(
+        F.percentile(F.col("n_tok").cast("double"), F.array(*[F.lit(q) for q in qs]))
+    ).first()[0]
+    oks_row = _rank_ok(df, "n_tok", qs, ests_row)
+
+    ests_tok, _ = approx_quantiles(
+        df, "tokens", qs, sketch="kll", is_array=True, k=200
+    )
+    flat = df.select(F.explode("tokens").alias("t"))
+    oks_tok = _rank_ok(flat, "t", qs, ests_tok)
+
+    rows = [
+        ("n_tok", float(q), bool(ok)) for q, ok in zip(qs, oks_row)
+    ] + [
+        ("tokens", float(q), bool(ok)) for q, ok in zip(qs, oks_tok)
+    ]
+    return spark.createDataFrame(rows, "metric string, q double, ok boolean")
+
+
+def q_token_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL over doc_id and distinct token ids of the token table,
+    verified Spark-side against exact distinct counts."""
+    n = _sf_rows(sf_dir)
+    df = token_sequences(spark, n, seed=42)
+    est_doc, sk_doc = approx_distinct(df, "doc_id", p=14)
+    ok_doc = abs(est_doc - n) / n <= 4 * sk_doc.relative_std_error()
+    est_tok, sk_tok = approx_distinct(df, "tokens", p=14, is_array=True)
+    exact_tok = (
+        df.select(F.explode("tokens").alias("t")).agg(F.countDistinct("t")).first()[0]
+    )
+    ok_tok = abs(est_tok - exact_tok) / max(exact_tok, 1) <= 4 * sk_tok.relative_std_error()
+    rows = [("doc_id", bool(ok_doc)), ("token_values", bool(ok_tok))]
+    return spark.createDataFrame(rows, "metric string, ok boolean")
+
+
+# -------------------------------------------------------------------- contract
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-source token-length quantiles over the token table
+    at sf0.001 scale (grouped sketch end-to-end)."""
+    df = token_sequences(spark, _sf_rows("/root/testdata/sf0.001"), seed=42)
+    return grouped_quantiles(
+        df, ["source"], "n_tok", [0.25, 0.5, 0.75, 0.9, 0.99],
+        sketch="tdigest", delta=500, salt_buckets=4,
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "tdigest_lineitem_quantiles": q_tdigest_lineitem,
+        "kll_events_quantiles": q_kll_events,
+        "tdigest_orders_quantiles_k1": q_tdigest_orders_total,
+        "grouped_doc_quantiles": q_grouped_doc_quantiles,
+        "hll_distinct": q_hll_distinct,
+        "cms_event_type_counts": q_cms_event_type,
+        "bloom_custkey_membership": q_bloom_membership,
+        "pricing_summary": q_pricing_summary,
+        "token_quantiles": q_token_quantiles,
+        "token_cardinality": q_token_cardinality,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _quantile_oracle(table: str, col: str, qs: list[float]) -> str:
+    parts = [
+        f"SELECT CAST({q} AS DOUBLE) AS q, "
+        f"round(quantile_cont({col}, {q}), 4) AS exact_value, TRUE AS ok "
+        f"FROM {table} WHERE {col} IS NOT NULL"
+        for q in qs
+    ]
+    return " UNION ALL ".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tdigest_lineitem_quantiles": _quantile_oracle(
+            "lineitem", "l_extendedprice", [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+        ),
+        "kll_events_quantiles": _quantile_oracle(
+            "events", "value", [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+        ),
+        "tdigest_orders_quantiles_k1": _quantile_oracle(
+            "orders", "o_totalprice", [0.05, 0.25, 0.5, 0.75, 0.95]
+        ),
+        "grouped_doc_quantiles": (
+            "SELECT lang, CAST(0.5 AS DOUBLE) AS q, "
+            "round(quantile_cont(n_chars, 0.5), 4) AS exact_value, TRUE AS ok "
+            "FROM documents GROUP BY lang "
+            "UNION ALL "
+            "SELECT lang, CAST(0.9 AS DOUBLE) AS q, "
+            "round(quantile_cont(n_chars, 0.9), 4) AS exact_value, TRUE AS ok "
+            "FROM documents GROUP BY lang"
+        ),
+        "hll_distinct": (
+            "SELECT 'orders.o_custkey' AS metric, "
+            "count(DISTINCT o_custkey) AS exact_count, TRUE AS ok FROM orders "
+            "UNION ALL SELECT 'events.user_id', count(DISTINCT user_id), TRUE "
+            "FROM events "
+            "UNION ALL SELECT 'part.p_partkey', count(DISTINCT p_partkey), TRUE "
+            "FROM part"
+        ),
+        "cms_event_type_counts": (
+            "SELECT event_type, count(*) AS exact_count, TRUE AS ok "
+            "FROM events GROUP BY event_type"
+        ),
+        "bloom_custkey_membership": (
+            "SELECT CAST(c_custkey AS BIGINT) AS c_custkey, TRUE AS member "
+            "FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)"
+        ),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_base, "
+            "count(*) AS cnt FROM lineitem "
+            "WHERE l_shipdate < TIMESTAMP '1998-06-01' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "token_quantiles": (
+            "SELECT * FROM (VALUES "
+            "('n_tok', CAST(0.1 AS DOUBLE), TRUE), "
+            "('n_tok', CAST(0.5 AS DOUBLE), TRUE), "
+            "('n_tok', CAST(0.9 AS DOUBLE), TRUE), "
+            "('n_tok', CAST(0.99 AS DOUBLE), TRUE), "
+            "('tokens', CAST(0.1 AS DOUBLE), TRUE), "
+            "('tokens', CAST(0.5 AS DOUBLE), TRUE), "
+            "('tokens', CAST(0.9 AS DOUBLE), TRUE), "
+            "('tokens', CAST(0.99 AS DOUBLE), TRUE)"
+            ") AS t(metric, q, ok)"
+        ),
+        "token_cardinality": (
+            "SELECT * FROM (VALUES ('doc_id', TRUE), ('token_values', TRUE)) "
+            "AS t(metric, ok)"
+        ),
+    }
