@@ -168,8 +168,16 @@ def _merge_pdf(pdf):
 def tree_merge(
     partials: DataFrame,
     fanout: int = 64,
-    collect_threshold: int = 64,
+    collect_threshold: int = 256,
 ):
+    """collect_threshold trades a whole extra shuffle stage against
+    driver collect volume: KB-scale states (t-digest/KLL/HLL) can skip
+    the tree stage up to a few hundred partials; pass a small threshold
+    for fat states (CMS/Bloom)."""
+    return _tree_merge_impl(partials, fanout, collect_threshold)
+
+
+def _tree_merge_impl(partials: DataFrame, fanout: int, collect_threshold: int):
     """Stages 2+3: fanout-ary tree reduce of partial states, final
     merge on the driver.  Returns the merged sketch object (or None if
     the input was empty)."""
@@ -200,9 +208,14 @@ def sketch_column(
     factory: Callable[[], object],
     kind: str = KIND_DOUBLE,
     fanout: int = 64,
+    collect_threshold: int = 256,
 ):
     """End-to-end: build partials, tree-merge, return the final sketch."""
-    return tree_merge(build_partials(df, col, factory, kind), fanout=fanout)
+    return tree_merge(
+        build_partials(df, col, factory, kind),
+        fanout=fanout,
+        collect_threshold=collect_threshold,
+    )
 
 
 # --------------------------------------------------------------- grouped build

@@ -77,7 +77,10 @@ def build_cms(
 ) -> CountMinSketch:
     """Count-min over a key column (hashed JVM-side)."""
     kind = KIND_ARRAY_HASH if is_array else KIND_HASH64
-    sk = sketch_column(df, col, lambda: CountMinSketch(depth=depth, width=width), kind)
+    sk = sketch_column(
+        df, col, lambda: CountMinSketch(depth=depth, width=width), kind,
+        collect_threshold=32,  # fat states: keep driver collect small
+    )
     return sk if sk is not None else CountMinSketch(depth=depth, width=width)
 
 
@@ -97,7 +100,7 @@ def build_bloom(
         proto = BloomFilter.from_capacity(cap, fpr)
         m, kk = proto.m, proto.k
         factory = lambda: BloomFilter(m_bits=m, k=kk)  # noqa: E731
-    sk = sketch_column(df, col, factory, KIND_HASH64)
+    sk = sketch_column(df, col, factory, KIND_HASH64, collect_threshold=32)
     return sk if sk is not None else factory()
 
 

@@ -1,0 +1,170 @@
+"""Direct-parquet scan path: pyarrow decode inside Spark tasks.
+
+Why: sketch builds touch every value exactly once, so the pipeline is
+scan-bound.  Routing ``list<int32>`` token columns through the JVM
+(parquet decode -> Arrow re-encode -> socket to Python) costs more than
+the sketch math itself (measured: a pure-JVM ``aggregate(tokens,...)``
+over 269M tokens takes as long as the entire Python pipeline).  This
+module keeps Spark for distribution, scheduling, retries and the merge
+stages, but moves the columnar decode into the Python worker via
+pyarrow's C++ parquet reader — zero JVM decode, zero IPC, ~3-4x the
+end-to-end throughput.
+
+The unit of work is a parquet *file* (row-group locality, retry-safe,
+deterministic).  File paths are listed driver-side with ``pyarrow.fs``
+(works for local, s3://, hdfs:// — the same layout an Iceberg table's
+data files have) and distributed round-robin over ``~2x cores`` tasks.
+
+Trade-off vs the generic DataFrame path (aggregate.py): no Catalyst
+expressions on the way in (column selection is explicit; row-group
+predicate pushdown can be added per-field), and JVM-side ``xxhash64``
+is replaced by numpy splitmix64 for the hash sketches.  Use this path
+for scan-bound bulk builds; use the DataFrame path when the input is
+the output of arbitrary Spark transformations.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Iterator
+
+import pyarrow as pa
+from pyspark.sql import SparkSession
+
+from sketchlib.spark.aggregate import (
+    _PARTIAL_SCHEMA,
+    KIND_ARRAY,
+    KIND_ARRAY_HASH,
+    KIND_DOUBLE,
+    KIND_HASH64,
+    _batch_values,
+    _feed,
+    tree_merge,
+)
+
+_READ_BATCH_ROWS = 65536  # scalar columns
+# list columns decode ~100+ values/row: smaller row batches keep the
+# decoded values cache-resident (measured 3x single-core throughput
+# and better multi-core scaling vs 64k-row batches)
+_READ_BATCH_ROWS_LIST = 2048
+
+
+def list_parquet_files(path: str) -> list[str]:
+    """List data files under a parquet directory/file via pyarrow.fs."""
+    from pyarrow import fs as pafs
+
+    filesystem, base = pafs.FileSystem.from_uri(path)
+    info = filesystem.get_file_info(base)
+    if info.type == pafs.FileType.File:
+        return [base]
+    sel = pafs.FileSelector(base, recursive=True)
+    return sorted(
+        f.path
+        for f in filesystem.get_file_info(sel)
+        if f.type == pafs.FileType.File and f.path.endswith(".parquet")
+    )
+
+
+def _direct_kind(kind: str) -> str:
+    """Map JVM-dependent kinds onto their numpy equivalents."""
+    if kind == KIND_HASH64:
+        return "hash64_numpy"
+    return kind
+
+
+def build_partials_direct(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    factory: Callable[[], object],
+    kind: str = KIND_DOUBLE,
+    tasks: int | None = None,
+):
+    """Stage 1 over raw parquet files: returns the usual partials
+    DataFrame[state binary, items long, build_secs double]."""
+    files = list_parquet_files(path)
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path}")
+    cores = spark.sparkContext.defaultParallelism
+    if tasks is None:
+        tasks = max(min(len(files), 2 * cores), 1)
+    # round-robin paths into exactly `tasks` slices at parallelize time
+    # — no repartition shuffle just to distribute a file list
+    rdd = spark.sparkContext.parallelize([(f,) for f in files], tasks)
+    fdf = spark.createDataFrame(rdd, "path string")
+    dkind = _direct_kind(kind)
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from pyarrow import fs as pafs
+
+        t0 = time.monotonic()
+        sk = factory()
+        items = 0
+        for b in batches:
+            for fpath in b.column(0).to_pylist():
+                filesystem, fp = pafs.FileSystem.from_uri(fpath)
+                with filesystem.open_input_file(fp) as fh:
+                    pf = pq.ParquetFile(fh)
+                    col_type = pf.schema_arrow.field(col).type
+                    bs = (
+                        _READ_BATCH_ROWS_LIST
+                        if pa.types.is_list(col_type) or pa.types.is_large_list(col_type)
+                        else _READ_BATCH_ROWS
+                    )
+                    for rb in pf.iter_batches(
+                        batch_size=bs, columns=[col], use_threads=False
+                    ):
+                        if dkind == "hash64_numpy":
+                            arr = rb.column(0)
+                            if arr.null_count:
+                                arr = arr.drop_null()
+                            vals = _hash_any(arr)
+                        else:
+                            vals = _batch_values(rb, 0, dkind)
+                        items += _feed(sk, vals)
+        if items == 0:
+            return
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([sk.to_bytes()], type=pa.binary()),
+                pa.array([items], type=pa.int64()),
+                pa.array([time.monotonic() - t0], type=pa.float64()),
+            ],
+            names=["state", "items", "build_secs"],
+        )
+
+    return fdf.mapInArrow(fn, _PARTIAL_SCHEMA)
+
+
+def _hash_any(arr: pa.Array):
+    """uint64-hash an Arrow array without the JVM: splitmix64 for
+    integers/floats, blake2b for strings (string path is test-scale;
+    prefer the DataFrame path's JVM xxhash64 for bulk string keys)."""
+    import numpy as np
+
+    from sketchlib.core import hashing
+
+    if pa.types.is_integer(arr.type):
+        return hashing.hash_i64(arr.to_numpy(zero_copy_only=False))
+    if pa.types.is_floating(arr.type):
+        return hashing.hash_f64(arr.to_numpy(zero_copy_only=False))
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        return hashing.hash_str(arr.to_pylist())
+    raise TypeError(f"cannot hash arrow type {arr.type}")
+
+
+def sketch_parquet(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    factory: Callable[[], object],
+    kind: str = KIND_DOUBLE,
+    tasks: int | None = None,
+    fanout: int = 64,
+):
+    """End-to-end direct build: partials over raw files -> tree merge."""
+    partials = build_partials_direct(spark, path, col, factory, kind, tasks)
+    return tree_merge(partials, fanout=fanout)
