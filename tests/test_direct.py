@@ -1,0 +1,68 @@
+"""Direct-parquet scan path: equivalence with the DataFrame path and
+hash-kind handling (sketchlib/spark/direct.py)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sketchlib.core.hll import HyperLogLog
+from sketchlib.core.kll import KLL
+from sketchlib.core.tdigest import TDigest
+from sketchlib.spark.aggregate import KIND_ARRAY, KIND_DOUBLE, KIND_HASH64, sketch_column
+from sketchlib.spark.direct import list_parquet_files, sketch_parquet
+from sketchlib.spark.datagen import token_sequences
+
+
+@pytest.fixture(scope="module")
+def token_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("direct") / "tokens")
+    token_sequences(spark, 8_000, seed=3, partitions=8).write.parquet(path)
+    return path
+
+
+def test_list_files(token_path):
+    files = list_parquet_files(token_path)
+    assert len(files) >= 1
+    assert all(f.endswith(".parquet") for f in files)
+
+
+def test_direct_matches_dataframe_path(spark, token_path):
+    direct = sketch_parquet(
+        spark, token_path, "tokens", lambda: TDigest(delta=800), KIND_ARRAY
+    )
+    df = spark.read.parquet(token_path)
+    via_df = sketch_column(df, "tokens", lambda: TDigest(delta=800), KIND_ARRAY)
+    assert direct.count == via_df.count
+    assert direct.min == via_df.min and direct.max == via_df.max
+    qs = np.array([0.1, 0.5, 0.9])
+    np.testing.assert_allclose(
+        direct.value_at_quantile(qs), via_df.value_at_quantile(qs), rtol=0.01
+    )
+
+
+def test_direct_scalar_column(spark, token_path):
+    sk = sketch_parquet(
+        spark, token_path, "n_tok", lambda: KLL(k=128), KIND_DOUBLE
+    )
+    df = spark.read.parquet(token_path)
+    assert sk.count == df.count()
+    true = df.agg(F.expr("percentile(n_tok, 0.5)")).first()[0]
+    assert abs(sk.value_at_quantile(0.5) - true) <= max(0.02 * true, 2.0)
+
+
+def test_direct_hash_kind_int(spark, token_path):
+    # hash64 on an int column uses numpy splitmix64 instead of JVM
+    # xxhash64 — estimates must still hit the HLL bound
+    sk = sketch_parquet(
+        spark, token_path, "n_tok", lambda: HyperLogLog(p=12), KIND_HASH64
+    )
+    true = spark.read.parquet(token_path).select("n_tok").distinct().count()
+    assert abs(sk.estimate() - true) / true <= 4 * sk.relative_std_error()
+
+
+def test_direct_missing_path(spark):
+    with pytest.raises(FileNotFoundError):
+        sketch_parquet(
+            spark, "/tmp/definitely-missing-dir-xyz", "c",
+            lambda: TDigest(), KIND_DOUBLE,
+        )
