@@ -2,16 +2,21 @@
 
 from sketchlib.core.tdigest import TDigest
 from sketchlib.core.kll import KLL
+from sketchlib.core.rc_sketch import RCSketch
 from sketchlib.core.hll import HyperLogLog
 from sketchlib.core.cms import CountMinSketch
 from sketchlib.core.bloom import BloomFilter
 from sketchlib.core.oracle import LinearOracle
+from sketchlib.core.wrappers import RankCombinedGroup, SymDigest
 
 __all__ = [
     "TDigest",
     "KLL",
+    "RCSketch",
     "HyperLogLog",
     "CountMinSketch",
     "BloomFilter",
     "LinearOracle",
+    "SymDigest",
+    "RankCombinedGroup",
 ]

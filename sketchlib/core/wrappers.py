@@ -1,0 +1,94 @@
+"""Composition wrappers over quantile sketches.
+
+* ``SymDigest`` — the reference's symmetric-tail wrapper
+  (/root/reference/src/sym_digest.rs:26-71): feed x into a "low"
+  digest and -x into a mirrored "high" digest; route queries by the
+  side of the median so both tails get the low-quantile accuracy that
+  relative compactors concentrate near rank 0.
+* ``RankCombinedGroup`` — the reference's never-merged distributed
+  query combine (/root/reference/src/parallel_digest.rs:44-80): rank
+  queries are exactly additive across disjoint sub-sketches
+  (sum of sub-rank * sub-count / total), and inverse queries bisect
+  the value domain [min, max] down to 1e-6 relative width, returning
+  the smallest bound whose combined CDF reaches q.  Used when partial
+  sketches are kept per-partition and never merged (e.g. streaming
+  snapshots); once a true merge exists this is only a cross-check.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class SymDigest:
+    """Symmetric-accuracy wrapper: two mirrored digests."""
+
+    def __init__(self, factory):
+        self.low = factory()
+        self.high = factory()
+        self.count = 0
+
+    def add_buffer(self, values) -> None:
+        v = np.asarray(values, dtype=np.float64).ravel()
+        if v.size == 0:
+            return
+        self.low.add_buffer(v)
+        self.high.add_buffer(-v)
+        self.count += v.size
+
+    def merge(self, other: "SymDigest") -> "SymDigest":
+        self.low.merge(other.low)
+        self.high.merge(other.high)
+        self.count += other.count
+        return self
+
+    def value_at_quantile(self, q) -> float:
+        """Route by side of the median (sym_digest.rs:42-55)."""
+        q = float(q)
+        if q <= 0.5:
+            return float(np.atleast_1d(self.low.value_at_quantile(q))[0])
+        return -float(np.atleast_1d(self.high.value_at_quantile(1.0 - q))[0])
+
+    def quantile_at_value(self, v) -> float:
+        v = float(v)
+        ql = float(np.atleast_1d(self.low.quantile_at_value(v))[0])
+        if ql <= 0.5:
+            return ql
+        return 1.0 - float(np.atleast_1d(self.high.quantile_at_value(-v))[0])
+
+
+class RankCombinedGroup:
+    """Query-combine over disjoint, unmerged sub-sketches."""
+
+    def __init__(self, sketches):
+        self.sketches = list(sketches)
+        if not self.sketches:
+            raise ValueError("need at least one sub-sketch")
+        self.total = float(sum(s.count for s in self.sketches))
+        self.min = min(float(s.min) for s in self.sketches)
+        self.max = max(float(s.max) for s in self.sketches)
+
+    def quantile_at_value(self, v) -> float:
+        """sum(sub_cdf * sub_count) / total (parallel_digest.rs:44-51)."""
+        if self.total == 0:
+            return float("nan")
+        acc = 0.0
+        for s in self.sketches:
+            acc += float(np.atleast_1d(s.quantile_at_value(float(v)))[0]) * float(s.count)
+        return acc / self.total
+
+    def value_at_quantile(self, q) -> float:
+        """Bisection over [min, max] to 1e-6 relative width, smallest
+        bound with CDF >= q (parallel_digest.rs:53-80)."""
+        q = float(q)
+        lo, hi = self.min, self.max
+        denom = abs(self.min) + abs(self.max)
+        if denom == 0:
+            return 0.0
+        while (hi - lo) / denom > 1e-6:
+            mid = (lo + hi) / 2.0
+            if self.quantile_at_value(mid) >= q:
+                hi = mid
+            else:
+                lo = mid
+        return hi

@@ -13,11 +13,13 @@ from sketchlib.core.bloom import BloomFilter
 from sketchlib.core.cms import CountMinSketch
 from sketchlib.core.hll import HyperLogLog
 from sketchlib.core.kll import KLL
+from sketchlib.core.rc_sketch import RCSketch
 from sketchlib.core.tdigest import TDigest
 
 _BY_MAGIC = {
     b"TD01": TDigest,
     b"KL01": KLL,
+    b"RC01": RCSketch,
     b"HL01": HyperLogLog,
     b"CM01": CountMinSketch,
     b"BF01": BloomFilter,
@@ -26,6 +28,7 @@ _BY_MAGIC = {
 KINDS = {
     "tdigest": TDigest,
     "kll": KLL,
+    "rc": RCSketch,
     "hll": HyperLogLog,
     "cms": CountMinSketch,
     "bloom": BloomFilter,
