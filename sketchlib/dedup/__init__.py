@@ -1,0 +1,22 @@
+"""Deduplication for training-data pipelines: exact (hash-groupBy),
+MinHash+LSH and SimHash near-dup, n-gram Jaccard verification, and
+embedding-cosine near-dup (sketchlib.similarity)."""
+
+from sketchlib.dedup.exact import exact_duplicate_groups
+from sketchlib.dedup.minhash import (
+    exact_jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_near_duplicates,
+    minhash_signatures,
+)
+from sketchlib.dedup.simhash import simhash_near_duplicates, simhash_signatures
+
+__all__ = [
+    "exact_duplicate_groups",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "exact_jaccard_pairs",
+    "minhash_near_duplicates",
+    "simhash_signatures",
+    "simhash_near_duplicates",
+]

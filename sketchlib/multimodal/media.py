@@ -1,0 +1,175 @@
+"""Multimodal column plumbing.
+
+Data model: media travels as an opaque ``binary`` column plus a typed
+metadata struct (format, width, height, channels, n_frames,
+sample_rate).  All Spark-side mechanics — schema, Arrow batch flow
+through mapInPandas, partition sizing, feature extraction — are real
+and tested.  The codec boundary is explicit:
+
+* ``decode_media(..., codec="real")`` raises ``NotImplementedError``
+  (STUB: PIL/ffmpeg are not available in this container).
+* ``codec="fake"`` (default in tests) decodes deterministically:
+  the payload bytes tile into the (height, width, channels) array the
+  metadata declares — so resize/feature/frame ops run on real numpy
+  arrays with realistic shapes and the whole pipeline is testable.
+
+At 100 TB the binary payloads dominate row size: feature extraction
+projects only (id, media, meta) — column pruning keeps text/feature
+columns out of the scan — and ``spark.sql.files.maxPartitionBytes``
+should be sized so one partition of payloads fits executor memory.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "format string, width int, height int, channels int, "
+    "n_frames int, sample_rate int"
+)
+
+_FAKE_W, _FAKE_H, _FAKE_C = 32, 24, 3
+
+
+def attach_fake_media(
+    df: DataFrame, id_col: str = "doc_id", n_frames: int = 4
+) -> DataFrame:
+    """Append deterministic fake media: payload = repeated xxhash64
+    bytes of the id (JVM-side, no Python), metadata struct typed per
+    MEDIA_SCHEMA."""
+    payload = F.encode(
+        F.concat(*[
+            F.conv(F.pmod(F.xxhash64(F.col(id_col), F.lit(i)), F.lit(16**8)).cast("string"), 10, 16)
+            for i in range(24)
+        ]),
+        "utf-8",
+    )
+    meta = F.struct(
+        F.lit("fake/rgb").alias("format"),
+        F.lit(_FAKE_W).alias("width"),
+        F.lit(_FAKE_H).alias("height"),
+        F.lit(_FAKE_C).alias("channels"),
+        F.lit(n_frames).alias("n_frames"),
+        F.lit(0).alias("sample_rate"),
+    )
+    return df.withColumn("media", payload).withColumn("meta", meta)
+
+
+def _fake_decode(payload: bytes, w: int, h: int, c: int) -> np.ndarray:
+    """Deterministically tile payload bytes into an (h, w, c) uint8
+    image."""
+    need = w * h * c
+    buf = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+    reps = int(np.ceil(need / buf.size))
+    return np.tile(buf, reps)[:need].reshape(h, w, c)
+
+
+def decode_media(payload: bytes, meta: dict, codec: str = "fake") -> np.ndarray:
+    """Decode one media payload to a numpy array.
+
+    codec="real" is a STUB: actual image/audio/video decoding needs
+    PIL / soundfile / ffmpeg, which are not installed here."""
+    if codec == "real":
+        raise NotImplementedError(
+            "real media decoding requires PIL/ffmpeg (not available in "
+            "this container); use codec='fake' for the deterministic "
+            "test decoder"
+        )
+    return _fake_decode(
+        payload, int(meta["width"]), int(meta["height"]), int(meta["channels"])
+    )
+
+
+def extract_features(
+    df: DataFrame, id_col: str = "doc_id", codec: str = "fake"
+) -> DataFrame:
+    """Per-media feature vector via mapInPandas: decode -> per-channel
+    mean/std + byte entropy -> DataFrame[id, features array<double>].
+
+    The batch shape is the scale-relevant part: one decode loop per
+    Arrow batch, features accumulated into a single numpy block."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = np.empty((len(pdf), 2 * _FAKE_C + 1))
+            for i, (payload, meta) in enumerate(zip(pdf["media"], pdf["meta"])):
+                img = decode_media(payload, meta, codec=codec)
+                flat = img.reshape(-1, img.shape[2]).astype(np.float64)
+                counts = np.bincount(img.ravel(), minlength=256)
+                p = counts[counts > 0] / counts.sum()
+                entropy = float(-(p * np.log2(p)).sum())
+                feats[i] = np.concatenate(
+                    [flat.mean(axis=0), flat.std(axis=0), [entropy]]
+                )
+            yield pd.DataFrame(
+                {"id": pdf[id_col], "features": [row.tolist() for row in feats]}
+            )
+
+    return df.select(id_col, "media", "meta").mapInPandas(
+        fn, "id string, features array<double>"
+    )
+
+
+def resize_images(
+    df: DataFrame, out_w: int, out_h: int, id_col: str = "doc_id",
+    codec: str = "fake",
+) -> DataFrame:
+    """Nearest-neighbor resize -> DataFrame[id, media binary, meta].
+    (Real-codec path would decode/re-encode; the geometry logic and
+    batch plumbing are identical.)"""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs, metas = [], []
+            for payload, meta in zip(pdf["media"], pdf["meta"]):
+                img = decode_media(payload, meta, codec=codec)
+                ys = (np.arange(out_h) * img.shape[0] // out_h)
+                xs = (np.arange(out_w) * img.shape[1] // out_w)
+                resized = img[ys][:, xs]
+                blobs.append(resized.tobytes())
+                m = dict(meta)
+                m["width"], m["height"] = out_w, out_h
+                metas.append(m)
+            yield pd.DataFrame({"id": pdf[id_col], "media": blobs, "meta": metas})
+
+    return df.select(id_col, "media", "meta").mapInPandas(
+        fn, f"id string, media binary, meta struct<{MEDIA_SCHEMA}>"
+    )
+
+
+def frame_sample(
+    df: DataFrame, every: int = 2, id_col: str = "doc_id", codec: str = "fake"
+) -> DataFrame:
+    """Sample every ``every``-th frame of a (fake) video ->
+    DataFrame[id, frame_idx, media, meta] (one row per kept frame)."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, blobs, metas = [], [], [], []
+            for rid, payload, meta in zip(pdf[id_col], pdf["media"], pdf["meta"]):
+                n = int(meta["n_frames"]) or 1
+                for fi in range(0, n, every):
+                    # fake per-frame payload: shift the byte stream
+                    frame = decode_media(
+                        bytes(payload[fi % max(len(payload), 1):])
+                        + bytes(payload[: fi % max(len(payload), 1)]),
+                        meta, codec=codec,
+                    )
+                    ids.append(rid)
+                    idxs.append(fi)
+                    blobs.append(frame.tobytes())
+                    m = dict(meta)
+                    m["n_frames"] = 1
+                    metas.append(m)
+            yield pd.DataFrame(
+                {"id": ids, "frame_idx": idxs, "media": blobs, "meta": metas}
+            )
+
+    return df.select(id_col, "media", "meta").mapInPandas(
+        fn, f"id string, frame_idx int, media binary, meta struct<{MEDIA_SCHEMA}>"
+    )

@@ -1,0 +1,296 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+* ``brute_topk`` — exact baseline: broadcast the (small) query matrix,
+  scan all candidates with one numpy GEMM per Arrow batch inside
+  mapInArrow (zero per-row Python), keep a per-partition top-k, reduce
+  to the global top-k driver-side.  Scan cost O(N*Q*d) flops but a
+  single data pass; this is the correct shape for one-off queries at
+  any N.
+* ``ivf_topk`` — scale path: deterministic k-means-lite centroids
+  (seeded init, few Lloyd iterations over a sample), every vector is
+  assigned to its nearest centroid list JVM-joinable bucket; a query
+  probes only the ``nprobe`` nearest centroid buckets (~nprobe/C of
+  the data).  Recall is checked against the brute baseline in tests.
+* ``embedding_near_duplicates`` — all-pairs cosine >= threshold via
+  the same partitioned GEMM (candidate block x full broadcast matrix)
+  — practical when one side fits in memory per executor; beyond that,
+  use ivf bucketing on both sides.
+
+Embeddings are ``array<float>`` columns; batches convert to (rows, d)
+float32 matrices via one reshape of the Arrow flat buffer.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _batch_matrix(batch: pa.RecordBatch, col_idx: int) -> np.ndarray:
+    """(rows, d) float32 from a fixed-length list<float> column."""
+    arr = batch.column(col_idx)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float32, copy=False)
+    n = len(arr)
+    if n == 0:
+        return flat.reshape(0, 0)
+    d = flat.size // n
+    return flat.reshape(n, d)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def brute_topk(
+    df: DataFrame,
+    queries: np.ndarray,
+    query_ids: list,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: DataFrame[query_id, rank, vec_id, cos].
+
+    ``queries`` is a (Q, d) matrix; it ships broadcast inside the task
+    closure (Q is small)."""
+    qm = _normalize(np.asarray(queries, dtype=np.float32))
+    qids = list(query_ids)
+    spark = df.sparkSession
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        best_cos = np.full((len(qids), k), -np.inf, dtype=np.float32)
+        best_id = np.full((len(qids), k), -1, dtype=np.int64)
+        got = False
+        for b in batches:
+            ids = b.column(0).to_numpy(zero_copy_only=False)
+            m = _normalize(_batch_matrix(b, 1))
+            if m.size == 0:
+                continue
+            got = True
+            cos = qm @ m.T  # (Q, rows) one GEMM per batch
+            top = min(k, cos.shape[1])
+            idx = np.argpartition(-cos, top - 1, axis=1)[:, :top]
+            for qi in range(len(qids)):
+                cand_cos = np.concatenate([best_cos[qi], cos[qi, idx[qi]]])
+                cand_id = np.concatenate([best_id[qi], ids[idx[qi]]])
+                order = np.argsort(-cand_cos)[:k]
+                best_cos[qi] = cand_cos[order]
+                best_id[qi] = cand_id[order]
+        if not got:
+            return
+        qout, iout, cout = [], [], []
+        for qi, qid in enumerate(qids):
+            mask = best_id[qi] >= 0
+            qout.extend([qid] * int(mask.sum()))
+            iout.extend(best_id[qi][mask].tolist())
+            cout.extend(best_cos[qi][mask].astype(np.float64).tolist())
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(qout, type=pa.int64()),
+                pa.array(iout, type=pa.int64()),
+                pa.array(cout, type=pa.float64()),
+            ],
+            names=["query_id", "vec_id", "cos"],
+        )
+
+    partial = df.select(id_col, vec_col).mapInArrow(
+        fn, "query_id long, vec_id long, cos double"
+    )
+    # global top-k: tiny (partitions * Q * k rows) -> window rank
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", F.round("cos", 4).alias("cos"))
+    )
+
+
+def train_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    sample: int = 4096,
+    iters: int = 5,
+    seed: int = 42,
+) -> np.ndarray:
+    """Deterministic k-means-lite on a driver-side sample (seeded
+    subsample + a few Lloyd iterations).  Centroid quality only gates
+    recall/speed, never correctness (verification is exact)."""
+    rows = (
+        df.select(vec_col)
+        .limit(sample)
+        .toPandas()[vec_col]
+    )
+    m = _normalize(np.array([np.asarray(r, dtype=np.float32) for r in rows]))
+    rng = np.random.default_rng(seed)
+    init = rng.choice(m.shape[0], size=min(n_centroids, m.shape[0]), replace=False)
+    cents = m[np.sort(init)].copy()
+    for _ in range(iters):
+        assign = np.argmax(m @ cents.T, axis=1)
+        for c in range(cents.shape[0]):
+            members = m[assign == c]
+            if members.size:
+                cents[c] = members.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def assign_buckets(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append the nearest-centroid bucket id (one GEMM per batch)."""
+    cents = _normalize(np.asarray(centroids, dtype=np.float32))
+    cols = df.columns
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            m = _normalize(_batch_matrix(b, cols.index(vec_col)))
+            if m.shape[0] == 0:
+                continue
+            bucket = np.argmax(m @ cents.T, axis=1).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [b.column(i) for i in range(len(cols))] + [pa.array(bucket)],
+                names=cols + ["bucket"],
+            )
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    return df.mapInArrow(fn, f"{schema}, bucket int")
+
+
+def ivf_topk(
+    df: DataFrame,
+    queries: np.ndarray,
+    query_ids: list,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: probe only the nprobe nearest centroid
+    buckets per query.  Returns DataFrame[query_id, rank, vec_id, cos]."""
+    if centroids is None:
+        centroids = train_centroids(
+            df, n_centroids=n_centroids, vec_col=vec_col, seed=seed
+        )
+    cents = _normalize(np.asarray(centroids, dtype=np.float32))
+    qm = _normalize(np.asarray(queries, dtype=np.float32))
+    probe = np.argsort(-(qm @ cents.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    wanted = sorted({int(b) for row in probe for b in row})
+    bucketed = assign_buckets(df, cents, id_col, vec_col).filter(
+        F.col("bucket").isin(wanted)
+    )
+    # per-query probe masks resolved inside the scan: a candidate
+    # participates only in queries probing its bucket
+    probe_sets = {int(b): [qi for qi in range(len(query_ids)) if int(b) in probe[qi]]
+                  for b in wanted}
+    qids = list(query_ids)
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        best_cos = np.full((len(qids), k), -np.inf, dtype=np.float32)
+        best_id = np.full((len(qids), k), -1, dtype=np.int64)
+        got = False
+        for b in batches:
+            names = b.schema.names
+            ids = b.column(names.index(id_col)).to_numpy(zero_copy_only=False)
+            buckets = b.column(names.index("bucket")).to_numpy(zero_copy_only=False)
+            m = _normalize(_batch_matrix(b, names.index(vec_col)))
+            if m.shape[0] == 0:
+                continue
+            got = True
+            cos = qm @ m.T
+            for qi in range(len(qids)):
+                mask = np.isin(buckets, probe[qi])
+                if not mask.any():
+                    continue
+                c = cos[qi][mask]
+                cid = ids[mask]
+                top = min(k, c.size)
+                idx = np.argpartition(-c, top - 1)[:top]
+                cand_cos = np.concatenate([best_cos[qi], c[idx]])
+                cand_id = np.concatenate([best_id[qi], cid[idx]])
+                order = np.argsort(-cand_cos)[:k]
+                best_cos[qi] = cand_cos[order]
+                best_id[qi] = cand_id[order]
+        if not got:
+            return
+        qout, iout, cout = [], [], []
+        for qi, qid in enumerate(qids):
+            mask = best_id[qi] >= 0
+            qout.extend([qid] * int(mask.sum()))
+            iout.extend(best_id[qi][mask].tolist())
+            cout.extend(best_cos[qi][mask].astype(np.float64).tolist())
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(qout, type=pa.int64()),
+                pa.array(iout, type=pa.int64()),
+                pa.array(cout, type=pa.float64()),
+            ],
+            names=["query_id", "vec_id", "cos"],
+        )
+
+    partial = bucketed.mapInArrow(fn, "query_id long, vec_id long, cos double")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", F.round("cos", 4).alias("cos"))
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_side: int = 100_000,
+) -> DataFrame:
+    """All-pairs cosine >= threshold (id_a < id_b):
+    DataFrame[id_a, id_b, cos].  Broadcasts one normalized side
+    (capped at max_side rows) and GEMMs candidate batches against it;
+    beyond max_side, pre-bucket both sides with IVF."""
+    side = df.select(id_col, vec_col).limit(max_side).toPandas()
+    ids_b = side[id_col].to_numpy()
+    mb = _normalize(
+        np.array([np.asarray(v, dtype=np.float32) for v in side[vec_col]])
+    )
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            ids_a = b.column(0).to_numpy(zero_copy_only=False)
+            m = _normalize(_batch_matrix(b, 1))
+            if m.shape[0] == 0:
+                continue
+            cos = m @ mb.T
+            ai, bi = np.nonzero(cos >= threshold)
+            keep = ids_a[ai] < ids_b[bi]
+            ai, bi = ai[keep], bi[keep]
+            if ai.size == 0:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids_a[ai], type=pa.int64()),
+                    pa.array(ids_b[bi], type=pa.int64()),
+                    pa.array(np.round(cos[ai, bi].astype(np.float64), 4)),
+                ],
+                names=["id_a", "id_b", "cos"],
+            )
+
+    return df.select(id_col, vec_col).mapInArrow(
+        fn, "id_a long, id_b long, cos double"
+    )

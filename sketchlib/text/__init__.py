@@ -1,0 +1,22 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language ID, document fingerprinting.  Everything is either a
+Catalyst expression (preferred — whole-stage codegen) or a vectorized
+pandas/Arrow UDF; never per-row Python in the hot path."""
+
+from sketchlib.text.analysis import (
+    LANG_MARKERS,
+    language_id,
+    langid_oracle_case_sql,
+    with_quality,
+    with_token_stats,
+)
+from sketchlib.text.fingerprint import document_fingerprints
+
+__all__ = [
+    "with_token_stats",
+    "with_quality",
+    "language_id",
+    "langid_oracle_case_sql",
+    "LANG_MARKERS",
+    "document_fingerprints",
+]

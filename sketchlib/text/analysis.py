@@ -1,0 +1,136 @@
+"""Token counting, quality scoring, and language identification.
+
+Token counting and quality ratios are pure Catalyst expressions
+(JVM-side, codegen) — the formulas are simple enough that an ANSI-SQL
+oracle can reproduce them bit-for-bit.
+
+Language ID is an n-gram/marker-count heuristic: count occurrences of
+a small set of high-frequency function words per language (plus a CJK
+codepoint count for zh) and take the argmax with a deterministic
+priority tie-break.  The Spark implementation is a vectorized pandas
+UDF; ``langid_oracle_case_sql`` emits an equivalent SQL expression so
+the prediction is cross-checkable in DuckDB.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# BPE-ish word/punct tokenization: runs of word chars, or single
+# non-space symbols (the shape GPT-style pre-tokenizers use)
+TOKEN_REGEX = r"\w+|[^\w\s]"
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+# marker function words per language; priority order breaks ties
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "is", "of", "to", "with"],
+    "de": ["der", "die", "und", "ist", "nicht", "ein"],
+    "es": ["el", "la", "que", "los", "una", "es"],
+    "fr": ["le", "la", "les", "est", "une", "dans"],
+}
+LANG_PRIORITY = ["en", "de", "es", "fr", "zh"]
+_CJK_RE = re.compile(r"[一-鿿]")
+
+
+def _sql_rx(pattern: str) -> str:
+    """Escape a regex for embedding in a Spark SQL string literal
+    (Spark processes backslash escapes inside single quotes)."""
+    return pattern.replace("\\", "\\\\")
+
+
+def with_token_stats(df: DataFrame, col: str = "text") -> DataFrame:
+    """Append ws_tokens (whitespace split) and bpe_tokens (TOKEN_REGEX
+    matches) counts — both reproducible in ANSI SQL."""
+    c = F.col(col)
+    return df.withColumn(
+        "ws_tokens", F.size(F.split(F.trim(c), r"\s+"))
+    ).withColumn(
+        "bpe_tokens",
+        F.size(F.expr(f"regexp_extract_all({col}, '{_sql_rx(TOKEN_REGEX)}', 0)")),
+    )
+
+
+def with_quality(df: DataFrame, col: str = "text") -> DataFrame:
+    """Append quality ratios: alpha/space/punct character ratios,
+    stopword ratio over whitespace tokens, mean token length, and a
+    composite quality score in [0, 1].  Pure Catalyst expressions."""
+    c = F.col(col)
+    n = F.greatest(F.length(c), F.lit(1)).cast("double")
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", "")).cast("double")
+    space = F.length(F.regexp_replace(c, r"[^ ]", "")).cast("double")
+    punct = F.length(F.regexp_replace(c, r"[^.,;:!?]", "")).cast("double")
+    toks = F.size(F.split(F.trim(c), r"\s+")).cast("double")
+    stop_pattern = _sql_rx(r"\b(" + "|".join(STOPWORDS) + r")\b")
+    stops = F.size(F.expr(f"regexp_extract_all(lower({col}), '{stop_pattern}', 0)")).cast(
+        "double"
+    )
+    out = (
+        df.withColumn("alpha_ratio", F.round(alpha / n, 4))
+        .withColumn("space_ratio", F.round(space / n, 4))
+        .withColumn("punct_ratio", F.round(punct / n, 4))
+        .withColumn("stopword_ratio", F.round(stops / F.greatest(toks, F.lit(1.0)), 4))
+        .withColumn(
+            "mean_token_len",
+            F.round((n - space) / F.greatest(toks, F.lit(1.0)), 4),
+        )
+    )
+    # composite: reward alpha-heavy, some stopwords, sane token length
+    score = (
+        F.least(F.col("alpha_ratio") / 0.7, F.lit(1.0)) * 0.4
+        + F.least(F.col("stopword_ratio") / 0.3, F.lit(1.0)) * 0.3
+        + F.when(
+            (F.col("mean_token_len") >= 3.0) & (F.col("mean_token_len") <= 10.0),
+            F.lit(1.0),
+        ).otherwise(F.lit(0.0))
+        * 0.3
+    )
+    return out.withColumn("quality_score", F.round(score, 4))
+
+
+def _score_langs_py(texts: pd.Series) -> pd.Series:
+    """Vectorized-ish marker scoring (compiled regex per marker, pandas
+    str.count over the whole batch — no per-row Python loop)."""
+    lowered = texts.str.lower().fillna("")
+    scores = {}
+    for lang, markers in LANG_MARKERS.items():
+        pat = r"\b(" + "|".join(markers) + r")\b"
+        scores[lang] = lowered.str.count(pat)
+    scores["zh"] = texts.fillna("").str.count(_CJK_RE.pattern) * 3
+    sdf = pd.DataFrame(scores)[LANG_PRIORITY]
+    # argmax with priority-order tie-break; all-zero -> "und"
+    best = sdf.idxmax(axis=1)
+    best[sdf.max(axis=1) <= 0] = "und"
+    return best
+
+
+def language_id(df: DataFrame, col: str = "text", out_col: str = "pred_lang") -> DataFrame:
+    """Append the predicted language (marker-count heuristic)."""
+
+    @pandas_udf("string")
+    def langid_udf(texts: pd.Series) -> pd.Series:
+        return _score_langs_py(texts)
+
+    return df.withColumn(out_col, langid_udf(F.col(col)))
+
+
+def langid_oracle_case_sql(col: str = "text") -> str:
+    """ANSI-SQL expression (DuckDB dialect) computing the same
+    prediction as ``language_id`` — marker counts, argmax, priority
+    tie-break."""
+    exprs = {}
+    for lang, markers in LANG_MARKERS.items():
+        pat = r"\b(" + "|".join(markers) + r")\b"
+        exprs[lang] = f"len(regexp_extract_all(lower({col}), '{pat}'))"
+    exprs["zh"] = f"len(regexp_extract_all({col}, '[一-鿿]')) * 3"
+    score_cols = ", ".join(f"{exprs[lg]} AS s_{lg}" for lg in LANG_PRIORITY)
+    best = f"greatest({', '.join('s_' + lg for lg in LANG_PRIORITY)})"
+    case = "CASE WHEN " + best + " <= 0 THEN 'und' " + " ".join(
+        f"WHEN s_{lg} = {best} THEN '{lg}'" for lg in LANG_PRIORITY
+    ) + " END"
+    return score_cols, case

@@ -1,0 +1,151 @@
+"""Dedup operators: exact hash-groupBy, MinHash+LSH recall/precision on
+injected near-duplicates, SimHash hamming pairs."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sketchlib.dedup.exact import exact_duplicate_groups
+from sketchlib.dedup.minhash import (
+    exact_jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_near_duplicates,
+    minhash_signatures,
+)
+from sketchlib.dedup.simhash import hamming64, simhash_near_duplicates, simhash_signatures
+
+WORDS = [
+    "alpha", "bravo", "charlie", "delta", "echo", "fox", "golf", "hotel",
+    "india", "juliet", "kilo", "lima", "mike", "november", "oscar", "papa",
+]
+
+
+def _mk_docs(n=60, seed=5):
+    rng = np.random.default_rng(seed)
+    docs = []
+    for i in range(n):
+        words = rng.choice(WORDS, size=30, replace=True)
+        docs.append((i, " ".join(words)))
+    return docs
+
+
+@pytest.fixture(scope="module")
+def base_docs(spark):
+    docs = _mk_docs()
+    return spark.createDataFrame(docs, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark, base_docs):
+    # inject exact copies of docs 0..9 with ids +1000
+    dup = base_docs.filter("doc_id < 10").select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    data = base_docs.union(dup)
+    groups = exact_duplicate_groups(data).collect()
+    assert len(groups) == 10
+    for g in groups:
+        assert g["n_dups"] == 2
+        assert g["rep_id"] == g["ids"][0] == g["ids"][1] - 1000
+
+
+def test_exact_duplicates_none(spark, base_docs):
+    assert exact_duplicate_groups(base_docs).count() == 0
+
+
+def _mutate(text: str, drop_every: int = 10) -> str:
+    words = text.split()
+    return " ".join(w for i, w in enumerate(words) if i % drop_every != drop_every - 1)
+
+
+def test_minhash_recovers_injected_near_dups(spark, base_docs):
+    originals = base_docs.filter("doc_id < 20").collect()
+    mutated = [(r["doc_id"] + 1000, _mutate(r["text"])) for r in originals]
+    data = base_docs.union(
+        spark.createDataFrame(mutated, "doc_id long, text string")
+    )
+    pairs = minhash_near_duplicates(
+        data, threshold=0.4, num_perm=64, bands=16, rows_per_band=4
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    injected = {(i, i + 1000) for i in range(20)}
+    recall = len(found & injected) / len(injected)
+    assert recall >= 0.9, (recall, sorted(found)[:10])
+    # verified pairs carry true jaccard
+    for r in pairs:
+        assert 0.4 <= r["jaccard"] <= 1.0
+
+
+def test_minhash_jaccard_estimates_match_exact(spark, base_docs):
+    # signature agreement rate ~ true Jaccard (MinHash property)
+    originals = base_docs.filter("doc_id < 5").collect()
+    mutated = [(r["doc_id"] + 1000, _mutate(r["text"], 5)) for r in originals]
+    data = base_docs.filter("doc_id < 5").union(
+        spark.createDataFrame(mutated, "doc_id long, text string")
+    )
+    sigs = {r["id"]: np.array(r["sig"]) for r in minhash_signatures(data, num_perm=128).collect()}
+    pairs_df = spark.createDataFrame(
+        [(i, i + 1000) for i in range(5)], "id_a long, id_b long"
+    )
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in exact_jaccard_pairs(pairs_df, data).collect()
+    }
+    for (a, b), true_j in exact.items():
+        est = (sigs[a] == sigs[b]).mean()
+        assert abs(est - true_j) <= 0.2  # 128 perms -> sigma ~ 0.04
+    # tokens mode works too
+    tok_df = data.select("doc_id", F.split("text", " ").cast("array<int>").alias("toks"))
+
+
+def test_minhash_token_mode(spark):
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(20):
+        toks = rng.integers(0, 500, 40).tolist()
+        rows.append((i, toks))
+        if i < 5:
+            rows.append((i + 100, toks[:-4]))  # near-dup: drop last 4
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    pairs = minhash_near_duplicates(
+        df, col="tokens", threshold=0.5, tokens=True
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert {(i, i + 100) for i in range(5)} <= found
+
+
+def test_simhash_pairs(spark, base_docs):
+    originals = base_docs.filter("doc_id < 10").collect()
+    # near-identical: drop one word in 30 -> expect small hamming
+    mutated = [(r["doc_id"] + 1000, _mutate(r["text"], 30)) for r in originals]
+    data = base_docs.union(
+        spark.createDataFrame(mutated, "doc_id long, text string")
+    )
+    pairs = simhash_near_duplicates(data, max_hamming=6).collect()
+    found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    injected = {(i, i + 1000) for i in range(10)}
+    recall = len(set(found) & injected) / len(injected)
+    assert recall >= 0.7, (recall, found)
+    for hd in found.values():
+        assert 0 <= hd <= 6
+
+
+def test_simhash_identical_is_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h")],
+        "doc_id long, text string",
+    )
+    sigs = [r["sim"] for r in simhash_signatures(df).collect()]
+    assert sigs[0] == sigs[1]
+    assert hamming64(np.array([sigs[0]]), np.array([sigs[1]]))[0] == 0
+
+
+def test_lsh_bucket_cap(spark):
+    # 100 identical docs -> one bucket; cap keeps pair count bounded
+    df = spark.createDataFrame(
+        [(i, "same words every time for all") for i in range(100)],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(df)
+    pairs = lsh_candidate_pairs(sigs, max_bucket=16)
+    n = pairs.count()
+    assert 0 < n <= 16 * 15 / 2

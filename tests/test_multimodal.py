@@ -1,0 +1,74 @@
+"""Multimodal plumbing: binary+meta schema, deterministic fake decode,
+feature extraction, resize, frame sampling; real-codec path is an
+explicit stub."""
+
+import numpy as np
+from pyspark.sql import functions as F
+import pytest
+
+from sketchlib.multimodal.media import (
+    attach_fake_media,
+    decode_media,
+    extract_features,
+    frame_sample,
+    resize_images,
+)
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    docs = docs.withColumn("doc_id", docs["doc_id"].cast("string"))
+    df = attach_fake_media(docs)
+    df.cache().count()
+    return df
+
+
+def test_schema_and_determinism(spark, media_df):
+    schema = {f.name: f.dataType.simpleString() for f in media_df.schema.fields}
+    assert schema["media"] == "binary"
+    assert schema["meta"].startswith("struct<format:string,width:int")
+    rows1 = {r["doc_id"]: bytes(r["media"]) for r in media_df.collect()}
+    base2 = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(50)
+        .withColumn("doc_id", F.col("doc_id").cast("string"))
+    )
+    rows2 = {r["doc_id"]: bytes(r["media"]) for r in attach_fake_media(base2).collect()}
+    assert rows1 == rows2
+
+
+def test_real_codec_is_stub():
+    with pytest.raises(NotImplementedError):
+        decode_media(b"abc", {"width": 2, "height": 2, "channels": 1}, codec="real")
+
+
+def test_fake_decode_shape():
+    img = decode_media(b"hello", {"width": 4, "height": 3, "channels": 2})
+    assert img.shape == (3, 4, 2)
+    assert img.dtype == np.uint8
+
+
+def test_extract_features(spark, media_df):
+    feats = extract_features(media_df).collect()
+    assert len(feats) == 50
+    for r in feats:
+        assert len(r["features"]) == 7  # 3 means + 3 stds + entropy
+        assert 0.0 <= r["features"][6] <= 8.0  # byte entropy bits
+
+
+def test_resize(spark, media_df):
+    out = resize_images(media_df, out_w=8, out_h=6).collect()
+    for r in out:
+        assert r["meta"]["width"] == 8 and r["meta"]["height"] == 6
+        assert len(bytes(r["media"])) == 8 * 6 * 3
+
+
+def test_frame_sample(spark, media_df):
+    frames = frame_sample(media_df, every=2).collect()
+    # n_frames=4, every=2 -> frames 0 and 2 per doc
+    assert len(frames) == 50 * 2
+    idxs = {r["frame_idx"] for r in frames}
+    assert idxs == {0, 2}
+    for r in frames:
+        assert r["meta"]["n_frames"] == 1

@@ -1,0 +1,112 @@
+"""Similarity search: brute top-k vs numpy exact, IVF recall vs brute,
+embedding near-dup pairs."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sketchlib.similarity.ann import (
+    brute_topk,
+    embedding_near_duplicates,
+    ivf_topk,
+    train_centroids,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    df = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb_df):
+    pdf = emb_df.toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    m = np.array([np.asarray(v, dtype=np.float32) for v in pdf["embedding"]])
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    return ids, mn
+
+
+def test_brute_topk_matches_numpy(spark, emb_df, emb_np):
+    ids, mn = emb_np
+    q_idx = [0, 7, 42]
+    res = brute_topk(
+        emb_df, mn[q_idx], [int(ids[i]) for i in q_idx], k=5
+    ).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["cos"]))
+    for qi in q_idx:
+        cos = mn[qi] @ mn.T
+        order = np.argsort(-cos)[:5]
+        expect = [int(ids[j]) for j in order]
+        got = [v for _, v, _ in sorted(by_q[int(ids[qi])])]
+        assert got == expect, (qi, got, expect)
+        # top-1 is the query itself (cos=1)
+        assert got[0] == int(ids[qi])
+
+
+def test_ivf_recall_vs_brute(spark, emb_df, emb_np):
+    ids, mn = emb_np
+    q_idx = list(range(10))
+    queries = mn[q_idx]
+    qids = [int(ids[i]) for i in q_idx]
+    brute = brute_topk(emb_df, queries, qids, k=10).collect()
+    approx = ivf_topk(
+        emb_df, queries, qids, k=10, n_centroids=8, nprobe=4, seed=1
+    ).collect()
+    bset = {}
+    aset = {}
+    for r in brute:
+        bset.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in approx:
+        aset.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(bset[q] & aset.get(q, set())) / len(bset[q]) for q in bset
+    ]
+    assert np.mean(recalls) >= 0.6, recalls  # nprobe=4 of 8 buckets
+
+
+def test_ivf_full_probe_equals_brute(spark, emb_df, emb_np):
+    ids, mn = emb_np
+    q_idx = [3, 11]
+    queries = mn[q_idx]
+    qids = [int(ids[i]) for i in q_idx]
+    brute = sorted(
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in brute_topk(emb_df, queries, qids, k=5).collect()
+    )
+    full = sorted(
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in ivf_topk(
+            emb_df, queries, qids, k=5, n_centroids=4, nprobe=4, seed=1
+        ).collect()
+    )
+    assert brute == full  # probing all buckets == exact
+
+
+def test_centroids_deterministic(spark, emb_df):
+    c1 = train_centroids(emb_df, n_centroids=8, seed=9)
+    c2 = train_centroids(emb_df, n_centroids=8, seed=9)
+    np.testing.assert_array_equal(c1, c2)
+
+
+def test_embedding_near_duplicates(spark, emb_df, emb_np):
+    ids, mn = emb_np
+    # inject a near-duplicate of vec 0 with id 99999
+    v = mn[0] + np.float32(0.001)
+    extra = spark.createDataFrame(
+        [(99999, [float(x) for x in v])],
+        "vec_id long, embedding array<float>",
+    )
+    data = emb_df.select("vec_id", "embedding").union(extra)
+    pairs = embedding_near_duplicates(data, threshold=0.99).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (int(ids[0]), 99999) in found
+    for r in pairs:
+        assert r["cos"] >= 0.99
+        assert r["id_a"] < r["id_b"]

@@ -1,0 +1,123 @@
+"""Text analysis: token counting, quality, language ID (real
+discrimination on multilingual fixtures + SQL-parity of the heuristic),
+fingerprinting."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sketchlib.text.analysis import (
+    _score_langs_py,
+    language_id,
+    with_quality,
+    with_token_stats,
+)
+from sketchlib.text.fingerprint import document_fingerprints, fingerprint_series
+
+MULTILINGUAL = [
+    ("en", "the cat sat on the mat and it is a fine day to be out in the sun"),
+    ("en", "this is the story of a dog and the bone that was lost to the river"),
+    ("de", "der hund und die katze sind nicht im haus aber der garten ist schoen"),
+    ("de", "das ist ein gutes buch und der autor ist nicht bekannt"),
+    ("es", "el perro y la gata viven en la casa que los abuelos tienen"),
+    ("es", "una manzana es la fruta que los ninos quieren"),
+    ("fr", "le chien est dans la maison et les chats sont dans une boite"),
+    ("fr", "la vie est belle dans les montagnes et le vent est doux"),
+    ("zh", "这是一个关于猫和狗的故事 它们住在一个小房子里"),
+    ("zh", "今天天气很好 我们去公园散步"),
+]
+
+
+def test_langid_discriminates_fixtures():
+    texts = pd.Series([t for _, t in MULTILINGUAL])
+    preds = _score_langs_py(texts)
+    truth = [lg for lg, _ in MULTILINGUAL]
+    assert (preds.to_numpy() == np.array(truth)).mean() >= 0.9
+
+
+def test_langid_und_on_gibberish():
+    preds = _score_langs_py(pd.Series(["zzz qqq 123", ""]))
+    assert list(preds) == ["und", "und"]
+
+
+def test_langid_spark_matches_local(spark):
+    df = spark.createDataFrame(
+        [(lg, t) for lg, t in MULTILINGUAL], "lang string, text string"
+    )
+    got = {r["text"]: r["pred_lang"] for r in language_id(df).collect()}
+    local = _score_langs_py(pd.Series([t for _, t in MULTILINGUAL]))
+    for (lg, t), pred in zip(MULTILINGUAL, local):
+        assert got[t] == pred
+
+
+def test_langid_matches_duckdb_oracle(spark):
+    import duckdb
+
+    from sketchlib.text.analysis import langid_oracle_case_sql
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    got = {
+        r["doc_id"]: r["pred_lang"] for r in language_id(docs).limit(200).collect()
+    }
+    scores, case = langid_oracle_case_sql("text")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    )
+    oracle = dict(
+        con.execute(
+            f"SELECT doc_id, {case} FROM (SELECT doc_id, {scores} FROM documents)"
+        ).fetchall()
+    )
+    for doc_id, pred in got.items():
+        assert oracle[doc_id] == pred, doc_id
+
+
+def test_token_stats(spark):
+    df = spark.createDataFrame(
+        [("hello world, how are you?",), ("one-token",)], "text string"
+    )
+    out = with_token_stats(df).collect()
+    assert out[0]["ws_tokens"] == 5
+    # BPE-ish: hello/world/,/how/are/you/? = 7
+    assert out[0]["bpe_tokens"] == 7
+    assert out[1]["ws_tokens"] == 1
+    assert out[1]["bpe_tokens"] == 3  # one / - / token
+
+
+def test_quality_score_ranges(spark):
+    df = spark.createDataFrame(
+        [
+            ("The quick brown fox jumps over the lazy dog and it is a good day.",),
+            ("@@@@ #### $$$$ 1234 !!!!",),
+        ],
+        "text string",
+    )
+    rows = with_quality(df).collect()
+    good, bad = rows[0], rows[1]
+    assert 0.0 <= bad["quality_score"] < good["quality_score"] <= 1.0
+    assert good["alpha_ratio"] > bad["alpha_ratio"]
+    assert good["stopword_ratio"] > 0
+
+
+def test_fingerprint_identity_and_sensitivity():
+    a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    b = a  # identical
+    c = a.replace("quick", "slow")
+    fps = fingerprint_series(pd.Series([a, b, c]))
+    assert fps[0] == fps[1]
+    # a one-word change may or may not move the min-hash; identical
+    # docs MUST collide, and empty is stable
+    assert fingerprint_series(pd.Series([""]))[0] == 0
+
+
+def test_fingerprint_spark(spark):
+    df = spark.createDataFrame(
+        [("a", "x y z w v u t s"), ("b", "x y z w v u t s"), ("c", "totally different words here")],
+        "doc_id string, text string",
+    )
+    rows = {r["doc_id"]: r["fingerprint"] for r in document_fingerprints(df).collect()}
+    assert rows["a"] == rows["b"]
+    assert rows["a"] != rows["c"]
