@@ -276,6 +276,158 @@ def q_token_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "metric string, ok boolean")
 
 
+# ----------------------------------------------------- pipeline-operator queries
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) — exact SQL parity."""
+    from sketchlib.text.analysis import with_token_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return with_token_stats(docs).select("doc_id", "ws_tokens", "bpe_tokens")
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring ratios — exact SQL parity."""
+    from sketchlib.text.analysis import with_quality
+
+    docs = _read(spark, sf_dir, "documents")
+    return with_quality(docs).select(
+        "doc_id", "alpha_ratio", "stopword_ratio", "mean_token_len", "quality_score"
+    )
+
+
+def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-count language ID — the pandas-UDF classifier must agree
+    with the equivalent SQL CASE expression."""
+    from sketchlib.text.analysis import language_id
+
+    docs = _read(spark, sf_dir, "documents")
+    return language_id(docs).select("doc_id", "pred_lang")
+
+
+def _dedup_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + injected exact copies of every 10th doc (both
+    engines construct the same dataset)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return docs.union(injected)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups over the injected dataset."""
+    from sketchlib.dedup.exact import exact_duplicate_groups
+
+    groups = exact_duplicate_groups(_dedup_dataset(spark, sf_dir), col="text")
+    return groups.select(
+        F.col("rep_id").cast("bigint"), F.col("n_dups").cast("bigint")
+    )
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup recall on injected mutated copies (drop
+    every 20th word of every 20th doc -> shingle Jaccard ~0.75, where
+    the 16x4 banding S-curve collides w.p. >0.99), verified
+    Spark-side; the oracle carries the constant shape."""
+    from sketchlib.dedup.minhash import minhash_near_duplicates
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.array_join(
+            F.filter(
+                F.split("text", " "), lambda w, i: (i % 20) != 19
+            ),
+            " ",
+        ).alias("text"),
+    )
+    n_injected = mutated.count()
+    data = docs.union(mutated)
+    pairs = minhash_near_duplicates(data, threshold=0.4).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    hits = sum(
+        1 for a, b in found if b == a + 2_000_000 and a % 20 == 0
+    )
+    recall_ok = hits >= 0.9 * n_injected
+    precision_ok = all(r["jaccard"] >= 0.4 for r in pairs)
+    rows = [
+        ("minhash_recall", bool(recall_ok)),
+        ("minhash_precision", bool(precision_ok)),
+    ]
+    return spark.createDataFrame(rows, "metric string, ok boolean")
+
+
+def q_similarity_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine nearest neighbor (excluding self) for the
+    first 20 vectors — exact SQL parity with DuckDB
+    list_cosine_similarity."""
+    from sketchlib.similarity.ann import brute_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") < 20).orderBy("vec_id").collect()
+    )
+    queries = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qids = [r["vec_id"] for r in qrows]
+    top2 = brute_topk(emb, queries, qids, k=2, dtype=np.float64)
+    return top2.filter(F.col("rank") == 2).select(
+        "query_id", F.col("vec_id").alias("nn_id"), "cos"
+    )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over embeddings + one injected
+    exact copy of vec 0 (id 90001) — SQL parity."""
+    from sketchlib.similarity.ann import embedding_near_duplicates
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    injected = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(90001).cast("bigint").alias("vec_id"), "embedding"
+    )
+    data = emb.union(injected)
+    return embedding_near_duplicates(data, threshold=0.9).select(
+        "id_a", "id_b", "cos"
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: fake media attach -> mapInPandas feature
+    extraction; output shape is SQL-checkable."""
+    from sketchlib.multimodal.media import attach_fake_media, extract_features
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .withColumn("doc_id", F.col("doc_id").cast("string"))
+    )
+    feats = extract_features(attach_fake_media(docs))
+    return feats.select("id", F.size("features").alias("n_features"))
+
+
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN recall vs the brute baseline (Spark-side check; oracle
+    carries the constant shape)."""
+    from sketchlib.similarity.ann import brute_topk, ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qrows = emb.filter(F.col("vec_id") < 10).orderBy("vec_id").collect()
+    queries = np.array([r["embedding"] for r in qrows], dtype=np.float32)
+    qids = [r["vec_id"] for r in qrows]
+    brute = brute_topk(emb, queries, qids, k=10).collect()
+    approx = ivf_topk(emb, queries, qids, k=10, n_centroids=8, nprobe=4, seed=1).collect()
+    bset: dict = {}
+    aset: dict = {}
+    for r in brute:
+        bset.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in approx:
+        aset.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(bset[q] & aset.get(q, set())) / len(bset[q]) for q in bset]
+    rows = [("ivf_mean_recall_ge_0.6", bool(np.mean(recalls) >= 0.6))]
+    return spark.createDataFrame(rows, "metric string, ok boolean")
+
+
 # -------------------------------------------------------------------- contract
 
 
@@ -301,6 +453,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "token_quantiles": q_token_quantiles,
         "token_cardinality": q_token_cardinality,
+        "text_token_stats": q_text_token_stats,
+        "text_quality": q_text_quality,
+        "text_language_id": q_text_language_id,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "similarity_top1": q_similarity_top1,
+        "embedding_near_dup": q_embedding_near_dup,
+        "multimodal_features": q_multimodal_features,
+        "ivf_recall": q_ivf_recall,
     }
 
 
@@ -374,4 +535,99 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM (VALUES ('doc_id', TRUE), ('token_values', TRUE)) "
             "AS t(metric, ok)"
         ),
+        "text_token_stats": (
+            r"SELECT doc_id, "
+            r"len(string_split_regex(trim(text), '\s+')) AS ws_tokens, "
+            r"len(regexp_extract_all(text, '\w+|[^\w\s]')) AS bpe_tokens "
+            r"FROM documents"
+        ),
+        "text_quality": _quality_oracle_sql(),
+        "text_language_id": _langid_oracle_query(),
+        "dedup_exact": (
+            "WITH dataset AS ("
+            "  SELECT doc_id, text FROM documents "
+            "  UNION ALL "
+            "  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0"
+            ") "
+            "SELECT CAST(min(doc_id) AS BIGINT) AS rep_id, "
+            "CAST(count(*) AS BIGINT) AS n_dups "
+            "FROM dataset GROUP BY text HAVING count(*) > 1"
+        ),
+        "dedup_minhash": (
+            "SELECT * FROM (VALUES ('minhash_recall', TRUE), "
+            "('minhash_precision', TRUE)) AS t(metric, ok)"
+        ),
+        "similarity_top1": (
+            "SELECT query_id, nn_id, cos FROM ("
+            "  SELECT a.vec_id AS query_id, b.vec_id AS nn_id, "
+            "  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "        CAST(b.embedding AS DOUBLE[])), 4) AS cos, "
+            "  row_number() OVER (PARTITION BY a.vec_id ORDER BY "
+            "    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "        CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rn "
+            "  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id "
+            "  WHERE a.vec_id < 20"
+            ") WHERE rn = 1"
+        ),
+        "embedding_near_dup": (
+            "WITH dataset AS ("
+            "  SELECT vec_id, embedding FROM embeddings "
+            "  UNION ALL "
+            "  SELECT CAST(90001 AS BIGINT), embedding FROM embeddings "
+            "  WHERE vec_id = 0"
+            ") "
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "      CAST(b.embedding AS DOUBLE[])), 4) AS cos "
+            "FROM dataset a JOIN dataset b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "      CAST(b.embedding AS DOUBLE[])) >= 0.9"
+        ),
+        "multimodal_features": (
+            "SELECT CAST(doc_id AS VARCHAR) AS id, 7 AS n_features "
+            "FROM documents WHERE doc_id < 50"
+        ),
+        "ivf_recall": (
+            "SELECT * FROM (VALUES ('ivf_mean_recall_ge_0.6', TRUE)) "
+            "AS t(metric, ok)"
+        ),
     }
+
+
+def _quality_oracle_sql() -> str:
+    """DuckDB mirror of sketchlib.text.analysis.with_quality (the score
+    is computed from the rounded ratio columns, exactly as in Spark)."""
+    stop_rx = r"\b(the|a|of|and|to|in|is|it)\b"
+    return (
+        "SELECT doc_id, alpha_ratio, stopword_ratio, mean_token_len, "
+        "round("
+        "  least(alpha_ratio / 0.7, 1.0) * 0.4 "
+        "  + least(stopword_ratio / 0.3, 1.0) * 0.3 "
+        "  + (CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 10.0 "
+        "     THEN 1.0 ELSE 0.0 END) * 0.3"
+        ", 4) AS quality_score FROM ("
+        "  SELECT doc_id, "
+        "  round(CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)"
+        "        / n, 4) AS alpha_ratio, "
+        f"  round(CAST(len(regexp_extract_all(lower(text), '{stop_rx}')) AS DOUBLE)"
+        "        / greatest(toks, 1.0), 4) AS stopword_ratio, "
+        "  round((n - spaces) / greatest(toks, 1.0), 4) AS mean_token_len "
+        "  FROM ("
+        "    SELECT doc_id, text, "
+        "    CAST(greatest(len(text), 1) AS DOUBLE) AS n, "
+        "    CAST(len(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE) AS spaces, "
+        r"    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS toks "
+        "    FROM documents"
+        "  )"
+        ")"
+    )
+
+
+def _langid_oracle_query() -> str:
+    from sketchlib.text.analysis import langid_oracle_case_sql
+
+    scores, case = langid_oracle_case_sql("text")
+    return (
+        f"SELECT doc_id, {case} AS pred_lang FROM "
+        f"(SELECT doc_id, {scores} FROM documents)"
+    )

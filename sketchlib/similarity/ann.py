@@ -54,22 +54,24 @@ def brute_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dtype=np.float32,
 ) -> DataFrame:
     """Exact cosine top-k: DataFrame[query_id, rank, vec_id, cos].
 
     ``queries`` is a (Q, d) matrix; it ships broadcast inside the task
-    closure (Q is small)."""
-    qm = _normalize(np.asarray(queries, dtype=np.float32))
+    closure (Q is small).  dtype=np.float64 for bit-parity with
+    double-precision oracles; float32 for 2x GEMM throughput."""
+    qm = _normalize(np.asarray(queries, dtype=dtype))
     qids = list(query_ids)
     spark = df.sparkSession
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        best_cos = np.full((len(qids), k), -np.inf, dtype=np.float32)
+        best_cos = np.full((len(qids), k), -np.inf, dtype=dtype)
         best_id = np.full((len(qids), k), -1, dtype=np.int64)
         got = False
         for b in batches:
             ids = b.column(0).to_numpy(zero_copy_only=False)
-            m = _normalize(_batch_matrix(b, 1))
+            m = _normalize(_batch_matrix(b, 1).astype(dtype))
             if m.size == 0:
                 continue
             got = True
