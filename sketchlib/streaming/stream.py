@@ -1,0 +1,157 @@
+"""Streaming sketch maintenance.
+
+Two idiomatic shapes:
+
+* ``run_streaming_sketch`` — a *global* sketch over a stream via
+  ``foreachBatch``: each micro-batch runs the same partial/tree-merge
+  plan as the batch path (the batch DataFrame inside foreachBatch is a
+  plain DataFrame), then merges into a persisted state ledger keyed by
+  ``batch_id``.  Re-delivered batches overwrite their own ledger row
+  (idempotent), giving exactly-once state maintenance on top of the
+  sink's at-least-once contract — the standard recipe for custom
+  Python aggregation state.
+* ``streaming_grouped_sketch`` — *per-key* sketches via
+  ``applyInPandasWithState``: sketch bytes are the GroupState, updated
+  with vectorized numpy per micro-batch, emitting (key, count,
+  quantile estimates) rows each trigger.  This is the
+  custom-stateful-operator path (watermark/timeout semantics come from
+  the engine).
+
+Both reuse the serialized-sketch state model, so a streaming job's
+state interoperates with batch-built sketches (same merge).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from sketchlib import serde
+from sketchlib.spark.aggregate import KIND_DOUBLE, build_partials, tree_merge
+
+
+def _ledger_merge(spark, ledger_dir: str):
+    """Merge every per-batch state in the ledger into one sketch."""
+    try:
+        rows = spark.read.parquet(ledger_dir).collect()
+    except Exception:
+        return None
+    if not rows:
+        return None
+    blobs = sorted(
+        (bytes(r["state"]) for r in rows), key=lambda b: (len(b), b)
+    )
+    acc = serde.from_bytes(blobs[0])
+    for b in blobs[1:]:
+        acc.merge(serde.from_bytes(b))
+    return acc
+
+
+def run_streaming_sketch(
+    stream_df: DataFrame,
+    col: str,
+    factory: Callable[[], object],
+    ledger_dir: str,
+    checkpoint_dir: str,
+    kind: str = KIND_DOUBLE,
+    query_name: str = "sketch-stream",
+):
+    """Start a streaming query maintaining a global sketch.
+
+    Returns the StreamingQuery; read the current sketch at any time
+    with ``current_sketch(spark, ledger_dir)``."""
+    spark = stream_df.sparkSession
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partials = build_partials(batch_df, col, factory, kind)
+        sk = tree_merge(partials)
+        if sk is None:
+            return
+        row = [(int(batch_id), sk.to_bytes(), int(sk.count if hasattr(sk, "count") else 0))]
+        bdf = batch_df.sparkSession.createDataFrame(
+            row, "batch_id bigint, state binary, items bigint"
+        )
+        # idempotent per-batch overwrite -> exactly-once state
+        bdf.write.mode("overwrite").parquet(
+            os.path.join(ledger_dir, f"batch_id={int(batch_id)}")
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )
+
+
+def current_sketch(spark, ledger_dir: str):
+    """Materialize the current global sketch from the ledger."""
+    try:
+        sub = [
+            os.path.join(ledger_dir, d)
+            for d in os.listdir(ledger_dir)
+            if d.startswith("batch_id=")
+        ]
+    except FileNotFoundError:
+        return None
+    if not sub:
+        return None
+    acc = None
+    for d in sorted(sub):
+        sk = _ledger_merge(spark, d)
+        if sk is None:
+            continue
+        acc = sk if acc is None else acc.merge(sk)
+    return acc
+
+
+def streaming_grouped_sketch(
+    stream_df: DataFrame,
+    key_col: str,
+    value_col: str,
+    factory: Callable[[], object],
+    quantiles: tuple = (0.5, 0.99),
+):
+    """Per-key streaming sketches via applyInPandasWithState.
+
+    Returns a streaming DataFrame[key, items, q..., v...] emitting the
+    per-key estimate after each trigger."""
+    qs = [float(q) for q in quantiles]
+    qcols = ", ".join(f"q{i} double" for i in range(len(qs)))
+    out_schema = f"{key_col} string, items bigint, {qcols}"
+    state_schema = "state binary, items bigint"
+
+    def update(key, pdfs, state: GroupState):
+        import numpy as np
+
+        if state.exists:
+            blob, items = state.get
+            sk = serde.from_bytes(bytes(blob))
+        else:
+            sk = factory()
+            items = 0
+        for pdf in pdfs:
+            vals = pdf[value_col].to_numpy(dtype=np.float64)
+            vals = vals[~np.isnan(vals)]
+            if vals.size:
+                sk.add_buffer(vals)
+                items += int(vals.size)
+        state.update((sk.to_bytes(), items))
+        ests = [float(np.atleast_1d(sk.value_at_quantile(q))[0]) for q in qs]
+        yield pd.DataFrame(
+            {key_col: [key[0]], "items": [items],
+             **{f"q{i}": [e] for i, e in enumerate(ests)}}
+        )
+
+    return (
+        stream_df.groupBy(key_col)
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

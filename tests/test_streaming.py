@@ -1,0 +1,100 @@
+"""Structured Streaming sketch maintenance: file-source micro-batches,
+foreachBatch global sketch (exactly-once ledger) and
+applyInPandasWithState per-key sketches."""
+
+import time
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sketchlib.core.tdigest import TDigest
+from sketchlib.streaming.stream import (
+    current_sketch,
+    run_streaming_sketch,
+    streaming_grouped_sketch,
+)
+
+
+def _write_batches(spark, src_dir: str, n_files: int, rows_per_file: int, seed=0):
+    rng = np.random.default_rng(seed)
+    all_vals = []
+    for i in range(n_files):
+        vals = rng.uniform(0, 1000, rows_per_file)
+        all_vals.append(vals)
+        keys = rng.choice(["a", "b"], rows_per_file)
+        df = spark.createDataFrame(
+            list(zip(keys.tolist(), [float(v) for v in vals])),
+            "k string, v double",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src_dir}/f{i}")
+    return np.concatenate(all_vals)
+
+
+def _wait_done(query, timeout=60):
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        query.processAllAvailable()
+        if not query.status["isDataAvailable"]:
+            return
+        time.sleep(0.2)
+
+
+def test_foreachbatch_global_sketch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    vals = _write_batches(spark, src, n_files=3, rows_per_file=2000)
+    stream = (
+        spark.readStream.schema("k string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    ledger = str(tmp_path / "ledger")
+    ckpt = str(tmp_path / "ckpt")
+    q = run_streaming_sketch(
+        stream, "v", lambda: TDigest(delta=300), ledger, ckpt
+    )
+    try:
+        _wait_done(q)
+    finally:
+        q.stop()
+    sk = current_sketch(spark, ledger)
+    assert sk is not None
+    assert sk.count == vals.size
+    true = np.quantile(vals, [0.1, 0.5, 0.9])
+    est = sk.value_at_quantile(np.array([0.1, 0.5, 0.9]))
+    assert np.all(np.abs(est - true) / true <= 0.02)
+
+
+def test_grouped_streaming_state(spark, tmp_path):
+    src = str(tmp_path / "gsrc")
+    _write_batches(spark, src, n_files=2, rows_per_file=3000, seed=7)
+    stream = (
+        spark.readStream.schema("k string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    out = streaming_grouped_sketch(
+        stream, "k", "v", lambda: TDigest(delta=300), quantiles=(0.5,)
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("grouped_sketch_test")
+        .option("checkpointLocation", str(tmp_path / "gckpt"))
+        .start()
+    )
+    try:
+        _wait_done(q)
+    finally:
+        q.stop()
+    pdf = spark.sql(
+        "SELECT * FROM grouped_sketch_test"
+    ).toPandas()
+    # last update per key covers all rows of that key
+    latest = pdf.groupby("k")["items"].max()
+    total = int(latest.sum())
+    assert total == 6000
+    # median of U[0,1000) per key ~ 500
+    last_rows = pdf.sort_values("items").groupby("k").tail(1)
+    for _, r in last_rows.iterrows():
+        assert abs(r["q0"] - 500.0) <= 25.0
