@@ -57,6 +57,44 @@ class SymDigest:
         return 1.0 - float(np.atleast_1d(self.high.quantile_at_value(-v))[0])
 
 
+class MultiDigest:
+    """Ensembling wrapper (/root/reference/src/multi_digest.rs:30-60):
+    broadcast every insert to all member digests, average the
+    estimates.  Experimental in the reference; provided for parity."""
+
+    def __init__(self, factories):
+        self.digests = [f() for f in factories]
+        if not self.digests:
+            raise ValueError("need at least one digest")
+        self.count = 0
+
+    def add_buffer(self, values) -> None:
+        v = np.asarray(values, dtype=np.float64).ravel()
+        for d in self.digests:
+            d.add_buffer(v)
+        self.count += v.size
+
+    def merge(self, other: "MultiDigest") -> "MultiDigest":
+        for a, b in zip(self.digests, other.digests):
+            a.merge(b)
+        self.count += other.count
+        return self
+
+    def value_at_quantile(self, q) -> float:
+        return float(
+            np.mean(
+                [np.atleast_1d(d.value_at_quantile(float(q)))[0] for d in self.digests]
+            )
+        )
+
+    def quantile_at_value(self, v) -> float:
+        return float(
+            np.mean(
+                [np.atleast_1d(d.quantile_at_value(float(v)))[0] for d in self.digests]
+            )
+        )
+
+
 class RankCombinedGroup:
     """Query-combine over disjoint, unmerged sub-sketches."""
 

@@ -21,6 +21,12 @@ predicate pushdown can be added per-field), and JVM-side ``xxhash64``
 is replaced by numpy splitmix64 for the hash sketches.  Use this path
 for scan-bound bulk builds; use the DataFrame path when the input is
 the output of arbitrary Spark transformations.
+
+WARNING: the two paths hash with different functions (xxhash64 vs
+splitmix64), so hash-based sketches (HLL/CMS/Bloom) built by one path
+must never be merged with sketches built by the other — their hash
+domains differ.  Quantile sketches (t-digest/KLL) operate on raw
+values and interoperate freely.
 """
 
 from __future__ import annotations

@@ -136,3 +136,21 @@ def test_rc_in_rank_group():
     grp = RankCombinedGroup([a, b])
     oracle = LinearOracle(values)
     assert abs(grp.quantile_at_value(500.0) - oracle.quantile_at_value(500.0)) <= 0.01
+
+
+def test_multi_digest_ensemble():
+    from sketchlib.core.wrappers import MultiDigest
+
+    values = make_values("uniform", 100_000)
+    md = MultiDigest([lambda: TDigest(delta=500), lambda: KLL(k=100)])
+    md.add_buffer(values)
+    assert md.count == 100_000
+    oracle = LinearOracle(values)
+    for q in (0.25, 0.5, 0.75):
+        true = oracle.value_at_quantile(q)
+        assert abs(md.value_at_quantile(q) - true) / abs(true) <= 0.01
+    # merge composes member-wise
+    md2 = MultiDigest([lambda: TDigest(delta=500), lambda: KLL(k=100)])
+    md2.add_buffer(values[:100])
+    md.merge(md2)
+    assert md.count == 100_100
