@@ -46,7 +46,9 @@ def inv_k1(k, delta, n=None):
 
 def _z(compression, n):
     n = max(float(n), 1.0)
-    return 4.0 * np.log(n / compression) + 24.0
+    # clamp: the reference formula assumes n >> delta; for tiny n it
+    # goes non-positive, which would flip k2's monotonicity
+    return max(4.0 * np.log(n / compression) + 24.0, 4.0)
 
 
 def k2(q, delta, n):
