@@ -104,6 +104,56 @@ def build_bloom(
     return sk if sk is not None else factory()
 
 
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int = 10,
+    depth: int = 5,
+    width: int = 65536,
+    candidates_per_partition: int | None = None,
+) -> DataFrame:
+    """Top-k frequent values without a raw-row shuffle.
+
+    Two single-pass scans: (1) a count-min sketch of the column;
+    (2) per-partition local top-C candidates (pandas value_counts in
+    mapInPandas — a bounded map-side combine).  Candidates that are
+    globally frequent appear in the local top-C of the partitions that
+    hold them, so the union of local candidates contains the true
+    heavy hitters; each candidate's final count comes from the CMS
+    (upper bound within eps*N).  Returns DataFrame[col, est_count]
+    with the top k by estimate."""
+    import pandas as pd
+
+    cms = build_cms(df, col, depth=depth, width=width)
+    C = candidates_per_partition or max(4 * k, 64)
+    f = df.schema[col]
+    out_schema = f"{f.name} {f.dataType.simpleString()}, cnt long"
+
+    def local_top(it):
+        acc: dict = {}
+        for pdf in it:
+            vc = pdf[col].value_counts()
+            for v, c in vc.items():
+                acc[v] = acc.get(v, 0) + int(c)
+            if len(acc) > 8 * C:  # bound memory: keep the current top
+                acc = dict(sorted(acc.items(), key=lambda kv: -kv[1])[: 4 * C])
+        top = sorted(acc.items(), key=lambda kv: -kv[1])[:C]
+        if not top:
+            return
+        yield pd.DataFrame({col: [t[0] for t in top], "cnt": [t[1] for t in top]})
+
+    candidates = (
+        df.select(col)
+        .mapInPandas(local_top, out_schema)
+        .groupBy(col)
+        .agg(F.sum("cnt").alias("cnt"))
+        .orderBy(F.desc("cnt"))
+        .limit(4 * k)
+    )
+    est = cms_frequencies(cms, candidates, col)
+    return est.orderBy(F.desc("est_count"), F.asc(col)).limit(k)
+
+
 def bloom_contains(df: DataFrame, col: str, bloom: BloomFilter, out_col: str = "member") -> DataFrame:
     """Append a membership column by probing a broadcast Bloom filter.
 

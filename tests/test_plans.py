@@ -1,0 +1,74 @@
+"""Physical-plan regression tests: the properties that make the
+operators scale must stay visible in explain output — column-pruned
+scans, JVM-side hashing, and shuffles that carry only sketch states
+(never raw rows)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sketchlib.core.hll import HyperLogLog
+from sketchlib.core.tdigest import TDigest
+from sketchlib.spark.aggregate import (
+    KIND_ARRAY,
+    KIND_DOUBLE,
+    KIND_HASH64,
+    build_partials,
+    grouped_sketch,
+)
+from sketchlib.spark.datagen import token_sequences
+
+
+@pytest.fixture(scope="module")
+def tokens_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "tok")
+    token_sequences(spark, 2_000, seed=1, partitions=4).write.parquet(path)
+    return path
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_scan_prunes_to_sketched_column(spark, tokens_path):
+    df = spark.read.parquet(tokens_path)
+    plan = _formatted(build_partials(df, "tokens", lambda: TDigest(), KIND_ARRAY))
+    assert "ReadSchema: struct<tokens:array<int>>" in plan
+    # single-column scan, no shuffle before the partial stage
+    assert "Exchange" not in plan
+
+
+def test_hash_runs_jvm_side(spark, tokens_path):
+    df = spark.read.parquet(tokens_path)
+    plan = _formatted(
+        build_partials(df, "doc_id", lambda: HyperLogLog(), KIND_HASH64)
+    )
+    assert "xxhash64" in plan
+    assert "ReadSchema: struct<doc_id:string>" in plan
+
+
+def test_grouped_shuffle_carries_states_only(spark, tokens_path):
+    df = spark.read.parquet(tokens_path)
+    plan = _formatted(
+        grouped_sketch(df, ["source"], "n_tok", lambda: TDigest(), KIND_DOUBLE)
+    )
+    assert "ReadSchema: struct<n_tok:int,source:string>" in plan
+    # every Exchange input must be state rows (raw rows never shuffle)
+    import re
+
+    exchanges = re.findall(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan)
+    assert exchanges, plan
+    for cols in exchanges:
+        assert "state#" in cols, cols
+        assert "n_tok" not in cols and "__v" not in cols, cols
+
+
+def test_filter_pushdown_reaches_scan(spark, tokens_path):
+    df = spark.read.parquet(tokens_path).filter(F.col("source") == "web")
+    plan = _formatted(build_partials(df, "n_tok", lambda: TDigest(), KIND_DOUBLE))
+    assert "PushedFilters: [IsNotNull(source), EqualTo(source,web)]" in plan

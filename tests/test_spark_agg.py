@@ -210,3 +210,24 @@ def test_empty_input(spark):
     df = spark.createDataFrame([], "v double")
     sk = sketch_column(df, "v", lambda: TDigest(delta=100), KIND_DOUBLE)
     assert sk is None
+
+
+def test_heavy_hitters(spark):
+    from sketchlib.spark.api import heavy_hitters
+
+    rng = np.random.default_rng(4)
+    # zipf-ish: key i has frequency ~ 1/(i+1)
+    keys = (rng.zipf(1.3, 40_000) % 1000).tolist()
+    df = spark.createDataFrame([(int(v),) for v in keys], "k long").repartition(8)
+    got = heavy_hitters(df, "k", k=10).collect()
+    exact = (
+        df.groupBy("k").count().orderBy(F.desc("count"), F.asc("k")).limit(5).collect()
+    )
+    got_keys = [r["k"] for r in got]
+    # true top-5 must appear in the found top-10
+    for r in exact:
+        assert r["k"] in got_keys, (r, got_keys)
+    # CMS estimates never undercount
+    true_counts = {r["k"]: r["count"] for r in df.groupBy("k").count().collect()}
+    for r in got:
+        assert r["est_count"] >= true_counts[r["k"]]
