@@ -202,6 +202,34 @@ def q_cms_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS-backed top-k heavy hitters over events.user_id: the true
+    top-5 (Spark-exact) must appear in the found top-10 and no
+    estimate may undercount (verified Spark-side; constant-shape
+    oracle)."""
+    from sketchlib.spark.api import heavy_hitters
+
+    events = _read(spark, sf_dir, "events")
+    got = heavy_hitters(events, "user_id", k=10).collect()
+    got_keys = [r["user_id"] for r in got]
+    exact = events.groupBy("user_id").count()
+    top5 = [
+        r["user_id"]
+        for r in exact.orderBy(F.desc("count"), F.asc("user_id")).limit(5).collect()
+    ]
+    true_counts = {
+        r["user_id"]: r["count"]
+        for r in exact.filter(F.col("user_id").isin(got_keys)).collect()
+    }
+    containment_ok = all(k in got_keys for k in top5)
+    no_undercount = all(r["est_count"] >= true_counts[r["user_id"]] for r in got)
+    rows = [
+        ("hh_top5_contained", bool(containment_ok)),
+        ("hh_no_undercount", bool(no_undercount)),
+    ]
+    return spark.createDataFrame(rows, "metric string, ok boolean")
+
+
 def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom filter over orders.o_custkey probed with every customer
     that has orders: no false negatives means every row is member=true."""
@@ -449,6 +477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_doc_quantiles": q_grouped_doc_quantiles,
         "hll_distinct": q_hll_distinct,
         "cms_event_type_counts": q_cms_event_type,
+        "heavy_hitters_user": q_heavy_hitters,
         "bloom_custkey_membership": q_bloom_membership,
         "pricing_summary": q_pricing_summary,
         "token_quantiles": q_token_quantiles,
@@ -506,6 +535,10 @@ def oracle_sql() -> dict[str, str]:
         "cms_event_type_counts": (
             "SELECT event_type, count(*) AS exact_count, TRUE AS ok "
             "FROM events GROUP BY event_type"
+        ),
+        "heavy_hitters_user": (
+            "SELECT * FROM (VALUES ('hh_top5_contained', TRUE), "
+            "('hh_no_undercount', TRUE)) AS t(metric, ok)"
         ),
         "bloom_custkey_membership": (
             "SELECT CAST(c_custkey AS BIGINT) AS c_custkey, TRUE AS member "
