@@ -128,33 +128,81 @@ def lsh_candidate_pairs(
     max_bucket: int = 64,
 ) -> DataFrame:
     """DataFrame[id_a, id_b] distinct candidate pairs from band-hash
-    buckets.  Band hashes are computed JVM-side (xxhash64 over the
-    signature slice).  Buckets larger than ``max_bucket`` are truncated
-    (skew guard; a pathological bucket of B members would emit B^2/2
-    pairs)."""
+    buckets.  Everything stays JVM-side: band hashes via ``xxhash64``
+    over signature slices, bucket-membership cap via a window
+    row_number (skew guard — a pathological bucket of B members would
+    emit B^2/2 pairs), and pair emission via an equi-self-join on
+    (band, bucket-hash) inside whole-stage codegen.  (An earlier
+    applyInPandas-per-bucket version spent ~2ms of Python overhead per
+    bucket — 100k buckets made candidate generation the bottleneck.)"""
+    from pyspark.sql.window import Window
+
     band_hashes = F.array(
         *[
             F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band))
             for b in range(bands)
         ]
     )
-    exploded = (
-        sig_df.select("id", F.posexplode(band_hashes).alias("band", "bh"))
+    exploded = sig_df.select("id", F.posexplode(band_hashes).alias("band", "bh"))
+    w = Window.partitionBy("band", "bh").orderBy("id")
+    # persist: the self-join below reads this twice, and its upstream
+    # includes the Python signature UDF — without a cache every join
+    # side would recompute all signatures
+    capped = (
+        exploded.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_bucket)
+        .select("band", "bh", "id")
+        .persist()
     )
-
-    def emit_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(pdf["id"].head(max_bucket))
-        pairs = list(itertools.combinations(ids, 2))
-        if not pairs:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
-        a, b = zip(*pairs)
-        return pd.DataFrame({"id_a": a, "id_b": b})
-
+    a = capped.alias("a")
+    b = capped.alias("b")
     return (
-        exploded.groupBy("band", "bh")
-        .applyInPandas(emit_pairs, "id_a long, id_b long")
+        a.join(b, ["band", "bh"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+
+
+def _shingle_sets_df(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    shingle_w: int,
+    seed: int,
+    tokens: bool,
+) -> DataFrame:
+    """DataFrame[id, sh array<long>] — each doc's sorted unique shingle
+    hashes, computed once (the verifier joins these instead of
+    re-hashing text per candidate pair)."""
+
+    if tokens:
+
+        @pandas_udf("array<long>")
+        def sh_udf(vals: pd.Series) -> pd.Series:
+            return pd.Series(
+                [
+                    _token_shingle_hashes(
+                        np.asarray(v, dtype=np.int64), shingle_w, seed
+                    ).view(np.int64).tolist()
+                    for v in vals
+                ]
+            )
+
+    else:
+
+        @pandas_udf("array<long>")
+        def sh_udf(vals: pd.Series) -> pd.Series:
+            return pd.Series(
+                [
+                    _word_shingle_hashes(v or "", shingle_w, seed)
+                    .view(np.int64)
+                    .tolist()
+                    for v in vals
+                ]
+            )
+
+    return df.select(F.col(id_col).alias("id"), sh_udf(F.col(col)).alias("sh"))
 
 
 def exact_jaccard_pairs(
@@ -167,22 +215,24 @@ def exact_jaccard_pairs(
     tokens: bool = False,
 ) -> DataFrame:
     """Append exact shingle-set Jaccard to candidate pairs:
-    DataFrame[id_a, id_b, jaccard]."""
-    docs = df.select(F.col(id_col).alias("id"), F.col(col).alias("__v"))
+    DataFrame[id_a, id_b, jaccard].  Shingle sets are computed once per
+    document and joined to the pairs (never re-hashed per pair)."""
+    # persist: joined twice (id_a and id_b sides) and upstream is the
+    # shingle-hash UDF
+    sh = _shingle_sets_df(df, col, id_col, shingle_w, seed, tokens).persist()
     joined = (
-        pairs.join(docs.withColumnRenamed("id", "id_a").withColumnRenamed("__v", "va"), "id_a")
-        .join(docs.withColumnRenamed("id", "id_b").withColumnRenamed("__v", "vb"), "id_b")
+        pairs.join(
+            sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sha")), "id_a"
+        ).join(
+            sh.select(F.col("id").alias("id_b"), F.col("sh").alias("shb")), "id_b"
+        )
     )
 
     def jac(pdf: pd.DataFrame) -> pd.DataFrame:
         out = np.empty(len(pdf))
-        for i, (va, vb) in enumerate(zip(pdf["va"], pdf["vb"])):
-            if tokens:
-                sa = _token_shingle_hashes(np.asarray(va, dtype=np.int64), shingle_w, seed)
-                sb = _token_shingle_hashes(np.asarray(vb, dtype=np.int64), shingle_w, seed)
-            else:
-                sa = _word_shingle_hashes(va or "", shingle_w, seed)
-                sb = _word_shingle_hashes(vb or "", shingle_w, seed)
+        for i, (sa, sb) in enumerate(zip(pdf["sha"], pdf["shb"])):
+            sa = np.asarray(sa, dtype=np.int64)
+            sb = np.asarray(sb, dtype=np.int64)
             inter = np.intersect1d(sa, sb, assume_unique=True).size
             out[i] = inter / max(sa.size + sb.size - inter, 1)
         return pdf[["id_a", "id_b"]].assign(jaccard=out)

@@ -91,7 +91,13 @@ def simhash_near_duplicates(
 ) -> DataFrame:
     """DataFrame[id_a, id_b, hamming] for pairs within max_hamming.
 
-    4x16-bit banding guarantees recall for max_hamming <= 3."""
+    4x16-bit banding guarantees recall for max_hamming <= 3.  After
+    the Python signature UDF everything is JVM-side: window-capped
+    bucket membership, equi-self-join on (band, 16-bit chunk), and the
+    exact Hamming verify via ``bit_count(sim_a ^ sim_b)`` in
+    whole-stage codegen."""
+    from pyspark.sql.window import Window
+
     sigs = simhash_signatures(df, col, id_col, seed=seed, tokens=tokens)
     bands = F.array(
         *[
@@ -100,39 +106,24 @@ def simhash_near_duplicates(
         ]
     )
     exploded = sigs.select("id", "sim", F.posexplode(bands).alias("band", "bh"))
-
-    def emit_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        rows = list(pdf[["id", "sim"]].head(max_bucket).itertuples(index=False))
-        rows.sort()
-        pairs = [
-            (a_id, b_id, a_s, b_s)
-            for (a_id, a_s), (b_id, b_s) in itertools.combinations(rows, 2)
-        ]
-        if not pairs:
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
-                 "sim_a": pd.Series(dtype="int64"), "sim_b": pd.Series(dtype="int64")}
-            )
-        a, b, sa, sb = zip(*pairs)
-        return pd.DataFrame({"id_a": a, "id_b": b, "sim_a": sa, "sim_b": sb})
-
-    cands = (
-        exploded.groupBy("band", "bh")
-        .applyInPandas(emit_pairs, "id_a long, id_b long, sim_a long, sim_b long")
-        .distinct()
+    w = Window.partitionBy("band", "bh").orderBy("id")
+    # persist: self-joined twice below, upstream is the signature UDF
+    capped = (
+        exploded.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_bucket)
+        .select("band", "bh", "id", "sim")
+        .persist()
     )
-
-    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) == 0:
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
-                 "hamming": pd.Series(dtype="int32")}
-            )
-        hd = hamming64(pdf["sim_a"].to_numpy(), pdf["sim_b"].to_numpy())
-        out = pdf[["id_a", "id_b"]].assign(hamming=hd.astype(np.int32))
-        return out[out["hamming"] <= max_hamming]
-
-    return cands.mapInPandas(
-        lambda it: (verify(pdf) for pdf in it),
-        "id_a long, id_b long, hamming int",
+    a = capped.alias("a")
+    b = capped.alias("b")
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.expr("bit_count(a.sim ^ b.sim)").cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
