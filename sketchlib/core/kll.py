@@ -243,6 +243,14 @@ class KLL:
         out = vals[idx]
         return out if np.ndim(q) else float(out[0])
 
+
+    # reference trait-surface aliases (traits.rs:24-29)
+    def est_value_at_quantile(self, q):
+        return self.value_at_quantile(q)
+
+    def est_quantile_at_value(self, v):
+        return self.quantile_at_value(v)
+
     # ------------------------------------------------------------------- serde
 
     def owned_size(self) -> int:

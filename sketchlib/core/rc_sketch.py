@@ -189,6 +189,14 @@ class RCSketch:
         out = v[idx]
         return out if np.ndim(q) else float(out[0])
 
+
+    # reference trait-surface aliases (traits.rs:24-29)
+    def est_value_at_quantile(self, q):
+        return self.value_at_quantile(q)
+
+    def est_quantile_at_value(self, v):
+        return self.quantile_at_value(v)
+
     # ------------------------------------------------------------------- serde
 
     def owned_size(self) -> int:

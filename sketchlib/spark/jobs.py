@@ -102,6 +102,31 @@ def job_build(args) -> None:
     spark.stop()
 
 
+def job_query(args) -> None:
+    """Query a saved sketch state file (no Spark needed)."""
+    import numpy as np
+
+    from sketchlib import serde
+
+    with open(args.state, "rb") as f:
+        sk = serde.from_bytes(f.read())
+    out: dict = {"kind": type(sk).__name__, "state_bytes": sk.owned_size()}
+    if args.quantiles and hasattr(sk, "value_at_quantile"):
+        qs = [float(q) for q in args.quantiles.split(",")]
+        vals = np.atleast_1d(sk.value_at_quantile(np.array(qs)))
+        out["quantiles"] = dict(zip(map(str, qs), map(float, vals)))
+    if args.values and hasattr(sk, "quantile_at_value"):
+        vs = [float(v) for v in args.values.split(",")]
+        ranks = [float(np.atleast_1d(sk.quantile_at_value(v))[0]) for v in vs]
+        out["ranks"] = dict(zip(map(str, vs), ranks))
+    if hasattr(sk, "estimate"):
+        out["estimate"] = sk.estimate()
+    if hasattr(sk, "count"):
+        c = sk.count
+        out["count"] = float(c() if callable(c) else c)
+    print(json.dumps(out))
+
+
 def job_datagen(args) -> None:
     from sketchlib.spark.datagen import token_sequences
     from sketchlib.spark.session import get_spark
@@ -159,6 +184,12 @@ def main(argv=None) -> None:
     b.add_argument("--no-resume", action="store_true")
     b.add_argument("--save-state", default=None)
     b.set_defaults(fn=job_build)
+
+    q = sub.add_parser("query")
+    q.add_argument("--state", required=True)
+    q.add_argument("--quantiles", default="0.01,0.25,0.5,0.75,0.99")
+    q.add_argument("--values", default=None)
+    q.set_defaults(fn=job_query)
 
     d = sub.add_parser("datagen")
     d.add_argument("--rows", type=int, required=True)
