@@ -35,7 +35,7 @@ import struct
 
 import numpy as np
 
-from sketchlib.core.hashing import mix_seed, splitmix64
+from sketchlib.core.hashing import mix_seed, splitmix64_int
 
 _MAGIC = b"KL01"
 
@@ -135,8 +135,7 @@ class KLL:
         return int(np.clip(idx, 0, length - 1))
 
     def _coin(self, h: int) -> int:
-        s = mix_seed(self.seed, h, self.counters[h])
-        return int(splitmix64(np.array([s], dtype=np.uint64))[0]) & 1
+        return splitmix64_int(mix_seed(self.seed, h, self.counters[h])) & 1
 
     def _compact_level(self, h: int) -> None:
         """Sort; protect values below the compact index; promote every

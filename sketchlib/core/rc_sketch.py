@@ -24,7 +24,7 @@ import struct
 
 import numpy as np
 
-from sketchlib.core.hashing import mix_seed, splitmix64
+from sketchlib.core.hashing import mix_seed, splitmix64_int
 
 _MAGIC = b"RC01"
 
@@ -104,8 +104,7 @@ class RCSketch:
         return int(np.clip(idx, 0, length - 1))
 
     def _coin(self, h: int) -> int:
-        s = mix_seed(self.seed, h, self.counters[h])
-        return int(splitmix64(np.array([s], dtype=np.uint64))[0]) & 1
+        return splitmix64_int(mix_seed(self.seed, h, self.counters[h])) & 1
 
     def _compact(self, h: int) -> np.ndarray:
         """Sort, keep the protected prefix, reduce the rest
