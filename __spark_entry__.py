@@ -288,6 +288,49 @@ def q_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "metric string, q double, ok boolean")
 
 
+def q_token_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n_tok quantiles over the token table via the grouped
+    (map-side-combine + salted tree) path, verified Spark-side against
+    exact grouped percentiles.  Sources follow a Zipf(1.5) skew, so
+    this exercises the hot-key path the salt level exists for."""
+    n = _sf_rows(sf_dir)
+    df = token_sequences(spark, n, seed=42)
+    qs = [0.5, 0.9]
+    est = grouped_quantiles(
+        df, ["source"], "n_tok", qs, sketch="tdigest", delta=1000, salt_buckets=8
+    ).toPandas()
+    exact = {
+        (r["source"], q): r[f"p{int(q * 100)}"]
+        for r in df.groupBy("source")
+        .agg(
+            *[
+                F.percentile(F.col("n_tok").cast("double"), F.lit(q)).alias(
+                    f"p{int(q * 100)}"
+                )
+                for q in qs
+            ]
+        )
+        .collect()
+        for q in qs
+    }
+    pdf = df.select("source", "n_tok").toPandas()
+    rows = []
+    for (src, q), grp in est.groupby(["source", "q"]):
+        e = float(grp["value"].iloc[0])
+        vals = np.sort(pdf[pdf.source == src]["n_tok"].to_numpy(np.float64))
+        nn = vals.size
+        ok = False
+        for cand in (e, float(np.rint(e))):
+            lt = np.searchsorted(vals, cand, side="left") / nn
+            le = np.searchsorted(vals, cand, side="right") / nn
+            if (lt - RANK_TOL) <= q <= (le + RANK_TOL):
+                ok = True
+                break
+        rows.append((src, float(q), bool(ok)))
+    rows.sort()
+    return spark.createDataFrame(rows, "source string, q double, ok boolean")
+
+
 def q_token_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL over doc_id and distinct token ids of the token table,
     verified Spark-side against exact distinct counts."""
@@ -481,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_custkey_membership": q_bloom_membership,
         "pricing_summary": q_pricing_summary,
         "token_quantiles": q_token_quantiles,
+        "token_grouped_quantiles": q_token_grouped_quantiles,
         "token_cardinality": q_token_cardinality,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
@@ -567,6 +611,15 @@ def oracle_sql() -> dict[str, str]:
         "token_cardinality": (
             "SELECT * FROM (VALUES ('doc_id', TRUE), ('token_values', TRUE)) "
             "AS t(metric, ok)"
+        ),
+        "token_grouped_quantiles": (
+            "SELECT * FROM (VALUES "
+            "('books', CAST(0.5 AS DOUBLE), TRUE), ('books', CAST(0.9 AS DOUBLE), TRUE), "
+            "('code', CAST(0.5 AS DOUBLE), TRUE), ('code', CAST(0.9 AS DOUBLE), TRUE), "
+            "('forums', CAST(0.5 AS DOUBLE), TRUE), ('forums', CAST(0.9 AS DOUBLE), TRUE), "
+            "('web', CAST(0.5 AS DOUBLE), TRUE), ('web', CAST(0.9 AS DOUBLE), TRUE), "
+            "('wiki', CAST(0.5 AS DOUBLE), TRUE), ('wiki', CAST(0.9 AS DOUBLE), TRUE)"
+            ") AS t(source, q, ok)"
         ),
         "text_token_stats": (
             r"SELECT doc_id, "
