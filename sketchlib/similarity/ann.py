@@ -255,6 +255,93 @@ def ivf_topk(
     )
 
 
+def ivf_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    assign: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int = 4096,
+    centroids: np.ndarray | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """All-pairs cosine >= threshold when *both* sides are too large to
+    broadcast: multi-assign every vector to its ``assign`` nearest
+    centroid buckets, self-join within buckets (id_a < id_b), verify
+    the exact cosine per candidate pair with a vectorized einsum.
+    Multi-assignment covers boundary pairs (two near-identical vectors
+    always share their nearest centroid; probing 2 covers the
+    near-boundary cases).  Candidate volume is ~N^2 * assign / C, so
+    size C to the data.  Returns DataFrame[id_a, id_b, cos]."""
+    if centroids is None:
+        centroids = train_centroids(
+            df, n_centroids=n_centroids, vec_col=vec_col, seed=seed
+        )
+    cents = _normalize(np.asarray(centroids, dtype=np.float32))
+
+    def assign_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            ids = b.column(0)
+            m = _normalize(_batch_matrix(b, 1))
+            if m.shape[0] == 0:
+                continue
+            top = np.argsort(-(m @ cents.T), axis=1)[:, :assign].astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [ids, b.column(1), pa.array(list(top))],
+                names=[id_col, vec_col, "buckets"],
+            )
+
+    vt = df.schema[vec_col].dataType.simpleString()
+    assigned = df.select(id_col, vec_col).mapInArrow(
+        assign_fn, f"{id_col} long, {vec_col} {vt}, buckets array<int>"
+    )
+    from pyspark.sql.window import Window
+
+    exploded = assigned.select(id_col, vec_col, F.explode("buckets").alias("bucket"))
+    w = Window.partitionBy("bucket").orderBy(id_col)
+    capped = (
+        exploded.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_bucket)
+        .select("bucket", id_col, vec_col)
+        .persist()
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("va"),
+            F.col(f"b.{vec_col}").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    def verify(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for bt in batches:
+            ma = _normalize(_batch_matrix(bt, 2))
+            mb = _normalize(_batch_matrix(bt, 3))
+            if ma.shape[0] == 0:
+                continue
+            cos = np.einsum("ij,ij->i", ma, mb)
+            keep = cos >= threshold
+            if not keep.any():
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    bt.column(0).filter(pa.array(keep)),
+                    bt.column(1).filter(pa.array(keep)),
+                    pa.array(np.round(cos[keep].astype(np.float64), 4)),
+                ],
+                names=["id_a", "id_b", "cos"],
+            )
+
+    return pairs.mapInArrow(verify, "id_a long, id_b long, cos double")
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,

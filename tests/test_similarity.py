@@ -110,3 +110,33 @@ def test_embedding_near_duplicates(spark, emb_df, emb_np):
     for r in pairs:
         assert r["cos"] >= 0.99
         assert r["id_a"] < r["id_b"]
+
+
+def test_ivf_near_duplicates_matches_broadcast(spark, emb_df):
+    from sketchlib.similarity.ann import ivf_near_duplicates
+
+    # inject two perturbed copies
+    rows = emb_df.filter(F.col("vec_id").isin([0, 5])).collect()
+    extra = spark.createDataFrame(
+        [
+            (90000 + r["vec_id"], [float(x) + 0.001 for x in r["embedding"]])
+            for r in rows
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    data = emb_df.select("vec_id", "embedding").union(extra)
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates(data, threshold=0.98).collect()
+    }
+    ivf = {
+        (r["id_a"], r["id_b"])
+        for r in ivf_near_duplicates(
+            data, threshold=0.98, n_centroids=8, assign=2, seed=3
+        ).collect()
+    }
+    assert {(0, 90000), (5, 90005)} <= brute
+    # IVF must recover the injected pairs (same nearest centroid) and
+    # never report a pair below threshold
+    assert {(0, 90000), (5, 90005)} <= ivf
+    assert ivf <= brute
