@@ -80,7 +80,10 @@ def _batch_values(batch: pa.RecordBatch, col_idx: int, kind: str) -> np.ndarray:
     if kind == KIND_DOUBLE:
         if arr.null_count:
             arr = arr.drop_null()
-        return arr.to_numpy(zero_copy_only=False)
+        vals = arr.to_numpy(zero_copy_only=False)
+        if vals.dtype.kind == "f" and np.isnan(vals).any():
+            vals = vals[~np.isnan(vals)]  # NaNs would poison min/max
+        return vals
     if kind in (KIND_ARRAY, KIND_ARRAY_HASH):
         if arr.null_count:
             arr = arr.drop_null()
@@ -216,6 +219,71 @@ def sketch_column(
         fanout=fanout,
         collect_threshold=collect_threshold,
     )
+
+
+def sketch_columns(
+    df: DataFrame,
+    specs: dict[str, tuple[Callable[[], object], str]],
+    fanout: int = 64,
+    collect_threshold: int = 256,
+) -> dict[str, object]:
+    """Build MANY sketches in ONE scan: ``specs`` maps column name ->
+    (factory, kind).  Sketch builds are scan-bound, so a job computing
+    e.g. n_tok quantiles + doc_id cardinality + token heavy-hitter
+    counts should read the table once, not three times.  Stage 1 keeps
+    one sketch per (column, partition) and emits one tagged state row
+    each; the tree merge groups by tag.  Returns {column: sketch}."""
+    cols = list(specs)
+    proj = []
+    for c in cols:
+        _, kind = specs[c]
+        if kind == KIND_HASH64:
+            proj.append(F.xxhash64(F.col(c)).alias(c))
+        else:
+            proj.append(F.col(c).alias(c))
+    vdf = df.select(*proj)
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        t0 = time.monotonic()
+        sks = {c: specs[c][0]() for c in cols}
+        items = {c: 0 for c in cols}
+        for b in batches:
+            for i, c in enumerate(cols):
+                items[c] += _feed(sks[c], _batch_values(b, i, specs[c][1]))
+        got = [c for c in cols if items[c] > 0]
+        if not got:
+            return
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(got, type=pa.string()),
+                pa.array([sks[c].to_bytes() for c in got], type=pa.binary()),
+                pa.array([items[c] for c in got], type=pa.int64()),
+                pa.array([time.monotonic() - t0] * len(got), type=pa.float64()),
+            ],
+            names=["tag", "state", "items", "build_secs"],
+        )
+
+    partials = vdf.mapInArrow(fn, f"tag string, {_PARTIAL_SCHEMA}")
+
+    def merge_tag(pdf):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "tag": [pdf["tag"].iloc[0]],
+                "state": [serde.merge_blobs(_sorted_blobs(pdf["state"]))],
+                "items": [int(pdf["items"].sum())],
+                "build_secs": [float(pdf["build_secs"].sum())],
+            }
+        )
+
+    merged = partials.groupBy("tag").applyInPandas(
+        merge_tag, f"tag string, {_PARTIAL_SCHEMA}"
+    )
+    out: dict[str, object] = {}
+    for row in merged.collect():
+        out[row["tag"]] = serde.from_bytes(row["state"])
+    return out
 
 
 # --------------------------------------------------------------- grouped build

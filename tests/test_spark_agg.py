@@ -231,3 +231,36 @@ def test_heavy_hitters(spark):
     true_counts = {r["k"]: r["count"] for r in df.groupBy("k").count().collect()}
     for r in got:
         assert r["est_count"] >= true_counts[r["k"]]
+
+
+def test_sketch_columns_single_scan(spark, tokens_df):
+    from sketchlib.core.cms import CountMinSketch
+    from sketchlib.spark.aggregate import sketch_columns
+
+    out = sketch_columns(
+        tokens_df,
+        {
+            "n_tok": (lambda: TDigest(delta=500), KIND_DOUBLE),
+            "tokens": (lambda: KLL(k=128), KIND_ARRAY),
+            "doc_id": (lambda: HyperLogLog(p=12), KIND_HASH64),
+            "source": (lambda: CountMinSketch(depth=4, width=1024), KIND_HASH64),
+        },
+    )
+    assert out["n_tok"].count == N_ROWS
+    n_total = tokens_df.select(F.sum("n_tok")).first()[0]
+    assert out["tokens"].count == n_total
+    hll = out["doc_id"]
+    assert abs(hll.estimate() - N_ROWS) / N_ROWS <= 4 * hll.relative_std_error()
+    assert out["source"].total == N_ROWS
+    # median of n_tok agrees with exact
+    exact = tokens_df.agg(F.expr("percentile(n_tok, 0.5)")).first()[0]
+    assert abs(out["n_tok"].value_at_quantile(0.5) - exact) <= max(0.02 * exact, 1.5)
+
+
+def test_nan_values_dropped(spark):
+    df = spark.createDataFrame(
+        [(1.0,), (float("nan"),), (3.0,)], "v double"
+    )
+    sk = sketch_column(df, "v", lambda: TDigest(delta=100), KIND_DOUBLE)
+    assert sk.count == 2
+    assert sk.min == 1.0 and sk.max == 3.0
