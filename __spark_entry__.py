@@ -690,7 +690,7 @@ def _quality_oracle_sql() -> str:
         "  least(alpha_ratio / 0.7, 1.0) * 0.4 "
         "  + least(stopword_ratio / 0.3, 1.0) * 0.3 "
         "  + (CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 10.0 "
-        "     THEN 1.0 ELSE 0.0 END) * 0.3"
+        "     AND alpha_ratio >= 0.4 THEN 1.0 ELSE 0.0 END) * 0.3"
         ", 4) AS quality_score FROM ("
         "  SELECT doc_id, "
         "  round(CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)"

@@ -81,11 +81,15 @@ def with_quality(df: DataFrame, col: str = "text") -> DataFrame:
         )
     )
     # composite: reward alpha-heavy, some stopwords, sane token length
+    # (the length term only counts for alphabetic text — symbol/digit
+    # soup must not collect it)
     score = (
         F.least(F.col("alpha_ratio") / 0.7, F.lit(1.0)) * 0.4
         + F.least(F.col("stopword_ratio") / 0.3, F.lit(1.0)) * 0.3
         + F.when(
-            (F.col("mean_token_len") >= 3.0) & (F.col("mean_token_len") <= 10.0),
+            (F.col("mean_token_len") >= 3.0)
+            & (F.col("mean_token_len") <= 10.0)
+            & (F.col("alpha_ratio") >= 0.4),
             F.lit(1.0),
         ).otherwise(F.lit(0.0))
         * 0.3

@@ -1,0 +1,77 @@
+"""End-to-end curation pipeline: quality filter -> exact dedup ->
+near-dedup -> summary sketches, with injected junk/dup/near-dup docs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+VOCAB = (
+    "the a of and to in is it river mountain fox dog table pipeline copy "
+    "morning team plan work items field story ages cat mat data disk day "
+    "quick brown lazy fine short clean known review assign stood move"
+).split()
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    rows = []
+    for i in range(40):  # 40 distinct good docs (random word soup with
+        # stopwords mixed in so the quality score is high)
+        words = list(rng.choice(VOCAB, size=25, replace=True))
+        rows.append((i, "the " + " ".join(words) + " and it is done"))
+    # exact duplicates of docs 0..4 (ids 100..104)
+    for i in range(5):
+        rows.append((100 + i, rows[i][1]))
+    # near-duplicates of docs 5..9 (ids 200..204): drop last two words
+    for i in range(5, 10):
+        words = rows[i][1].split()
+        rows.append((200 + i - 5, " ".join(words[:-2])))
+    # junk that must fail the quality filter
+    rows.append((300, "@@@ ### $$$ %%% ^^^ &&& *** ((( )))"))
+    rows.append((301, "1234567890 0987654321 111 222 333"))
+    return rows
+
+
+def test_curate(spark, corpus):
+    from sketchlib.pipeline import curate
+
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    curated, report = curate(
+        docs, quality_min=0.2, near_dup_threshold=0.5
+    )
+    ids = {r["doc_id"] for r in curated.select("doc_id").collect()}
+
+    assert report["input_rows"] == 52
+    # junk filtered
+    assert report["after_quality_filter"] == 50
+    assert 300 not in ids and 301 not in ids
+    # exact dups dropped, originals kept
+    assert report["after_exact_dedup"] == 45
+    for i in range(5):
+        assert i in ids and (100 + i) not in ids
+    # near-dups dropped (the higher id of each pair)
+    for i in range(5):
+        assert (200 + i) not in ids
+    assert {5, 6, 7, 8, 9} <= ids
+    # annotations present on the output
+    cols = set(curated.columns)
+    assert {"quality_score", "ws_tokens", "bpe_tokens", "pred_lang"} <= cols
+    # report sketches sane
+    assert 0 < report["quality_p50"] <= 1.0
+    assert report["ws_tokens_p50"] > 5
+    assert abs(report["distinct_ids_est"] - len(ids)) / len(ids) < 0.1
+    assert set(report["sketches"]) == {"quality_score", "ws_tokens", "doc_id"}
+
+
+def test_curate_idempotent(spark, corpus):
+    from sketchlib.pipeline import curate
+
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    curated1, _ = curate(docs, quality_min=0.2, near_dup_threshold=0.5)
+    base = curated1.select("doc_id", "text")
+    curated2, report2 = curate(base, quality_min=0.2, near_dup_threshold=0.5)
+    # running the pipeline on its own output drops nothing
+    assert report2["input_rows"] == report2["after_near_dedup"]
