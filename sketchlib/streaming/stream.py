@@ -110,6 +110,100 @@ def current_sketch(spark, ledger_dir: str):
     return acc
 
 
+def streaming_windowed_quantiles(
+    stream_df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    factory: Callable[[], object],
+    window_duration: str = "10 seconds",
+    watermark_delay: str = "10 seconds",
+    quantiles: tuple = (0.5, 0.99),
+):
+    """Event-time tumbling-window sketches with watermark finalization.
+
+    The stream is watermarked on ``ts_col``; each (window) group keeps
+    a serialized sketch as GroupState, absorbing rows vectorized per
+    micro-batch.  A window emits exactly one FINAL row (append
+    semantics) when the event-time watermark passes its end — the
+    timeout timestamp is the window end, so late rows beyond the
+    watermark can never change an emitted result (the engine drops
+    them before the state function).
+
+    Returns a streaming DataFrame
+    [window_start, window_end, items, q0..qN]."""
+    qs = [float(q) for q in quantiles]
+    qcols = ", ".join(f"q{i} double" for i in range(len(qs)))
+    out_schema = (
+        f"window_start timestamp, window_end timestamp, items bigint, {qcols}"
+    )
+    state_schema = "state binary, items bigint"
+
+    wm = (
+        stream_df.withWatermark(ts_col, watermark_delay)
+        .withColumn("win", F.window(F.col(ts_col), window_duration))
+        .select("win", value_col)  # exactly one event-time column
+    )
+    keyed = wm.groupBy("win")
+
+    def update(key, pdfs, state: GroupState):
+        import numpy as np
+
+        win = key[0]  # window struct arrives as {'start':..., 'end':...}
+        if isinstance(win, dict):
+            win_start, win_end = pd.Timestamp(win["start"]), pd.Timestamp(win["end"])
+        else:
+            win_start, win_end = pd.Timestamp(win[0]), pd.Timestamp(win[1])
+        if state.hasTimedOut:
+            blob, items = state.get
+            sk = serde.from_bytes(bytes(blob))
+            ests = [float(np.atleast_1d(sk.value_at_quantile(q))[0]) for q in qs]
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "window_start": [win_start],
+                    "window_end": [win_end],
+                    "items": [items],
+                    **{f"q{i}": [e] for i, e in enumerate(ests)},
+                }
+            )
+            return
+        win_end_ms = int(win_end.timestamp() * 1000)
+        wm_ms = state.getCurrentWatermarkMs()
+        if win_end_ms <= wm_ms:
+            # the window is already past the watermark: any incoming
+            # rows are late and must not change the final result.
+            for _ in pdfs:
+                pass
+            if state.exists:
+                # keep the pending finalization (fires next trigger)
+                state.setTimeoutTimestamp(wm_ms + 1)
+            return
+        if state.exists:
+            blob, items = state.get
+            sk = serde.from_bytes(bytes(blob))
+        else:
+            sk = factory()
+            items = 0
+        for pdf in pdfs:
+            vals = pdf[value_col].to_numpy(dtype=np.float64)
+            vals = vals[~np.isnan(vals)]
+            if vals.size:
+                sk.add_buffer(vals)
+                items += int(vals.size)
+        state.update((sk.to_bytes(), items))
+        # finalize when the event-time watermark passes the window end
+        state.setTimeoutTimestamp(
+            max(win_end_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        return
+        yield  # pragma: no cover — make this a generator
+
+    return keyed.applyInPandasWithState(
+        update, out_schema, state_schema, "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def streaming_grouped_sketch(
     stream_df: DataFrame,
     key_col: str,

@@ -98,3 +98,63 @@ def test_grouped_streaming_state(spark, tmp_path):
     last_rows = pdf.sort_values("items").groupby("k").tail(1)
     for _, r in last_rows.iterrows():
         assert abs(r["q0"] - 500.0) <= 25.0
+
+
+def test_windowed_quantiles_with_watermark(spark, tmp_path):
+    from datetime import datetime, timezone
+
+    from sketchlib.streaming.stream import streaming_windowed_quantiles
+
+    src = str(tmp_path / "wsrc")
+    base = datetime(2026, 1, 1, 0, 0, 0, tzinfo=timezone.utc).timestamp()
+
+    def write_file(i, rows):
+        df = spark.createDataFrame(rows, "ts timestamp, v double")
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/f{i}")
+
+    def ts(sec):
+        from datetime import datetime, timezone
+
+        return datetime.fromtimestamp(base + sec, tz=timezone.utc)
+
+    # window A: [0, 10), window B: [20, 30), window C: [40, 50)
+    rng = np.random.default_rng(2)
+    a_vals = rng.uniform(0, 100, 500)
+    b_vals = rng.uniform(100, 200, 500)
+    write_file(0, [(ts(float(i % 9)), float(v)) for i, v in enumerate(a_vals)])
+    write_file(1, [(ts(20 + float(i % 9)), float(v)) for i, v in enumerate(b_vals)])
+    # file 2 advances the watermark far past B and carries a LATE row
+    # for window A, which must not resurrect it
+    write_file(2, [(ts(45.0), 999.0), (ts(1.0), 12345.0)])
+
+    stream = (
+        spark.readStream.schema("ts timestamp, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    out = streaming_windowed_quantiles(
+        stream, "ts", "v", lambda: TDigest(delta=300),
+        window_duration="10 seconds", watermark_delay="5 seconds",
+        quantiles=(0.5,),
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("windowed_sketch_test")
+        .option("checkpointLocation", str(tmp_path / "wckpt"))
+        .start()
+    )
+    try:
+        _wait_done(q)
+    finally:
+        q.stop()
+    pdf = spark.sql("SELECT * FROM windowed_sketch_test").toPandas()
+    finals = {r["window_start"].second + r["window_start"].minute * 60: r
+              for _, r in pdf.iterrows()}
+    # windows A and B finalized exactly once each
+    assert 0 in finals and 20 in finals, pdf
+    a, b = finals[0], finals[20]
+    assert a["items"] == 500  # the late row was dropped, not absorbed
+    assert abs(a["q0"] - np.quantile(a_vals, 0.5)) <= 5.0
+    assert b["items"] == 500
+    assert abs(b["q0"] - np.quantile(b_vals, 0.5)) <= 5.0
