@@ -98,21 +98,16 @@ def _throughput_run(
     try:
         _warmup(spark)
         files = D.list_parquet_files(path) * repeat
-        orig = D.list_parquet_files
-        D.list_parquet_files = lambda _p: files
         best = None
-        try:
-            for _ in range(runs):
-                t0 = time.monotonic()
-                sk = D.sketch_parquet(
-                    spark, path, "tokens", lambda: TDigest(delta=2000), KIND_ARRAY,
-                    tasks=tasks,
-                )
-                elapsed = time.monotonic() - t0
-                if best is None or elapsed < best:
-                    best = elapsed
-        finally:
-            D.list_parquet_files = orig
+        for _ in range(runs):
+            t0 = time.monotonic()
+            sk = D.sketch_parquet(
+                spark, path, "tokens", lambda: TDigest(delta=2000), KIND_ARRAY,
+                tasks=tasks, files=files,
+            )
+            elapsed = time.monotonic() - t0
+            if best is None or elapsed < best:
+                best = elapsed
         return best, int(sk.count)
     finally:
         spark.stop()

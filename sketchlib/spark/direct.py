@@ -85,10 +85,15 @@ def build_partials_direct(
     factory: Callable[[], object],
     kind: str = KIND_DOUBLE,
     tasks: int | None = None,
+    files: list[str] | None = None,
 ):
     """Stage 1 over raw parquet files: returns the usual partials
-    DataFrame[state binary, items long, build_secs double]."""
-    files = list_parquet_files(path)
+    DataFrame[state binary, items long, build_secs double].  Pass an
+    explicit ``files`` list to override discovery (e.g. a snapshot's
+    data-file list from an Iceberg manifest, or a repeated list for
+    benchmarking)."""
+    if files is None:
+        files = list_parquet_files(path)
     if not files:
         raise FileNotFoundError(f"no parquet files under {path}")
     cores = spark.sparkContext.defaultParallelism
@@ -170,7 +175,8 @@ def sketch_parquet(
     kind: str = KIND_DOUBLE,
     tasks: int | None = None,
     fanout: int = 64,
+    files: list[str] | None = None,
 ):
     """End-to-end direct build: partials over raw files -> tree merge."""
-    partials = build_partials_direct(spark, path, col, factory, kind, tasks)
+    partials = build_partials_direct(spark, path, col, factory, kind, tasks, files)
     return tree_merge(partials, fanout=fanout)

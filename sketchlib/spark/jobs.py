@@ -64,7 +64,11 @@ def job_build(args) -> None:
         kind = "array_hash"
 
     metrics = {}
-    if args.checkpoint:
+    if getattr(args, "direct", False) and args.format in ("auto", "parquet"):
+        from sketchlib.spark.direct import sketch_parquet
+
+        sk = sketch_parquet(spark, args.input, args.col, factory, kind)
+    elif args.checkpoint:
         sk, metrics = run_checkpointed(
             spark,
             df,
@@ -182,6 +186,8 @@ def main(argv=None) -> None:
     b.add_argument("--lineage-col", default=None)
     b.add_argument("--n-lineage", type=int, default=64)
     b.add_argument("--no-resume", action="store_true")
+    b.add_argument("--direct", action="store_true",
+                   help="pyarrow-decode-in-worker scan (parquet input only)")
     b.add_argument("--save-state", default=None)
     b.set_defaults(fn=job_build)
 
