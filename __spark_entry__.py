@@ -62,7 +62,7 @@ def _rank_ok(df: DataFrame, col: str, qs: list[float], ests: list[float]) -> lis
     the estimate (or its nearest-integer snap — interpolated estimates
     on discrete columns land in probability-mass gaps) must contain q
     within RANK_TOL."""
-    aggs = []
+    aggs = [F.count(F.col(col)).alias("n")]
     cands = [(float(e), float(np.rint(e))) for e in ests]
     for i, (e, r) in enumerate(cands):
         c = F.col(col).cast("double")
@@ -71,10 +71,13 @@ def _rank_ok(df: DataFrame, col: str, qs: list[float], ests: list[float]) -> lis
         aggs.append(F.avg((c < F.lit(r)).cast("double")).alias(f"rlt{i}"))
         aggs.append(F.avg((c <= F.lit(r)).cast("double")).alias(f"rle{i}"))
     row = df.agg(*aggs).first()
+    # count-aware tolerance: a single rank step is 1/n, so tiny inputs
+    # (small sf / small groups) get proportional slack
+    tol = max(RANK_TOL, 1.5 / max(row["n"], 1))
     return [
         bool(
-            row[f"lt{i}"] - RANK_TOL <= q <= row[f"le{i}"] + RANK_TOL
-            or row[f"rlt{i}"] - RANK_TOL <= q <= row[f"rle{i}"] + RANK_TOL
+            row[f"lt{i}"] - tol <= q <= row[f"le{i}"] + tol
+            or row[f"rlt{i}"] - tol <= q <= row[f"rle{i}"] + tol
         )
         for i, q in enumerate(qs)
     ]
@@ -151,10 +154,11 @@ def q_grouped_doc_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 est_df[(est_df.lang == lang) & (est_df.q == q)]["value"].iloc[0]
             )
             ok = False
+            tol = max(RANK_TOL, 1.5 / max(n, 1))
             for cand in (est, float(np.rint(est))):
                 lt = np.searchsorted(srt, cand, side="left") / n
                 le = np.searchsorted(srt, cand, side="right") / n
-                if (lt - RANK_TOL) <= q <= (le + RANK_TOL):
+                if (lt - tol) <= q <= (le + tol):
                     ok = True
                     break
             rows.append((lang, float(q), float(round(exact, 4)), bool(ok)))
@@ -320,10 +324,11 @@ def q_token_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         vals = np.sort(pdf[pdf.source == src]["n_tok"].to_numpy(np.float64))
         nn = vals.size
         ok = False
+        tol = max(RANK_TOL, 1.5 / max(nn, 1))
         for cand in (e, float(np.rint(e))):
             lt = np.searchsorted(vals, cand, side="left") / nn
             le = np.searchsorted(vals, cand, side="right") / nn
-            if (lt - RANK_TOL) <= q <= (le + RANK_TOL):
+            if (lt - tol) <= q <= (le + tol):
                 ok = True
                 break
         rows.append((src, float(q), bool(ok)))
