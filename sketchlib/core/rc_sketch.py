@@ -86,15 +86,24 @@ class RCSketch:
         self.add_buffer(np.array([value]))
 
     def _insert_at(self, h: int, chunk: np.ndarray) -> None:
-        """Append; on overflow compact and cascade (rc_sketch.rs:161-236)."""
+        """Fill the level only up to buffer_size per step, compacting
+        while at capacity (rc_sketch.rs:200-236: the buffer "may be
+        overfilled ... keep compacting until size is below the buffer
+        size") — levels stay bounded by buffer_size."""
         while h >= len(self.levels):
             self.levels.append(np.empty(0))
             self.counters.append(0)
-        self.levels[h] = np.concatenate([self.levels[h], chunk])
-        if self.levels[h].size >= self.buffer_size:
-            promoted = self._compact(h)
-            if promoted.size:
-                self._insert_at(h + 1, promoted)
+        pos = 0
+        while pos < chunk.size or self.levels[h].size >= self.buffer_size:
+            room = self.buffer_size - self.levels[h].size
+            if room > 0 and pos < chunk.size:
+                take = chunk[pos : pos + room]
+                self.levels[h] = np.concatenate([self.levels[h], take])
+                pos += take.size
+            while self.levels[h].size >= self.buffer_size:
+                promoted = self._compact(h)
+                if promoted.size:
+                    self._insert_at(h + 1, promoted)
 
     def _compact_index(self, h: int) -> int:
         length = self.levels[h].size
@@ -143,7 +152,7 @@ class RCSketch:
         self.max = max(self.max, other.max)
         h = 0
         while h < len(self.levels):
-            if self.levels[h].size >= self.buffer_size:
+            while self.levels[h].size >= self.buffer_size:
                 promoted = self._compact(h)
                 if promoted.size:
                     self._insert_at(h + 1, promoted)
