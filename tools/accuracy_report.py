@@ -61,6 +61,10 @@ def section_accuracy(out):
         "state bytes | build M vals/s |"
     )
     out.append("|---|---|---|---|---|---|")
+    # warmup: first numpy-heavy build pays allocator/page-cache costs
+    warm = TDigest(delta=2000)
+    warm.add_buffer(make_values("uniform", N))
+    _ = warm.value_at_quantile(0.5)
     for dist in DISTS:
         values = make_values(dist, N)
         oracle = LinearOracle(values)
