@@ -148,6 +148,24 @@ def main() -> None:
             }
         )
 
+        # secondary: HLL cardinality path (numpy hash + register max)
+        from sketchlib.core.hll import HyperLogLog
+        from sketchlib.spark import direct as D
+        from sketchlib.spark.aggregate import KIND_ARRAY_HASH
+
+        spark = _spark(f"local[{cpus}]", "sketchbench-hll")
+        try:
+            _warmup(spark)
+            files = D.list_parquet_files(path) * SCALE_REPEAT
+            t0 = time.monotonic()
+            D.sketch_parquet(
+                spark, path, "tokens", lambda: HyperLogLog(p=14),
+                KIND_ARRAY_HASH, tasks=4 * cpus, files=files,
+            )
+            out["tokens_per_sec_hll_full"] = round(total / (time.monotonic() - t0))
+        finally:
+            spark.stop()
+
     # ---- phase 2: headline query suite at the target sf
     import __spark_entry__ as entry_mod
 

