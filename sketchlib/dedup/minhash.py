@@ -26,7 +26,6 @@ dedup many times).
 
 from __future__ import annotations
 
-import itertools
 
 import numpy as np
 import pandas as pd

@@ -15,7 +15,6 @@ per-row Python in the signature hot path.
 
 from __future__ import annotations
 
-import itertools
 
 import numpy as np
 import pandas as pd

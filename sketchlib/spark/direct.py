@@ -40,7 +40,6 @@ from pyspark.sql import SparkSession
 from sketchlib.spark.aggregate import (
     _PARTIAL_SCHEMA,
     KIND_ARRAY,
-    KIND_ARRAY_HASH,
     KIND_DOUBLE,
     KIND_HASH64,
     _batch_values,

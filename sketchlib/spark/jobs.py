@@ -20,7 +20,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import sys
+
 import zipfile
 
 
