@@ -118,6 +118,7 @@ def streaming_windowed_quantiles(
     window_duration: str = "10 seconds",
     watermark_delay: str = "10 seconds",
     quantiles: tuple = (0.5, 0.99),
+    key_col: str | None = None,
 ):
     """Event-time tumbling-window sketches with watermark finalization.
 
@@ -133,17 +134,20 @@ def streaming_windowed_quantiles(
     [window_start, window_end, items, q0..qN]."""
     qs = [float(q) for q in quantiles]
     qcols = ", ".join(f"q{i} double" for i in range(len(qs)))
+    key_prefix = f"{key_col} string, " if key_col else ""
     out_schema = (
-        f"window_start timestamp, window_end timestamp, items bigint, {qcols}"
+        f"{key_prefix}window_start timestamp, window_end timestamp, "
+        f"items bigint, {qcols}"
     )
     state_schema = "state binary, items bigint"
 
+    extra = [key_col] if key_col else []
     wm = (
         stream_df.withWatermark(ts_col, watermark_delay)
         .withColumn("win", F.window(F.col(ts_col), window_duration))
-        .select("win", value_col)  # exactly one event-time column
+        .select("win", value_col, *extra)  # exactly one event-time column
     )
-    keyed = wm.groupBy("win")
+    keyed = wm.groupBy("win", *extra)
 
     def update(key, pdfs, state: GroupState):
         import numpy as np
@@ -158,14 +162,15 @@ def streaming_windowed_quantiles(
             sk = serde.from_bytes(bytes(blob))
             ests = [float(np.atleast_1d(sk.value_at_quantile(q))[0]) for q in qs]
             state.remove()
-            yield pd.DataFrame(
-                {
-                    "window_start": [win_start],
-                    "window_end": [win_end],
-                    "items": [items],
-                    **{f"q{i}": [e] for i, e in enumerate(ests)},
-                }
-            )
+            out = {
+                "window_start": [win_start],
+                "window_end": [win_end],
+                "items": [items],
+                **{f"q{i}": [e] for i, e in enumerate(ests)},
+            }
+            if key_col:
+                out = {key_col: [key[1]], **out}
+            yield pd.DataFrame(out)
             return
         win_end_ms = int(win_end.timestamp() * 1000)
         wm_ms = state.getCurrentWatermarkMs()

@@ -158,3 +158,54 @@ def test_windowed_quantiles_with_watermark(spark, tmp_path):
     assert abs(a["q0"] - np.quantile(a_vals, 0.5)) <= 5.0
     assert b["items"] == 500
     assert abs(b["q0"] - np.quantile(b_vals, 0.5)) <= 5.0
+
+
+def test_windowed_quantiles_per_key(spark, tmp_path):
+    from datetime import datetime, timezone
+
+    from sketchlib.streaming.stream import streaming_windowed_quantiles
+
+    src = str(tmp_path / "ksrc")
+    base = datetime(2026, 1, 1, tzinfo=timezone.utc).timestamp()
+
+    def ts(sec):
+        return datetime.fromtimestamp(base + sec, tz=timezone.utc)
+
+    rng = np.random.default_rng(5)
+    rows0 = [(ts(float(i % 9)), "a" if i % 2 else "b",
+              float(v if i % 2 else v + 1000))
+             for i, v in enumerate(rng.uniform(0, 100, 400))]
+    df = spark.createDataFrame(rows0, "ts timestamp, k string, v double")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{src}/f0")
+    # second file advances the watermark past the first window
+    spark.createDataFrame(
+        [(ts(40.0), "a", 1.0)], "ts timestamp, k string, v double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/f1")
+
+    stream = (
+        spark.readStream.schema("ts timestamp, k string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    out = streaming_windowed_quantiles(
+        stream, "ts", "v", lambda: TDigest(delta=200),
+        window_duration="10 seconds", watermark_delay="5 seconds",
+        quantiles=(0.5,), key_col="k",
+    )
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName("windowed_key_test")
+        .option("checkpointLocation", str(tmp_path / "kckpt"))
+        .start()
+    )
+    try:
+        _wait_done(q)
+    finally:
+        q.stop()
+    pdf = spark.sql("SELECT * FROM windowed_key_test").toPandas()
+    first = pdf[pdf["window_start"].dt.second == 0]
+    by_k = {r["k"]: r for _, r in first.iterrows()}
+    assert set(by_k) == {"a", "b"}
+    assert by_k["a"]["items"] + by_k["b"]["items"] == 400
+    assert by_k["a"]["q0"] < 200  # key a ~ U[0,100)
+    assert by_k["b"]["q0"] > 900  # key b ~ U[1000,1100)
