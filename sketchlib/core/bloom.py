@@ -46,7 +46,10 @@ class BloomFilter:
         h2 = splitmix64(hashes) | _U64(1)
         ks = np.arange(self.k, dtype=np.uint64)[:, None]
         with np.errstate(over="ignore"):
-            return ((h1[None, :] + ks * h2[None, :]) % _U64(self.m)).astype(np.int64)
+            mixed = h1[None, :] + ks * h2[None, :]
+            if self.m & (self.m - 1) == 0:  # bitmask beats uint64 modulo
+                return (mixed & _U64(self.m - 1)).astype(np.int64)
+            return (mixed % _U64(self.m)).astype(np.int64)
 
     def add_hashes(self, hashes) -> None:
         h = np.asarray(hashes)

@@ -42,12 +42,17 @@ class CountMinSketch:
     # ------------------------------------------------------------------- build
 
     def _row_indices(self, hashes: np.ndarray) -> np.ndarray:
-        """(depth, n) column indices via double hashing."""
+        """(depth, n) column indices via double hashing (bitmask for
+        power-of-two widths — uint64 modulo costs several x more)."""
         h1 = hashes
         h2 = splitmix64(hashes) | _U64(1)  # odd => full-period stride
         rows = np.arange(self.depth, dtype=np.uint64)[:, None]
         with np.errstate(over="ignore"):
-            idx = (h1[None, :] + rows * h2[None, :]) % _U64(self.width)
+            mixed = h1[None, :] + rows * h2[None, :]
+            if self.width & (self.width - 1) == 0:
+                idx = mixed & _U64(self.width - 1)
+            else:
+                idx = mixed % _U64(self.width)
         return idx.astype(np.int64)
 
     def add_hashes(self, hashes, counts=None) -> None:
