@@ -7,6 +7,7 @@ from sketchlib.core.hll import HyperLogLog
 from sketchlib.core.cms import CountMinSketch
 from sketchlib.core.bloom import BloomFilter
 from sketchlib.core.oracle import LinearOracle
+from sketchlib.core.spacesaving import SpaceSaving
 from sketchlib.core.wrappers import RankCombinedGroup, SymDigest
 
 __all__ = [
@@ -17,6 +18,7 @@ __all__ = [
     "CountMinSketch",
     "BloomFilter",
     "LinearOracle",
+    "SpaceSaving",
     "SymDigest",
     "RankCombinedGroup",
 ]

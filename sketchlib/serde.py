@@ -14,6 +14,7 @@ from sketchlib.core.cms import CountMinSketch
 from sketchlib.core.hll import HyperLogLog
 from sketchlib.core.kll import KLL
 from sketchlib.core.rc_sketch import RCSketch
+from sketchlib.core.spacesaving import SpaceSaving
 from sketchlib.core.tdigest import TDigest
 
 _BY_MAGIC = {
@@ -23,6 +24,7 @@ _BY_MAGIC = {
     b"HL01": HyperLogLog,
     b"CM01": CountMinSketch,
     b"BF01": BloomFilter,
+    b"SS01": SpaceSaving,
 }
 
 KINDS = {
@@ -32,6 +34,7 @@ KINDS = {
     "hll": HyperLogLog,
     "cms": CountMinSketch,
     "bloom": BloomFilter,
+    "spacesaving": SpaceSaving,
 }
 
 
