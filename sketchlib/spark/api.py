@@ -104,6 +104,36 @@ def build_bloom(
     return sk if sk is not None else factory()
 
 
+def heavy_hitters_spacesaving(
+    df: DataFrame, col: str, k: int = 10, capacity: int = 4096
+) -> DataFrame:
+    """Top-k via a distributed SpaceSaving sketch: one scan, no
+    candidate pass; guaranteed to track every item with true count >
+    N/capacity.  Returns DataFrame[key_hash, est_count, max_err] —
+    identities are xxhash64 keys (join back on xxhash64(col) to
+    recover values)."""
+    from sketchlib.core.spacesaving import SpaceSaving
+
+    ss = sketch_column(
+        df, col, lambda: SpaceSaving(capacity=capacity), KIND_HASH64,
+        collect_threshold=32,
+    )
+    spark = df.sparkSession
+    if ss is None:
+        return spark.createDataFrame(
+            [], "key_hash bigint, est_count bigint, max_err bigint"
+        )
+    import numpy as np
+
+    rows = [
+        (int(np.uint64(h).astype(np.int64)), int(c), int(e))
+        for h, c, e in ss.top_k(k)
+    ]
+    return spark.createDataFrame(
+        rows, "key_hash bigint, est_count bigint, max_err bigint"
+    )
+
+
 def heavy_hitters(
     df: DataFrame,
     col: str,
