@@ -227,9 +227,25 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     containment_ok = all(k in got_keys for k in top5)
     no_undercount = all(r["est_count"] >= true_counts[r["user_id"]] for r in got)
+
+    # SpaceSaving backend: guaranteed tracking of the same top-5
+    from sketchlib.spark.api import heavy_hitters_spacesaving
+
+    ss_rows = heavy_hitters_spacesaving(events, "user_id", k=10, capacity=4096)
+    ss_keys = {r["key_hash"] for r in ss_rows.collect()}
+    top5_hashed = {
+        r["h"]
+        for r in events.filter(F.col("user_id").isin(top5))
+        .select(F.xxhash64("user_id").alias("h"))
+        .distinct()
+        .collect()
+    }
+    ss_ok = top5_hashed <= ss_keys
+
     rows = [
         ("hh_top5_contained", bool(containment_ok)),
         ("hh_no_undercount", bool(no_undercount)),
+        ("hh_spacesaving_top5", bool(ss_ok)),
     ]
     return spark.createDataFrame(rows, "metric string, ok boolean")
 
@@ -587,7 +603,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "heavy_hitters_user": (
             "SELECT * FROM (VALUES ('hh_top5_contained', TRUE), "
-            "('hh_no_undercount', TRUE)) AS t(metric, ok)"
+            "('hh_no_undercount', TRUE), ('hh_spacesaving_top5', TRUE)) "
+            "AS t(metric, ok)"
         ),
         "bloom_custkey_membership": (
             "SELECT CAST(c_custkey AS BIGINT) AS c_custkey, TRUE AS member "
