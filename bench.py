@@ -130,8 +130,12 @@ def main() -> None:
         # each leg is best-of-2 inside one warm session: single-run
         # variance on this shared VM is 10-20%; min-time is the
         # standard estimator
-        t_low, total = _throughput_run(f"local[{low}]", path, SCALE_REPEAT, tasks=64)
-        t_high, _ = _throughput_run(f"local[{high}]", path, SCALE_REPEAT, tasks=64)
+        t_low, total = _throughput_run(
+            f"local[{low}]", path, SCALE_REPEAT, tasks=64, runs=3
+        )
+        t_high, _ = _throughput_run(
+            f"local[{high}]", path, SCALE_REPEAT, tasks=64, runs=3
+        )
         t_full, _ = _throughput_run(f"local[{cpus}]", path, SCALE_REPEAT, tasks=4 * cpus)
         tput_low = total / t_low
         tput_high = total / t_high
