@@ -7,6 +7,7 @@ from sketchlib.core.hll import HyperLogLog
 from sketchlib.core.cms import CountMinSketch
 from sketchlib.core.bloom import BloomFilter
 from sketchlib.core.oracle import LinearOracle
+from sketchlib.core.reservoir import ReservoirSample
 from sketchlib.core.spacesaving import SpaceSaving
 from sketchlib.core.wrappers import RankCombinedGroup, SymDigest
 
@@ -19,6 +20,7 @@ __all__ = [
     "BloomFilter",
     "LinearOracle",
     "SpaceSaving",
+    "ReservoirSample",
     "SymDigest",
     "RankCombinedGroup",
 ]

@@ -1,0 +1,101 @@
+"""Mergeable uniform sample via the bottom-k construction.
+
+Every item receives an i.i.d. uniform 64-bit key (seeded, so rebuilds
+reproduce the sample); the summary keeps the ``capacity`` items with
+the smallest keys.  The bottom-k of a union is the bottom-k of the
+concatenated summaries, so merge = concatenate + re-select — exactly
+associative/commutative, and the kept set is a uniform random
+k-subset WITHOUT replacement of everything ever added (the property a
+naive merged reservoir loses).  This is the standard distributed
+uniform-sampling summary (bottom-k / KMV family).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from sketchlib.core.hashing import mix_seed
+
+_MAGIC = b"RS02"
+
+
+class ReservoirSample:
+    """Uniform sample of a float64 stream (bottom-k construction)."""
+
+    __slots__ = ("capacity", "seed", "keys", "values", "count")
+
+    def __init__(self, capacity: int = 1024, seed: int = 42):
+        if capacity < 1:
+            raise ValueError("capacity must be >= 1")
+        self.capacity = int(capacity)
+        self.seed = int(seed)
+        self.keys = np.empty(0, dtype=np.uint64)
+        self.values = np.empty(0, dtype=np.float64)
+        self.count = 0
+
+    # ------------------------------------------------------------------- build
+
+    def add_buffer(self, values) -> None:
+        v = np.asarray(values, dtype=np.float64).ravel()
+        if v.size == 0:
+            return
+        rng = np.random.default_rng(mix_seed(self.seed, self.count, v.size))
+        new_keys = rng.integers(0, 2**63, v.size, dtype=np.int64).view(np.uint64) * np.uint64(2) + rng.integers(0, 2, v.size, dtype=np.int64).view(np.uint64)
+        self.count += v.size
+        self._absorb(new_keys, v)
+
+    def _absorb(self, keys: np.ndarray, vals: np.ndarray) -> None:
+        k = np.concatenate([self.keys, keys])
+        m = np.concatenate([self.values, vals])
+        if k.size > self.capacity:
+            sel = np.argpartition(k, self.capacity - 1)[: self.capacity]
+            k, m = k[sel], m[sel]
+        self.keys, self.values = k, m
+
+    # ------------------------------------------------------------------- merge
+
+    def merge(self, other: "ReservoirSample") -> "ReservoirSample":
+        if other.capacity != self.capacity:
+            raise ValueError("cannot merge reservoirs of different capacity")
+        self.count += other.count
+        self._absorb(other.keys, other.values)
+        return self
+
+    # ----------------------------------------------------------------- queries
+
+    def sample(self) -> np.ndarray:
+        return self.values
+
+    # ------------------------------------------------------------------- serde
+
+    def owned_size(self) -> int:
+        return len(self.to_bytes())
+
+    def to_bytes(self) -> bytes:
+        # canonical order so serialized state is independent of the
+        # absorb/merge sequence (bit-identical resume)
+        order = np.argsort(self.keys, kind="stable")
+        return (
+            struct.pack(
+                "<4s i q q q", _MAGIC, self.capacity, self.seed, self.count,
+                self.values.size,
+            )
+            + self.keys[order].tobytes()
+            + self.values[order].tobytes()
+        )
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "ReservoirSample":
+        hdr = struct.calcsize("<4s i q q q")
+        magic, cap, seed, count, n = struct.unpack("<4s i q q q", data[:hdr])
+        if magic != _MAGIC:
+            raise ValueError("not a ReservoirSample blob")
+        sk = cls(capacity=cap, seed=seed)
+        off = hdr
+        sk.keys = np.frombuffer(data, np.uint64, n, off).copy()
+        off += 8 * n
+        sk.values = np.frombuffer(data, np.float64, n, off).copy()
+        sk.count = count
+        return sk

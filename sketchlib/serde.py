@@ -14,6 +14,7 @@ from sketchlib.core.cms import CountMinSketch
 from sketchlib.core.hll import HyperLogLog
 from sketchlib.core.kll import KLL
 from sketchlib.core.rc_sketch import RCSketch
+from sketchlib.core.reservoir import ReservoirSample
 from sketchlib.core.spacesaving import SpaceSaving
 from sketchlib.core.tdigest import TDigest
 
@@ -25,6 +26,7 @@ _BY_MAGIC = {
     b"CM01": CountMinSketch,
     b"BF01": BloomFilter,
     b"SS01": SpaceSaving,
+    b"RS02": ReservoirSample,
 }
 
 KINDS = {
@@ -35,6 +37,7 @@ KINDS = {
     "cms": CountMinSketch,
     "bloom": BloomFilter,
     "spacesaving": SpaceSaving,
+    "reservoir": ReservoirSample,
 }
 
 
