@@ -41,8 +41,14 @@ class ReservoirSample:
         v = np.asarray(values, dtype=np.float64).ravel()
         if v.size == 0:
             return
-        rng = np.random.default_rng(mix_seed(self.seed, self.count, v.size))
-        new_keys = rng.integers(0, 2**63, v.size, dtype=np.int64).view(np.uint64) * np.uint64(2) + rng.integers(0, 2, v.size, dtype=np.int64).view(np.uint64)
+        # keys = splitmix64 over the absolute item index: vectorized,
+        # and independent of numpy Generator implementation details
+        from sketchlib.core.hashing import splitmix64
+
+        base = mix_seed(self.seed, 0x5EED)
+        idx = np.arange(self.count, self.count + v.size, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            new_keys = splitmix64(idx ^ np.uint64(base))
         self.count += v.size
         self._absorb(new_keys, v)
 
