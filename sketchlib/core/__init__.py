@@ -9,6 +9,7 @@ from sketchlib.core.bloom import BloomFilter
 from sketchlib.core.oracle import LinearOracle
 from sketchlib.core.reservoir import ReservoirSample
 from sketchlib.core.spacesaving import SpaceSaving
+from sketchlib.core.theta import ThetaSketch
 from sketchlib.core.wrappers import RankCombinedGroup, SymDigest
 
 __all__ = [
@@ -21,6 +22,7 @@ __all__ = [
     "LinearOracle",
     "SpaceSaving",
     "ReservoirSample",
+    "ThetaSketch",
     "SymDigest",
     "RankCombinedGroup",
 ]

@@ -1,0 +1,121 @@
+"""KMV / theta sketch for distinct counting WITH set operations.
+
+Where HyperLogLog only unions, the KMV ("k minimum values") bottom-k
+sketch supports intersection/difference cardinalities — the operation
+behind corpus-overlap and benchmark-contamination checks in training
+pipelines.  Summary: the k smallest distinct 64-bit hash values.
+With theta = k-th smallest / 2^64, the distinct estimate is
+(k - 1) / theta (unbiased, RSE ~ 1/sqrt(k - 2)).
+
+Set ops (theta-sketch algebra): for sketches A, B with
+theta* = min(theta_A, theta_B), the items of A∩B below theta* are a
+uniform sample of the true intersection, so
+|A∩B| ~= |{h in A∩B : h < theta*}| / theta*.  Union merges exactly
+(bottom-k of the union).  All merges are associative/commutative/
+idempotent on the state.
+
+Hashes come from the same streams as HLL (JVM xxhash64 / numpy
+splitmix) — a theta sketch and an HLL built from the same column use
+identical inputs.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_MAGIC = b"TH01"
+_MAX = float(2**64)
+
+
+class ThetaSketch:
+    __slots__ = ("k", "hashes")
+
+    def __init__(self, k: int = 4096):
+        if k < 8:
+            raise ValueError("k must be >= 8")
+        self.k = int(k)
+        self.hashes = np.empty(0, dtype=np.uint64)  # sorted ascending, unique
+
+    # ------------------------------------------------------------------- build
+
+    def add_hashes(self, hashes) -> None:
+        h = np.asarray(hashes)
+        if h.dtype != np.uint64:
+            h = h.astype(np.int64, copy=False).view(np.uint64)
+        if h.size == 0:
+            return
+        merged = np.union1d(self.hashes, h)  # sorted unique
+        self.hashes = merged[: self.k]
+
+    # ------------------------------------------------------------------- merge
+
+    def merge(self, other: "ThetaSketch") -> "ThetaSketch":
+        if other.k != self.k:
+            raise ValueError("cannot merge theta sketches of different k")
+        merged = np.union1d(self.hashes, other.hashes)
+        self.hashes = merged[: self.k]
+        return self
+
+    # ----------------------------------------------------------------- queries
+
+    @property
+    def theta(self) -> float:
+        """Sampling threshold in [0, 1]."""
+        if self.hashes.size < self.k:
+            return 1.0
+        return float(self.hashes[-1]) / _MAX
+
+    def estimate(self) -> float:
+        n = self.hashes.size
+        if n < self.k:
+            return float(n)  # exact below capacity
+        return (self.k - 1) / self.theta
+
+    def relative_std_error(self) -> float:
+        return 1.0 / np.sqrt(max(self.k - 2, 1))
+
+    def intersect_estimate(self, other: "ThetaSketch") -> float:
+        """Estimated |A ∩ B|."""
+        theta = min(self.theta, other.theta)
+        cut = np.uint64(min(int(theta * _MAX), 2**64 - 1))
+        a = self.hashes[self.hashes <= cut] if theta < 1.0 else self.hashes
+        b = other.hashes[other.hashes <= cut] if theta < 1.0 else other.hashes
+        common = np.intersect1d(a, b, assume_unique=True).size
+        return common / theta if theta > 0 else float(common)
+
+    def union_estimate(self, other: "ThetaSketch") -> float:
+        tmp = ThetaSketch(k=self.k)
+        tmp.hashes = self.hashes.copy()
+        tmp.merge(other)
+        return tmp.estimate()
+
+    def difference_estimate(self, other: "ThetaSketch") -> float:
+        """Estimated |A \\ B| (>= 0)."""
+        return max(self.estimate() - self.intersect_estimate(other), 0.0)
+
+    def jaccard_estimate(self, other: "ThetaSketch") -> float:
+        u = self.union_estimate(other)
+        return self.intersect_estimate(other) / u if u > 0 else 0.0
+
+    # ------------------------------------------------------------------- serde
+
+    def owned_size(self) -> int:
+        return len(self.to_bytes())
+
+    def to_bytes(self) -> bytes:
+        return (
+            struct.pack("<4s i q", _MAGIC, self.k, self.hashes.size)
+            + self.hashes.tobytes()
+        )
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "ThetaSketch":
+        hdr = struct.calcsize("<4s i q")
+        magic, k, n = struct.unpack("<4s i q", data[:hdr])
+        if magic != _MAGIC:
+            raise ValueError("not a ThetaSketch blob")
+        sk = cls(k=k)
+        sk.hashes = np.frombuffer(data, np.uint64, n, hdr).copy()
+        return sk

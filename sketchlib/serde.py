@@ -16,6 +16,7 @@ from sketchlib.core.kll import KLL
 from sketchlib.core.rc_sketch import RCSketch
 from sketchlib.core.reservoir import ReservoirSample
 from sketchlib.core.spacesaving import SpaceSaving
+from sketchlib.core.theta import ThetaSketch
 from sketchlib.core.tdigest import TDigest
 
 _BY_MAGIC = {
@@ -27,6 +28,7 @@ _BY_MAGIC = {
     b"BF01": BloomFilter,
     b"SS01": SpaceSaving,
     b"RS02": ReservoirSample,
+    b"TH01": ThetaSketch,
 }
 
 KINDS = {
@@ -38,6 +40,7 @@ KINDS = {
     "bloom": BloomFilter,
     "spacesaving": SpaceSaving,
     "reservoir": ReservoirSample,
+    "theta": ThetaSketch,
 }
 
 

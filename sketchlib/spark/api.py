@@ -184,6 +184,35 @@ def heavy_hitters(
     return est.orderBy(F.desc("est_count"), F.asc(col)).limit(k)
 
 
+def build_theta(df: DataFrame, col: str, k: int = 4096, is_array: bool = False):
+    """KMV/theta distinct sketch over a key column (JVM-side hashing)."""
+    from sketchlib.core.theta import ThetaSketch
+
+    kind = KIND_ARRAY_HASH if is_array else KIND_HASH64
+    sk = sketch_column(df, col, lambda: ThetaSketch(k=k), kind)
+    return sk if sk is not None else ThetaSketch(k=k)
+
+
+def corpus_overlap(
+    df_a: DataFrame, df_b: DataFrame, col: str, k: int = 4096
+) -> dict:
+    """Set-relationship estimates between two key columns (the
+    contamination / corpus-overlap check): one scan per side, then
+    theta-sketch algebra.  Returns estimates for |A|, |B|, the
+    intersection, the Jaccard similarity, and |A \\ B|."""
+    a = build_theta(df_a, col, k=k)
+    b = build_theta(df_b, col, k=k)
+    return {
+        "distinct_a": a.estimate(),
+        "distinct_b": b.estimate(),
+        "intersection": a.intersect_estimate(b),
+        "union": a.union_estimate(b),
+        "jaccard": a.jaccard_estimate(b),
+        "a_minus_b": a.difference_estimate(b),
+        "rse": a.relative_std_error(),
+    }
+
+
 def bloom_contains(df: DataFrame, col: str, bloom: BloomFilter, out_col: str = "member") -> DataFrame:
     """Append a membership column by probing a broadcast Bloom filter.
 

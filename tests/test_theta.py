@@ -1,0 +1,92 @@
+"""KMV/theta sketch: distinct estimate (RSE bound), set-operation
+estimates, exact merge laws, and the corpus-overlap Spark path."""
+
+import numpy as np
+import pytest
+
+from sketchlib.core.hashing import hash_i64
+from sketchlib.core.theta import ThetaSketch
+
+
+def _sk(lo, hi, k=4096, seed=1):
+    t = ThetaSketch(k=k)
+    t.add_hashes(hash_i64(np.arange(lo, hi), seed=seed))
+    return t
+
+
+def test_distinct_estimate_bound():
+    for n in (100, 10_000, 500_000):
+        t = _sk(0, n)
+        rse = t.relative_std_error()
+        assert abs(t.estimate() - n) / n <= 4 * rse, (n, t.estimate())
+
+
+def test_exact_below_capacity():
+    t = _sk(0, 1000)
+    assert t.estimate() == 1000.0
+    assert t.theta == 1.0
+
+
+def test_set_operations():
+    # A = [0, 60k), B = [40k, 100k): |A∩B| = 20k, |A∪B| = 100k
+    a = _sk(0, 60_000)
+    b = _sk(40_000, 100_000)
+    rse = 4 * a.relative_std_error()
+    assert abs(a.intersect_estimate(b) - 20_000) / 20_000 <= 2 * rse
+    assert abs(a.union_estimate(b) - 100_000) / 100_000 <= rse
+    assert abs(a.jaccard_estimate(b) - 0.2) <= 0.05
+    assert abs(a.difference_estimate(b) - 40_000) / 40_000 <= 2 * rse
+
+
+def test_disjoint_and_identical():
+    a = _sk(0, 50_000)
+    b = _sk(100_000, 150_000)
+    assert a.intersect_estimate(b) / 50_000 <= 0.01
+    c = _sk(0, 50_000)
+    assert abs(a.jaccard_estimate(c) - 1.0) <= 0.01
+
+
+def test_merge_laws_exact_state():
+    a = _sk(0, 30_000)
+    b = _sk(20_000, 60_000)
+    c = _sk(50_000, 90_000)
+
+    def m(order):
+        acc = ThetaSketch(k=4096)
+        for s in order:
+            acc.merge(s)
+        return acc.hashes.tobytes()
+
+    assert m([a, b, c]) == m([c, a, b]) == m([b, c, a])
+    # idempotent
+    aa = ThetaSketch(k=4096)
+    aa.merge(a)
+    aa.merge(a)
+    np.testing.assert_array_equal(aa.hashes, a.hashes)
+
+
+def test_serde():
+    from sketchlib import serde
+
+    t = _sk(0, 20_000)
+    rt = serde.from_bytes(t.to_bytes())
+    assert isinstance(rt, ThetaSketch)
+    np.testing.assert_array_equal(rt.hashes, t.hashes)
+
+
+def test_corpus_overlap_spark(spark):
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.api import corpus_overlap
+
+    a = spark.range(0, 30_000).select(
+        F.format_string("doc-%08d", F.col("id")).alias("doc_id")
+    )
+    b = spark.range(20_000, 50_000).select(
+        F.format_string("doc-%08d", F.col("id")).alias("doc_id")
+    )
+    rep = corpus_overlap(a, b, "doc_id", k=4096)
+    assert abs(rep["distinct_a"] - 30_000) / 30_000 <= 0.07
+    assert abs(rep["intersection"] - 10_000) / 10_000 <= 0.15
+    assert abs(rep["jaccard"] - 0.2) <= 0.05
+    assert abs(rep["a_minus_b"] - 20_000) / 20_000 <= 0.15
