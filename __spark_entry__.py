@@ -265,6 +265,35 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probed.select(F.col("c_custkey").cast("bigint"), F.col("member"))
 
 
+def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch corpus overlap (contamination check): A = document
+    ids, B = ids shifted by half the corpus — exact set sizes are
+    SQL-computable in both engines; ok asserts every estimate is within
+    4x the KMV RSE of exact."""
+    from sketchlib.spark.api import build_theta
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id").distinct()
+    n = docs.count()
+    off = n // 2
+    b_df = docs.select((F.col("doc_id") + off).alias("doc_id"))
+    a = build_theta(docs, "doc_id", k=4096)
+    b = build_theta(b_df, "doc_id", k=4096)
+    exact_inter = docs.join(b_df, "doc_id", "semi").count()
+    exact_union = docs.union(b_df).distinct().count()
+    tol = 4 * a.relative_std_error() + 0.01
+    ests = {
+        "distinct_a": (a.estimate(), n),
+        "distinct_b": (b.estimate(), n),
+        "intersection": (a.intersect_estimate(b), exact_inter),
+        "union": (a.union_estimate(b), exact_union),
+    }
+    rows = [
+        (m, int(exact), bool(abs(est - exact) / max(exact, 1) <= tol))
+        for m, (est, exact) in sorted(ests.items())
+    ]
+    return spark.createDataFrame(rows, "metric string, exact_count bigint, ok boolean")
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact relational hosting-layer parity (scan+filter+groupBy)."""
     li = _read(spark, sf_dir, "lineitem")
@@ -543,6 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_event_type_counts": q_cms_event_type,
         "heavy_hitters_user": q_heavy_hitters,
         "bloom_custkey_membership": q_bloom_membership,
+        "corpus_overlap": q_corpus_overlap,
         "pricing_summary": q_pricing_summary,
         "token_quantiles": q_token_quantiles,
         "token_grouped_quantiles": q_token_grouped_quantiles,
@@ -609,6 +639,19 @@ def oracle_sql() -> dict[str, str]:
         "bloom_custkey_membership": (
             "SELECT CAST(c_custkey AS BIGINT) AS c_custkey, TRUE AS member "
             "FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)"
+        ),
+        "corpus_overlap": (
+            "WITH a AS (SELECT DISTINCT doc_id FROM documents), "
+            "o AS (SELECT count(*) // 2 AS off FROM a), "
+            "b AS (SELECT doc_id + (SELECT off FROM o) AS doc_id FROM a) "
+            "SELECT 'distinct_a' AS metric, CAST((SELECT count(*) FROM a) AS BIGINT) "
+            "AS exact_count, TRUE AS ok "
+            "UNION ALL SELECT 'distinct_b', (SELECT count(*) FROM b), TRUE "
+            "UNION ALL SELECT 'intersection', "
+            "(SELECT count(*) FROM a JOIN b USING (doc_id)), TRUE "
+            "UNION ALL SELECT 'union', "
+            "(SELECT count(*) FROM (SELECT doc_id FROM a UNION SELECT doc_id FROM b)), "
+            "TRUE"
         ),
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "
