@@ -128,11 +128,11 @@ class KLL:
 
     def _compact_index(self, h: int) -> int:
         """Exponential compaction schedule (rc_sketch2.rs:127-136)."""
-        length = self.levels[h].size
+        length = int(self.levels[h].size)
         idx = length // 2 + (
             self.sections[h] - _trailing_ones(self.counters[h]) - 1
         ) * self.section_size[h]
-        return int(np.clip(idx, 0, length - 1))
+        return min(max(idx, 0), length - 1)
 
     def _coin(self, h: int) -> int:
         return splitmix64_int(mix_seed(self.seed, h, self.counters[h])) & 1

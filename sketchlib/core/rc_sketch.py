@@ -110,7 +110,7 @@ class RCSketch:
         if self.fast:
             return self.buffer_size // 2  # rc_sketch.rs:130-132
         idx = length - (_trailing_ones(self.counters[h]) + 1) * self.k
-        return int(np.clip(idx, 0, length - 1))
+        return min(max(int(idx), 0), int(length) - 1)
 
     def _coin(self, h: int) -> int:
         return splitmix64_int(mix_seed(self.seed, h, self.counters[h])) & 1
