@@ -1,8 +1,13 @@
 """Mergeable uniform sample via the bottom-k construction.
 
-Every item receives an i.i.d. uniform 64-bit key (seeded, so rebuilds
-reproduce the sample); the summary keeps the ``capacity`` items with
-the smallest keys.  The bottom-k of a union is the bottom-k of the
+Every item receives a uniform 64-bit key derived from (seed, stream
+position, value bits) — seeded, so rebuilds reproduce the sample, yet
+partition-unique: two summaries built with the same seed over
+different data produce independent key streams (position alone is NOT
+enough: same-seed partitions would then share one key stream and the
+merged bottom-k would select the same positions from every
+partition).  The summary keeps the ``capacity`` items with the
+smallest keys.  The bottom-k of a union is the bottom-k of the
 concatenated summaries, so merge = concatenate + re-select — exactly
 associative/commutative, and the kept set is a uniform random
 k-subset WITHOUT replacement of everything ever added (the property a
@@ -41,14 +46,17 @@ class ReservoirSample:
         v = np.asarray(values, dtype=np.float64).ravel()
         if v.size == 0:
             return
-        # keys = splitmix64 over the absolute item index: vectorized,
-        # and independent of numpy Generator implementation details
+        # keys = splitmix64 over (seed, absolute index, value bits):
+        # vectorized, independent of numpy Generator internals, and
+        # data-dependent so same-seed builders over different shards
+        # emit independent key streams (see module docstring)
         from sketchlib.core.hashing import splitmix64
 
         base = mix_seed(self.seed, 0x5EED)
         idx = np.arange(self.count, self.count + v.size, dtype=np.uint64)
         with np.errstate(over="ignore"):
-            new_keys = splitmix64(idx ^ np.uint64(base))
+            pos_keys = splitmix64(idx ^ np.uint64(base))
+            new_keys = splitmix64(v.view(np.uint64) ^ pos_keys)
         self.count += v.size
         self._absorb(new_keys, v)
 

@@ -76,13 +76,30 @@ class ThetaSketch:
     def relative_std_error(self) -> float:
         return 1.0 / np.sqrt(max(self.k - 2, 1))
 
+    def _cut(self) -> int:
+        """Integer sampling threshold: the k-th smallest hash, or
+        2^64-1 below capacity (theta = 1, every hash retained)."""
+        if self.hashes.size < self.k:
+            return 2**64 - 1
+        return int(self.hashes[-1])
+
     def intersect_estimate(self, other: "ThetaSketch") -> float:
-        """Estimated |A ∩ B|."""
-        theta = min(self.theta, other.theta)
-        cut = np.uint64(min(int(theta * _MAX), 2**64 - 1))
-        a = self.hashes[self.hashes <= cut] if theta < 1.0 else self.hashes
-        b = other.hashes[other.hashes <= cut] if theta < 1.0 else other.hashes
+        """Estimated |A ∩ B|.
+
+        The threshold stays a 64-bit INTEGER (min of the two sketches'
+        k-th smallest hashes) for the <= comparison, and theta is
+        derived from that same integer for the division — a float64
+        round-trip (int(theta * 2^64)) loses ~11 low bits and can
+        include/exclude hashes at the threshold inconsistently with the
+        theta used as divisor."""
+        cut = min(self._cut(), other._cut())
+        cut64 = np.uint64(cut)
+        a = self.hashes[self.hashes <= cut64]
+        b = other.hashes[other.hashes <= cut64]
         common = np.intersect1d(a, b, assume_unique=True).size
+        if cut == 2**64 - 1:  # both sketches exact: no scaling
+            return float(common)
+        theta = float(cut) / _MAX
         return common / theta if theta > 0 else float(common)
 
     def union_estimate(self, other: "ThetaSketch") -> float:

@@ -18,10 +18,10 @@ Probability a pair with Jaccard s collides in >= 1 band:
 1 - (1 - s^r)^b — with b=16, r=4 the S-curve crosses ~0.5 near
 s ~= 0.5, which is the classic near-dup operating point.
 
-Two input modes: ``text`` (whitespace words, hashed with blake2b —
-fine at test scale) and pre-tokenized ``array<int>`` columns (fully
-vectorized splitmix64 — the 10^12-token-scale path; tokenize once,
-dedup many times).
+Two input modes: ``text`` (whitespace words; ALL words of an Arrow
+batch hashed in one vectorized C-level call) and pre-tokenized
+``array<int>`` columns (fully vectorized splitmix64 — the
+10^12-token-scale path; tokenize once, dedup many times).
 """
 
 from __future__ import annotations
@@ -38,19 +38,51 @@ from sketchlib.core.hashing import hash_str, splitmix64
 _U64 = np.uint64
 
 
-def _word_shingle_hashes(text: str, w: int, seed: int) -> np.ndarray:
-    words = text.split()
-    if not words:
-        return np.zeros(1, dtype=np.uint64)
-    if len(words) < w:
-        return hash_str([" ".join(words)], seed=seed)
-    wh = hash_str(words, seed=seed)
-    n = len(words) - w + 1
+def _roll_shingles(wh: np.ndarray, w: int) -> np.ndarray:
+    """Unique rolling w-gram hashes from per-word hashes (vectorized)."""
+    n = wh.size - w + 1
     acc = wh[:n].copy()
     for i in range(1, w):
         with np.errstate(over="ignore"):
             acc = splitmix64(acc ^ (wh[i : i + n] * _U64(0x9E3779B97F4A7C15)))
     return np.unique(acc)
+
+
+def _word_shingle_hashes_batch(
+    texts, w: int, seed: int
+) -> list[np.ndarray]:
+    """Per-doc unique shingle hashes for a whole Arrow batch.
+
+    All words of every document in the batch are hashed in ONE
+    vectorized ``hash_str`` call (the former per-doc/per-word loop
+    dominated the dedup_minhash query); only the cheap rolling combine
+    runs per document."""
+    docs = [(t or "").split() for t in texts]
+    flat: list[str] = []
+    spans: list[tuple[int, int, int]] = []  # (start, n, kind) 0=empty 1=short 2=full
+    for ws in docs:
+        if not ws:
+            spans.append((len(flat), 0, 0))
+        elif len(ws) < w:
+            spans.append((len(flat), 1, 1))
+            flat.append(" ".join(ws))
+        else:
+            spans.append((len(flat), len(ws), 2))
+            flat.extend(ws)
+    wh_all = hash_str(flat, seed=seed)
+    out: list[np.ndarray] = []
+    for start, n, kind in spans:
+        if kind == 0:
+            out.append(np.zeros(1, dtype=np.uint64))
+        elif kind == 1:
+            out.append(wh_all[start : start + 1].copy())
+        else:
+            out.append(_roll_shingles(wh_all[start : start + n], w))
+    return out
+
+
+def _word_shingle_hashes(text: str, w: int, seed: int) -> np.ndarray:
+    return _word_shingle_hashes_batch([text], w, seed)[0]
 
 
 def _token_shingle_hashes(tokens: np.ndarray, w: int, seed: int) -> np.ndarray:
@@ -108,12 +140,11 @@ def minhash_signatures(
 
         @pandas_udf("array<long>")
         def sig_udf(vals: pd.Series) -> pd.Series:
+            shingles = _word_shingle_hashes_batch(vals, shingle_w, seed)
             return pd.Series(
                 [
-                    _minhash_from_shingles(
-                        _word_shingle_hashes(v or "", shingle_w, seed), num_perm, seed
-                    ).tolist()
-                    for v in vals
+                    _minhash_from_shingles(sh, num_perm, seed).tolist()
+                    for sh in shingles
                 ]
             )
 
@@ -125,6 +156,7 @@ def lsh_candidate_pairs(
     bands: int = 16,
     rows_per_band: int = 4,
     max_bucket: int = 64,
+    num_perm: int | None = None,
 ) -> DataFrame:
     """DataFrame[id_a, id_b] distinct candidate pairs from band-hash
     buckets.  Everything stays JVM-side: band hashes via ``xxhash64``
@@ -135,6 +167,15 @@ def lsh_candidate_pairs(
     applyInPandas-per-bucket version spent ~2ms of Python overhead per
     bucket — 100k buckets made candidate generation the bottleneck.)"""
     from pyspark.sql.window import Window
+
+    if num_perm is not None and bands * rows_per_band > num_perm:
+        # F.slice past the end of the signature silently yields
+        # truncated/empty band slices: trailing bands would hash a
+        # constant and place EVERY document in one bucket
+        raise ValueError(
+            f"bands*rows_per_band = {bands * rows_per_band} exceeds the "
+            f"signature length num_perm = {num_perm}"
+        )
 
     band_hashes = F.array(
         *[
@@ -192,14 +233,8 @@ def _shingle_sets_df(
 
         @pandas_udf("array<long>")
         def sh_udf(vals: pd.Series) -> pd.Series:
-            return pd.Series(
-                [
-                    _word_shingle_hashes(v or "", shingle_w, seed)
-                    .view(np.int64)
-                    .tolist()
-                    for v in vals
-                ]
-            )
+            shingles = _word_shingle_hashes_batch(vals, shingle_w, seed)
+            return pd.Series([sh.view(np.int64).tolist() for sh in shingles])
 
     return df.select(F.col(id_col).alias("id"), sh_udf(F.col(col)).alias("sh"))
 
@@ -259,7 +294,9 @@ def minhash_near_duplicates(
         df, col, id_col, num_perm=num_perm, shingle_w=shingle_w, seed=seed,
         tokens=tokens,
     )
-    cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
+    cands = lsh_candidate_pairs(
+        sigs, bands=bands, rows_per_band=rows_per_band, num_perm=num_perm
+    )
     verified = exact_jaccard_pairs(
         cands, df, col, id_col, shingle_w=shingle_w, seed=seed, tokens=tokens
     )

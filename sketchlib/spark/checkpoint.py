@@ -82,11 +82,24 @@ def run_checkpointed(
             F.lit(1).cast("bigint").alias("n_merges"),
             F.lit(time.time()).alias("wall_ts"),
         )
-        ledger_rows.write.mode("append").parquet(checkpoint_dir)
+        # resume=False must not stack a second copy of every lineage on
+        # top of an existing ledger (the final merge would double-count)
+        mode = "append" if resume else "overwrite"
+        ledger_rows.write.mode(mode).parquet(checkpoint_dir)
         recomputed = len(remaining)
 
-    # final merge over the complete ledger
-    ledger = spark.read.parquet(checkpoint_dir)
+    # final merge over the complete ledger.  Keep exactly one row per
+    # lineage (latest wall_ts): a duplicate append — e.g. a transient
+    # read error in _ledger_exists forcing a full recompute — must not
+    # double-count (recomputes are bit-identical, so any copy is valid).
+    from pyspark.sql import Window
+
+    newest = Window.partitionBy("lineage_id").orderBy(F.desc("wall_ts"))
+    ledger = (
+        spark.read.parquet(checkpoint_dir)
+        .withColumn("_rn", F.row_number().over(newest))
+        .filter(F.col("_rn") == 1)
+    )
     rows = ledger.select("state", "n_updates", "build_secs").collect()
     if not rows:
         return None, {"lineages": 0, "n_updates": 0}

@@ -76,6 +76,43 @@ def test_partial_run_resume_completes(spark, tokens_df, tmp_path):
         assert abs(sk.value_at_quantile(q) - true) <= max(0.02 * true, 1.5)
 
 
+def test_no_double_count_on_duplicate_ledger_rows(spark, tokens_df, tmp_path):
+    """Regression: (a) resume=False over an existing ledger overwrites
+    instead of stacking a second copy of every lineage; (b) even if
+    duplicate rows DO land in the ledger (e.g. a transient read error
+    forced a full recompute-and-append), the final merge dedupes per
+    lineage_id and must not double-count."""
+    ckpt = str(tmp_path / "ckpt_dup")
+    args = dict(
+        checkpoint_dir=ckpt, lineage_col="doc_id", n_lineage=N_LINEAGE,
+        sketch_kind="tdigest",
+    )
+    sk, _ = run_checkpointed(
+        spark, tokens_df, "n_tok", lambda: TDigest(delta=300), **args
+    )
+    assert sk.count == N_ROWS
+
+    # (a) fresh run with resume=False over the same dir: not doubled
+    sk2, m2 = run_checkpointed(
+        spark, tokens_df, "n_tok", lambda: TDigest(delta=300),
+        resume=False, **args,
+    )
+    assert m2["lineages_total"] == N_LINEAGE
+    assert sk2.count == N_ROWS
+
+    # (b) force duplicate rows into the ledger, then resume
+    ledger = spark.read.parquet(ckpt)
+    ledger.withColumn("wall_ts", F.col("wall_ts") - 10).write.mode(
+        "append"
+    ).parquet(ckpt)
+    assert spark.read.parquet(ckpt).count() == 2 * N_LINEAGE
+    sk3, m3 = run_checkpointed(
+        spark, tokens_df, "n_tok", lambda: TDigest(delta=300), **args
+    )
+    assert m3["lineages_total"] == N_LINEAGE
+    assert sk3.count == N_ROWS
+
+
 def test_deterministic_lineage_recompute(spark, tokens_df, tmp_path):
     """KLL lineage states are bit-identical across recomputation
     (seeded compaction coins -> reproducible resume)."""

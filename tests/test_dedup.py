@@ -149,3 +149,18 @@ def test_lsh_bucket_cap(spark):
     pairs = lsh_candidate_pairs(sigs, max_bucket=16)
     n = pairs.count()
     assert 0 < n <= 16 * 15 / 2
+
+
+def test_lsh_rejects_short_signature(spark):
+    # bands*rows_per_band beyond the signature length would make the
+    # trailing F.slice bands hash a constant (one giant bucket)
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("d1", "a b c d e")], ["doc_id", "text"])
+    sigs = minhash_signatures(df, num_perm=8)
+    with _pytest.raises(ValueError, match="exceeds the signature length"):
+        lsh_candidate_pairs(sigs, bands=4, rows_per_band=4, num_perm=8)
+    with _pytest.raises(ValueError, match="exceeds the signature length"):
+        minhash_near_duplicates(
+            df, num_perm=8, bands=4, rows_per_band=4
+        )

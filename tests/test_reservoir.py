@@ -85,6 +85,40 @@ def test_distributed_sample(spark):
     assert abs(np.quantile(s, 0.5) - 500) < 40
 
 
+def test_same_seed_partitions_independent_keys():
+    # Regression: keys must depend on the data, not just (seed, local
+    # index) — otherwise P same-seed partition builders emit identical
+    # key streams and the merged bottom-k selects the same ~cap/P
+    # stream POSITIONS from every partition (collapsing effective
+    # sample size for position-correlated shards).
+    P, n, cap = 8, 10_000, 2000
+    rng = np.random.default_rng(0)
+    parts = []
+    for p in range(P):
+        r = ReservoirSample(capacity=cap, seed=11)  # same seed, as the
+        r.add_buffer(rng.uniform(p, p + 1, n))      # spark factory does
+        parts.append(r)
+    acc = parts[0]
+    for r in parts[1:]:
+        acc.merge(r)
+    vals = acc.sample()
+    assert vals.size == cap
+    # recover each sampled item's within-partition stream position by
+    # rebuilding the per-partition streams
+    rng = np.random.default_rng(0)
+    positions = set()
+    for p in range(P):
+        stream = rng.uniform(p, p + 1, n)
+        sel = np.isin(stream, vals)
+        positions.update(np.nonzero(sel)[0].tolist())
+    # uniform selection over 8 partitions of 10k: ~1800 distinct
+    # positions expected; the correlated-key bug yields exactly cap/P=250
+    assert len(positions) > 1200, len(positions)
+    # and the sample still covers all partitions roughly evenly
+    share = np.bincount(vals.astype(int), minlength=P) / cap
+    assert share.min() > 0.06 and share.max() < 0.20
+
+
 def test_merge_associative_exact():
     # bottom-k merge is exactly associative/commutative on the state
     import itertools
