@@ -57,20 +57,25 @@ def _sf_rows(sf_dir: str) -> int:
     return max(int(1_000_000 * sf), 1_000)
 
 
-def _rank_ok(df: DataFrame, col: str, qs: list[float], ests: list[float]) -> list[bool]:
-    """Rank-space error check: the CDF interval [P(<e), P(<=e)] around
-    the estimate (or its nearest-integer snap — interpolated estimates
-    on discrete columns land in probability-mass gaps) must contain q
-    within RANK_TOL."""
-    aggs = [F.count(F.col(col)).alias("n")]
-    cands = [(float(e), float(np.rint(e))) for e in ests]
-    for i, (e, r) in enumerate(cands):
-        c = F.col(col).cast("double")
-        aggs.append(F.avg((c < F.lit(e)).cast("double")).alias(f"lt{i}"))
-        aggs.append(F.avg((c <= F.lit(e)).cast("double")).alias(f"le{i}"))
-        aggs.append(F.avg((c < F.lit(r)).cast("double")).alias(f"rlt{i}"))
-        aggs.append(F.avg((c <= F.lit(r)).cast("double")).alias(f"rle{i}"))
-    row = df.agg(*aggs).first()
+def _rank_aggs(col: str, ests: list[float]) -> list:
+    """Conditional-aggregate columns for the rank-space error check:
+    per estimate, the CDF interval [P(<e), P(<=e)] (and its
+    nearest-integer snap — interpolated estimates on discrete columns
+    land in probability-mass gaps)."""
+    c = F.col(col).cast("double")
+    aggs = [F.count(c).alias("n")]
+    for i, e in enumerate(ests):
+        r = float(np.rint(e))
+        aggs += [
+            F.avg((c < F.lit(float(e))).cast("double")).alias(f"lt{i}"),
+            F.avg((c <= F.lit(float(e))).cast("double")).alias(f"le{i}"),
+            F.avg((c < F.lit(r)).cast("double")).alias(f"rlt{i}"),
+            F.avg((c <= F.lit(r)).cast("double")).alias(f"rle{i}"),
+        ]
+    return aggs
+
+
+def _rank_oks(row, qs: list[float]) -> list[bool]:
     # count-aware tolerance: a single rank step is 1/n, so tiny inputs
     # (small sf / small groups) get proportional slack
     tol = max(RANK_TOL, 1.5 / max(row["n"], 1))
@@ -81,6 +86,46 @@ def _rank_ok(df: DataFrame, col: str, qs: list[float], ests: list[float]) -> lis
         )
         for i, q in enumerate(qs)
     ]
+
+
+def _rank_ok(df: DataFrame, col: str, qs: list[float], ests: list[float]) -> list[bool]:
+    """Rank-space error check in one aggregation job (no raw-row collect)."""
+    row = df.agg(*_rank_aggs(col, ests)).first()
+    return _rank_oks(row, qs)
+
+
+def _grouped_rank_ok(
+    df: DataFrame, key_col: str, col: str, est_map: dict
+) -> dict:
+    """Per-group rank-space check: ``est_map`` is {(key, q): estimate};
+    returns {(key, q): ok}.  ONE aggregation job with per-group
+    conditional aggregates — never a full-table collect (a driver OOM
+    at real scale)."""
+    items = sorted(est_map.items())
+    keys = sorted({k for (k, _q) in est_map})
+    kidx = {k: i for i, k in enumerate(keys)}
+    c = F.col(col).cast("double")
+    aggs = []
+    for k in keys:
+        aggs.append(F.count(F.when(F.col(key_col) == k, 1)).alias(f"n{kidx[k]}"))
+    for j, ((k, _q), e) in enumerate(items):
+        m = F.col(key_col) == k
+        r = float(np.rint(e))
+        aggs += [
+            F.avg(F.when(m, (c < F.lit(float(e))).cast("double"))).alias(f"lt{j}"),
+            F.avg(F.when(m, (c <= F.lit(float(e))).cast("double"))).alias(f"le{j}"),
+            F.avg(F.when(m, (c < F.lit(r)).cast("double"))).alias(f"rlt{j}"),
+            F.avg(F.when(m, (c <= F.lit(r)).cast("double"))).alias(f"rle{j}"),
+        ]
+    row = df.agg(*aggs).first()
+    out = {}
+    for j, ((k, q), _e) in enumerate(items):
+        tol = max(RANK_TOL, 1.5 / max(row[f"n{kidx[k]}"], 1))
+        out[(k, q)] = bool(
+            row[f"lt{j}"] - tol <= q <= row[f"le{j}"] + tol
+            or row[f"rlt{j}"] - tol <= q <= row[f"rle{j}"] + tol
+        )
+    return out
 
 
 def _quantile_query(
@@ -94,10 +139,16 @@ def _quantile_query(
 ) -> DataFrame:
     df = _read(spark, sf_dir, table).filter(F.col(col).isNotNull())
     ests, _sk = approx_quantiles(df, col, qs, sketch=sketch, **params)
-    exact = df.select(
-        F.percentile(F.col(col).cast("double"), F.array(*[F.lit(q) for q in qs])).alias("p")
-    ).first()["p"]
-    oks = _rank_ok(df, col, qs, ests)
+    # exact percentiles + rank-interval fractions fused into ONE
+    # aggregation job (was two separate actions over the same scan)
+    aggs = _rank_aggs(col, ests) + [
+        F.percentile(
+            F.col(col).cast("double"), F.array(*[F.lit(q) for q in qs])
+        ).alias("p")
+    ]
+    row = df.agg(*aggs).first()
+    exact = row["p"]
+    oks = _rank_oks(row, qs)
     rows = [
         (float(q), float(round(x, 4)), bool(ok))
         for q, x, ok in zip(qs, exact, oks)
@@ -138,30 +189,31 @@ def q_grouped_doc_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exercises the grouped (map-side-combine + salted merge) path."""
     qs = [0.5, 0.9]
     docs = _read(spark, sf_dir, "documents")
-    est_df = grouped_quantiles(
+    est_rows = grouped_quantiles(
         docs, ["lang"], "n_chars", qs, sketch="tdigest", delta=1000,
         salt_buckets=4,
-    ).toPandas()
-    pdf = docs.select("lang", "n_chars").toPandas()
-    rows = []
-    for lang, grp in sorted(pdf.groupby("lang")):
-        vals = grp["n_chars"].to_numpy(dtype=np.float64)
-        n = vals.size
-        srt = np.sort(vals)
-        for q in qs:
-            exact = float(np.quantile(vals, q))
-            est = float(
-                est_df[(est_df.lang == lang) & (est_df.q == q)]["value"].iloc[0]
-            )
-            ok = False
-            tol = max(RANK_TOL, 1.5 / max(n, 1))
-            for cand in (est, float(np.rint(est))):
-                lt = np.searchsorted(srt, cand, side="left") / n
-                le = np.searchsorted(srt, cand, side="right") / n
-                if (lt - tol) <= q <= (le + tol):
-                    ok = True
-                    break
-            rows.append((lang, float(q), float(round(exact, 4)), bool(ok)))
+    ).collect()  # groups x qs rows — tiny
+    est_map = {(r["lang"], r["q"]): float(r["value"]) for r in est_rows}
+    # per-group rank check via conditional aggregates — NO raw-row
+    # collect (the former .toPandas() pulled every row to the driver)
+    oks = _grouped_rank_ok(docs, "lang", "n_chars", est_map)
+    exact_rows = (
+        docs.groupBy("lang")
+        .agg(
+            *[
+                F.round(
+                    F.percentile(F.col("n_chars").cast("double"), F.lit(q)), 4
+                ).alias(f"p{int(q * 100)}")
+                for q in qs
+            ]
+        )
+        .collect()
+    )
+    rows = sorted(
+        (r["lang"], float(q), float(r[f"p{int(q * 100)}"]), oks[(r["lang"], q)])
+        for r in exact_rows
+        for q in qs
+    )
     return spark.createDataFrame(
         rows, "lang string, q double, exact_value double, ok boolean"
     )
@@ -207,15 +259,18 @@ def q_cms_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CMS-backed top-k heavy hitters over events.user_id: the true
-    top-5 (Spark-exact) must appear in the found top-10 and no
-    estimate may undercount (verified Spark-side; constant-shape
+    """Top-k heavy hitters over events.user_id — SpaceSaving primary
+    (formal tracking guarantee), CMS backend as cross-check: the true
+    top-5 (Spark-exact) must appear in both backends' found top-10 and
+    no estimate may undercount (verified Spark-side; constant-shape
     oracle)."""
     from sketchlib.spark.api import heavy_hitters
 
     events = _read(spark, sf_dir, "events")
-    got = heavy_hitters(events, "user_id", k=10).collect()
+    got = heavy_hitters(events, "user_id", k=10).collect()  # SS default
+    got_cms = heavy_hitters(events, "user_id", k=10, backend="cms").collect()
     got_keys = [r["user_id"] for r in got]
+    cms_keys = [r["user_id"] for r in got_cms]
     exact = events.groupBy("user_id").count()
     top5 = [
         r["user_id"]
@@ -223,10 +278,16 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     true_counts = {
         r["user_id"]: r["count"]
-        for r in exact.filter(F.col("user_id").isin(got_keys)).collect()
+        for r in exact.filter(
+            F.col("user_id").isin(got_keys + cms_keys)
+        ).collect()
     }
-    containment_ok = all(k in got_keys for k in top5)
-    no_undercount = all(r["est_count"] >= true_counts[r["user_id"]] for r in got)
+    containment_ok = all(k in got_keys for k in top5) and all(
+        k in cms_keys for k in top5
+    )
+    no_undercount = all(
+        r["est_count"] >= true_counts[r["user_id"]] for r in got + got_cms
+    )
 
     # SpaceSaving backend: guaranteed tracking of the same top-5
     from sketchlib.spark.api import heavy_hitters_spacesaving
@@ -318,9 +379,6 @@ def q_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = [0.1, 0.5, 0.9, 0.99]
 
     ests_row, _ = approx_quantiles(df, "n_tok", qs, sketch="tdigest", delta=2000)
-    exact_row = df.select(
-        F.percentile(F.col("n_tok").cast("double"), F.array(*[F.lit(q) for q in qs]))
-    ).first()[0]
     oks_row = _rank_ok(df, "n_tok", qs, ests_row)
 
     ests_tok, _ = approx_quantiles(
@@ -345,39 +403,14 @@ def q_token_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _sf_rows(sf_dir)
     df = token_sequences(spark, n, seed=42)
     qs = [0.5, 0.9]
-    est = grouped_quantiles(
+    est_rows = grouped_quantiles(
         df, ["source"], "n_tok", qs, sketch="tdigest", delta=1000, salt_buckets=8
-    ).toPandas()
-    exact = {
-        (r["source"], q): r[f"p{int(q * 100)}"]
-        for r in df.groupBy("source")
-        .agg(
-            *[
-                F.percentile(F.col("n_tok").cast("double"), F.lit(q)).alias(
-                    f"p{int(q * 100)}"
-                )
-                for q in qs
-            ]
-        )
-        .collect()
-        for q in qs
-    }
-    pdf = df.select("source", "n_tok").toPandas()
-    rows = []
-    for (src, q), grp in est.groupby(["source", "q"]):
-        e = float(grp["value"].iloc[0])
-        vals = np.sort(pdf[pdf.source == src]["n_tok"].to_numpy(np.float64))
-        nn = vals.size
-        ok = False
-        tol = max(RANK_TOL, 1.5 / max(nn, 1))
-        for cand in (e, float(np.rint(e))):
-            lt = np.searchsorted(vals, cand, side="left") / nn
-            le = np.searchsorted(vals, cand, side="right") / nn
-            if (lt - tol) <= q <= (le + tol):
-                ok = True
-                break
-        rows.append((src, float(q), bool(ok)))
-    rows.sort()
+    ).collect()  # groups x qs rows — tiny
+    est_map = {(r["source"], r["q"]): float(r["value"]) for r in est_rows}
+    # per-group rank check via conditional aggregates — NO raw-row
+    # collect (the former .toPandas() pulled every row to the driver)
+    oks = _grouped_rank_ok(df, "source", "n_tok", est_map)
+    rows = sorted((src, float(q), ok) for (src, q), ok in oks.items())
     return spark.createDataFrame(rows, "source string, q double, ok boolean")
 
 

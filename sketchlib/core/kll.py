@@ -107,6 +107,13 @@ class KLL:
         self.min = min(self.min, float(v.min()))
         self.max = max(self.max, float(v.max()))
         self.count += v.size
+        # pre-sort the incoming batch: every level then stays a
+        # concatenation of SORTED RUNS (kept prefix + promoted slices
+        # are sorted by construction), so the per-compaction stable
+        # sort degenerates to a timsort run-merge — O(len) instead of
+        # O(len log len).  Order-insensitive by the KLL guarantees;
+        # deterministic (same batch stream -> same state).
+        v = np.sort(v)
         # fill level 0 up to whole-sketch capacity, then compress
         # (rc_sketch2.rs:171-207)
         cap = self._sketch_cap()
@@ -140,7 +147,9 @@ class KLL:
     def _compact_level(self, h: int) -> None:
         """Sort; protect values below the compact index; promote every
         other value of the rest (rc_sketch.rs:243-274)."""
-        buf = np.sort(self.levels[h])
+        # stable = timsort: detects the sorted runs every level is made
+        # of (see add_buffer) and merges them in ~linear time
+        buf = np.sort(self.levels[h], kind="stable")
         idx = self._compact_index(h)
         keep, promote_src = buf[:idx], buf[idx:]
         off = self._coin(h)

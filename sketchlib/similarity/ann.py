@@ -13,8 +13,9 @@
   the data).  Recall is checked against the brute baseline in tests.
 * ``embedding_near_duplicates`` — all-pairs cosine >= threshold via
   the same partitioned GEMM (candidate block x full broadcast matrix)
-  — practical when one side fits in memory per executor; beyond that,
-  use ivf bucketing on both sides.
+  when the table fits in executor memory; past ``max_side`` rows it
+  auto-delegates to ``ivf_near_duplicates`` (bucketed both sides) —
+  never a silent cap.
 
 Embeddings are ``array<float>`` columns; batches convert to (rows, d)
 float32 matrices via one reshape of the Arrow flat buffer.
@@ -126,21 +127,46 @@ def train_centroids(
     """Deterministic k-means-lite on a driver-side sample (seeded
     subsample + a few Lloyd iterations).  Centroid quality only gates
     recall/speed, never correctness (verification is exact)."""
-    rows = (
-        df.select(vec_col)
-        .limit(sample)
-        .toPandas()[vec_col]
-    )
+    # seeded random sample — NOT .limit(): limit takes the first
+    # partitions' rows, so on data sorted/clustered by similarity the
+    # centroids would all be trained inside one region (recall collapse)
+    n = df.count()
+    if n > sample:
+        frac = min(1.0, 1.3 * sample / n)  # oversample; trimmed below
+        picked = df.select(vec_col).sample(fraction=frac, seed=seed)
+    else:
+        picked = df.select(vec_col)
+    rows = picked.toPandas()[vec_col]
     m = _normalize(np.array([np.asarray(r, dtype=np.float32) for r in rows]))
+    if m.shape[0] > sample:
+        # trim with a seeded shuffle, NOT .limit(): limit keeps the
+        # FIRST rows, re-biasing the sample toward early partitions
+        keep = np.random.default_rng(seed).choice(
+            m.shape[0], size=sample, replace=False
+        )
+        m = m[np.sort(keep)]
+    k = min(n_centroids, m.shape[0])
     rng = np.random.default_rng(seed)
-    init = rng.choice(m.shape[0], size=min(n_centroids, m.shape[0]), replace=False)
-    cents = m[np.sort(init)].copy()
+    # greedy farthest-point init (k-means++-style, deterministic):
+    # random init can seed two centroids in one cluster and leave
+    # another uncovered — Lloyd rarely recovers from that
+    chosen = [int(rng.integers(m.shape[0]))]
+    best_cos = m @ m[chosen[0]]  # max cosine to any chosen centroid
+    for _ in range(1, k):
+        nxt = int(np.argmin(best_cos))
+        chosen.append(nxt)
+        best_cos = np.maximum(best_cos, m @ m[nxt])
+    cents = m[chosen].copy()
     for _ in range(iters):
-        assign = np.argmax(m @ cents.T, axis=1)
+        sims = m @ cents.T
+        assign = np.argmax(sims, axis=1)
         for c in range(cents.shape[0]):
             members = m[assign == c]
             if members.size:
                 cents[c] = members.mean(axis=0)
+            else:
+                # reseed an empty centroid at the worst-covered point
+                cents[c] = m[int(np.argmin(sims.max(axis=1)))]
         cents = _normalize(cents)
     return cents
 
@@ -348,12 +374,39 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_side: int = 100_000,
+    on_overflow: str = "ivf",
+    **ivf_kwargs,
 ) -> DataFrame:
     """All-pairs cosine >= threshold (id_a < id_b):
-    DataFrame[id_a, id_b, cos].  Broadcasts one normalized side
-    (capped at max_side rows) and GEMMs candidate batches against it;
-    beyond max_side, pre-bucket both sides with IVF."""
-    side = df.select(id_col, vec_col).limit(max_side).toPandas()
+    DataFrame[id_a, id_b, cos].  Broadcasts one normalized side and
+    GEMMs candidate batches against it.
+
+    The broadcast side must hold the ENTIRE table — a capped broadcast
+    would silently never emit pairs among the excluded rows.  When the
+    table exceeds ``max_side`` rows this either delegates to
+    ``ivf_near_duplicates`` (``on_overflow="ivf"``, the
+    bucketed-both-sides formulation — same output schema) or raises
+    (``on_overflow="raise"``)."""
+    if on_overflow not in ("ivf", "raise"):
+        raise ValueError(
+            f"unknown on_overflow {on_overflow!r} (use 'ivf' or 'raise')"
+        )
+    n = df.count()
+    if n > max_side:
+        if on_overflow == "ivf":
+            return ivf_near_duplicates(
+                df,
+                threshold=threshold,
+                id_col=id_col,
+                vec_col=vec_col,
+                **ivf_kwargs,
+            )
+        raise ValueError(
+            f"embedding_near_duplicates: table has {n} rows > max_side="
+            f"{max_side}; a capped broadcast would silently drop pairs. "
+            "Use ivf_near_duplicates (or on_overflow='ivf')."
+        )
+    side = df.select(id_col, vec_col).toPandas()
     ids_b = side[id_col].to_numpy()
     mb = _normalize(
         np.array([np.asarray(v, dtype=np.float32) for v in side[vec_col]])

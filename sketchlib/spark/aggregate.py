@@ -172,20 +172,29 @@ def tree_merge(
     partials: DataFrame,
     fanout: int = 64,
     collect_threshold: int = 256,
+    size_hint: int | None = None,
 ):
     """collect_threshold trades a whole extra shuffle stage against
     driver collect volume: KB-scale states (t-digest/KLL/HLL) can skip
     the tree stage up to a few hundred partials; pass a small threshold
-    for fat states (CMS/Bloom)."""
-    return _tree_merge_impl(partials, fanout, collect_threshold)
+    for fat states (CMS/Bloom).  ``size_hint`` is the known task count
+    of the partials stage — passing it avoids a DataFrame->RDD plan
+    conversion done only to read the partition count."""
+    return _tree_merge_impl(partials, fanout, collect_threshold, size_hint)
 
 
-def _tree_merge_impl(partials: DataFrame, fanout: int, collect_threshold: int):
+def _tree_merge_impl(
+    partials: DataFrame,
+    fanout: int,
+    collect_threshold: int,
+    size_hint: int | None = None,
+):
     """Stages 2+3: fanout-ary tree reduce of partial states, final
     merge on the driver.  Returns the merged sketch object (or None if
     the input was empty)."""
     df = partials
-    size = df.rdd.getNumPartitions()  # upper bound on state rows
+    # upper bound on state rows (partials emit <=1 row per task)
+    size = size_hint if size_hint is not None else df.rdd.getNumPartitions()
     while size > collect_threshold:
         buckets = max((size + fanout - 1) // fanout, 1)
         df = df.groupBy(
@@ -214,10 +223,17 @@ def sketch_column(
     collect_threshold: int = 256,
 ):
     """End-to-end: build partials, tree-merge, return the final sketch."""
+    # partition count read off the INPUT plan (usually a bare scan —
+    # cheap), not the partials plan with the Python map node
+    try:
+        hint = df.rdd.getNumPartitions()
+    except Exception:
+        hint = None
     return tree_merge(
         build_partials(df, col, factory, kind),
         fanout=fanout,
         collect_threshold=collect_threshold,
+        size_hint=hint,
     )
 
 
@@ -311,6 +327,7 @@ def grouped_sketch(
     factory: Callable[[], object],
     kind: str = KIND_DOUBLE,
     salt_buckets: int = 0,
+    max_groups_per_partition: int = 100_000,
 ) -> DataFrame:
     """Per-group sketches: DataFrame[*keys, state binary, items long].
 
@@ -319,6 +336,12 @@ def grouped_sketch(
     carries at most (#partitions x #keys) small state rows — raw rows
     never shuffle.  With ``salt_buckets > 0`` an intermediate merge
     level caps the per-key fan-in for hot keys (Zipf sources).
+
+    Stage-1 memory is BOUNDED: when the per-partition dict exceeds
+    ``max_groups_per_partition`` keys it flushes its states as output
+    rows and starts empty (the stage-2 merge absorbs the duplicate key
+    rows) — high-cardinality key columns at 100x scale must not grow
+    an unbounded map in the worker.
     """
     if kind == KIND_HASH64:
         vdf = df.select(*keys, F.xxhash64(F.col(col)).alias("__v"))
@@ -326,6 +349,23 @@ def grouped_sketch(
         vdf = df.select(*keys, F.col(col).alias("__v"))
     nk = len(keys)
     key_fields = [vdf.schema[k] for k in keys]
+
+    def _emit(sketches: dict, elapsed: float) -> pa.RecordBatch:
+        names = keys + ["state", "items", "build_secs"]
+        key_arrays = [pa.array([kt[i] for kt in sketches]) for i in range(nk)]
+        return pa.RecordBatch.from_arrays(
+            key_arrays
+            + [
+                pa.array(
+                    [e[0].to_bytes() for e in sketches.values()], type=pa.binary()
+                ),
+                pa.array([e[1] for e in sketches.values()], type=pa.int64()),
+                pa.array(
+                    [elapsed / len(sketches)] * len(sketches), type=pa.float64()
+                ),
+            ],
+            names=names,
+        )
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         t0 = time.monotonic()
@@ -374,22 +414,15 @@ def grouped_sketch(
                 if ent is None:
                     ent = sketches[kt] = [factory(), 0]
                 ent[1] += _feed(ent[0], vals)
+            if len(sketches) >= max_groups_per_partition:
+                # flush-on-threshold: bound worker memory under
+                # high-cardinality keys; stage 2 merges duplicates
+                yield _emit(sketches, time.monotonic() - t0)
+                sketches = {}
+                t0 = time.monotonic()
         if not sketches:
             return
-        elapsed = time.monotonic() - t0
-        names = keys + ["state", "items", "build_secs"]
-        key_arrays = [pa.array([kt[i] for kt in sketches]) for i in range(nk)]
-        yield pa.RecordBatch.from_arrays(
-            key_arrays
-            + [
-                pa.array([e[0].to_bytes() for e in sketches.values()], type=pa.binary()),
-                pa.array([e[1] for e in sketches.values()], type=pa.int64()),
-                pa.array(
-                    [elapsed / len(sketches)] * len(sketches), type=pa.float64()
-                ),
-            ],
-            names=names,
-        )
+        yield _emit(sketches, time.monotonic() - t0)
 
     key_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in key_fields)
     partials = vdf.mapInArrow(fn, f"{key_schema}, {_PARTIAL_SCHEMA}")

@@ -104,32 +104,34 @@ def build_bloom(
     return sk if sk is not None else factory()
 
 
-def heavy_hitters_spacesaving(
-    df: DataFrame, col: str, k: int = 10, capacity: int = 4096
-) -> DataFrame:
-    """Top-k via a distributed SpaceSaving sketch: one scan, no
-    candidate pass; guaranteed to track every item with true count >
-    N/capacity.  Returns DataFrame[key_hash, est_count, max_err] —
-    identities are xxhash64 keys (join back on xxhash64(col) to
-    recover values)."""
+def _spacesaving_topk(df: DataFrame, col: str, k: int, capacity: int):
+    """SpaceSaving top-k over xxhash64(col): list of
+    (key_hash_int64, est_count, max_err) — the formal guarantee is
+    that every item with true count > N/capacity is tracked and
+    est_count never undercounts."""
     from sketchlib.core.spacesaving import SpaceSaving
 
     ss = sketch_column(
         df, col, lambda: SpaceSaving(capacity=capacity), KIND_HASH64,
         collect_threshold=32,
     )
-    spark = df.sparkSession
     if ss is None:
-        return spark.createDataFrame(
-            [], "key_hash bigint, est_count bigint, max_err bigint"
-        )
-    import numpy as np
-
-    rows = [
+        return []
+    return [
         (int(np.uint64(h).astype(np.int64)), int(c), int(e))
         for h, c, e in ss.top_k(k)
     ]
-    return spark.createDataFrame(
+
+
+def heavy_hitters_spacesaving(
+    df: DataFrame, col: str, k: int = 10, capacity: int = 4096
+) -> DataFrame:
+    """Top-k via a distributed SpaceSaving sketch: one scan, no
+    candidate pass; guaranteed to track every item with true count >
+    N/capacity.  Returns DataFrame[key_hash, est_count, max_err] —
+    identities are xxhash64 keys (``heavy_hitters`` recovers values)."""
+    rows = _spacesaving_topk(df, col, k, capacity)
+    return df.sparkSession.createDataFrame(
         rows, "key_hash bigint, est_count bigint, max_err bigint"
     )
 
@@ -138,21 +140,54 @@ def heavy_hitters(
     df: DataFrame,
     col: str,
     k: int = 10,
+    backend: str = "spacesaving",
+    capacity: int = 4096,
     depth: int = 5,
     width: int = 65536,
     candidates_per_partition: int | None = None,
 ) -> DataFrame:
-    """Top-k frequent values without a raw-row shuffle.
+    """Top-k frequent values without a raw-row shuffle:
+    DataFrame[col, est_count] (est_count never undercounts).
 
-    Two single-pass scans: (1) a count-min sketch of the column;
-    (2) per-partition local top-C candidates (pandas value_counts in
-    mapInPandas — a bounded map-side combine).  Candidates that are
-    globally frequent appear in the local top-C of the partitions that
-    hold them, so the union of local candidates contains the true
-    heavy hitters; each candidate's final count comes from the CMS
-    (upper bound within eps*N).  Returns DataFrame[col, est_count]
-    with the top k by estimate."""
+    Default backend is **SpaceSaving** — the only one with a formal
+    guarantee (every item with true count > N/capacity is tracked):
+    one sketch scan over xxhash64(col), then one filtered scan that
+    recovers the values of the <= k winning hashes (predicate-pushdown
+    ``isin`` — never a full-column distinct shuffle).
+
+    ``backend="cms"`` keeps the two-scan count-min + per-partition
+    local-top-C candidate path as a cross-check.  That candidate set
+    is a BEST-EFFORT heuristic: an item can sit below top-C in every
+    partition yet be globally top-k (and local_top's memory-bound
+    truncation drops partial counts mid-stream), so containment is
+    empirical, not guaranteed — use the default backend when the
+    guarantee matters."""
     import pandas as pd
+
+    if backend == "spacesaving":
+        top = _spacesaving_topk(df, col, k, capacity)
+        spark = df.sparkSession
+        f = df.schema[col]
+        if not top:
+            return spark.createDataFrame(
+                [], f"{f.name} {f.dataType.simpleString()}, est_count long"
+            )
+        counts = spark.createDataFrame(
+            top, "__h bigint, est_count bigint, max_err bigint"
+        )
+        values = (
+            df.select(col, F.xxhash64(F.col(col)).alias("__h"))
+            .filter(F.col("__h").isin([h for h, _c, _e in top]))
+            .distinct()
+        )
+        return (
+            values.join(F.broadcast(counts), "__h")
+            .select(col, "est_count")
+            .orderBy(F.desc("est_count"), F.asc(col))
+            .limit(k)
+        )
+    if backend != "cms":
+        raise ValueError(f"unknown heavy-hitters backend {backend!r}")
 
     cms = build_cms(df, col, depth=depth, width=width)
     C = candidates_per_partition or max(4 * k, 64)

@@ -140,3 +140,45 @@ def test_ivf_near_duplicates_matches_broadcast(spark, emb_df):
     # never report a pair below threshold
     assert {(0, 90000), (5, 90005)} <= ivf
     assert ivf <= brute
+
+
+def test_near_dup_overflow_routes_to_ivf(spark):
+    # Regression for the silent broadcast cap: with N > max_side the
+    # broadcast variant must NOT silently drop pairs beyond the cap —
+    # it auto-delegates to ivf_near_duplicates (or raises).
+    rng = np.random.default_rng(3)
+    n, d = 200, 16
+    m = rng.normal(size=(n, d)).astype(np.float32)
+    # inject a near-identical pair far beyond a max_side of 50
+    m[151] = m[150] + rng.normal(scale=1e-3, size=d).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, m[i].tolist()) for i in range(n)], "vec_id long, embedding array<float>"
+    )
+    pairs = embedding_near_duplicates(
+        df, threshold=0.99, max_side=50, n_centroids=8, seed=1
+    ).collect()
+    assert any({p["id_a"], p["id_b"]} == {150, 151} for p in pairs), pairs
+
+    with pytest.raises(ValueError, match="max_side"):
+        embedding_near_duplicates(df, max_side=50, on_overflow="raise")
+
+
+def test_centroid_training_unbiased_on_sorted_data(spark):
+    # Adversarial fixture: rows ORDERED by cluster, so .limit(sample)
+    # would only ever see cluster 0 and train every centroid there.
+    rng = np.random.default_rng(7)
+    d, per = 16, 3000
+    protos = rng.normal(size=(4, d)).astype(np.float32)
+    protos /= np.linalg.norm(protos, axis=1, keepdims=True)
+    rows = []
+    for c in range(4):
+        pts = protos[c] + rng.normal(scale=0.02, size=(per, d)).astype(np.float32)
+        rows.extend((c * per + i, pts[i].tolist()) for i in range(per))
+    # keep cluster order: coalesce(1) so partition order == row order
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).coalesce(1)
+    cents = train_centroids(df, n_centroids=4, sample=500, seed=5)
+    # every true cluster proto must have a centroid at cosine >= 0.95
+    best = (protos @ cents.T).max(axis=1)
+    assert (best >= 0.95).all(), best

@@ -227,10 +227,20 @@ def test_heavy_hitters(spark):
     # true top-5 must appear in the found top-10
     for r in exact:
         assert r["k"] in got_keys, (r, got_keys)
-    # CMS estimates never undercount
+    # estimates never undercount (SpaceSaving default backend)
     true_counts = {r["k"]: r["count"] for r in df.groupBy("k").count().collect()}
     for r in got:
         assert r["est_count"] >= true_counts[r["k"]]
+    # cms cross-check backend: same containment + no-undercount bars
+    got_cms = heavy_hitters(df, "k", k=10, backend="cms").collect()
+    cms_keys = [r["k"] for r in got_cms]
+    for r in exact:
+        assert r["k"] in cms_keys, (r, cms_keys)
+    for r in got_cms:
+        assert r["est_count"] >= true_counts[r["k"]]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="backend"):
+        heavy_hitters(df, "k", backend="nope")
 
 
 def test_sketch_columns_single_scan(spark, tokens_df):
@@ -264,3 +274,36 @@ def test_nan_values_dropped(spark):
     sk = sketch_column(df, "v", lambda: TDigest(delta=100), KIND_DOUBLE)
     assert sk.count == 2
     assert sk.min == 1.0 and sk.max == 3.0
+
+
+def test_grouped_sketch_flush_bounded_memory(spark):
+    """High-cardinality keys: stage 1 flushes its key->sketch dict past
+    max_groups_per_partition and stage 2 re-merges the duplicate key
+    rows — results must equal the unbounded build exactly."""
+    n = 20_000
+    df = spark.range(n).select(
+        (F.col("id") % 500).alias("k"),  # 500 distinct keys
+        (F.col("id") % 97).cast("double").alias("v"),
+    ).repartition(4)
+
+    def run(max_groups):
+        rows = grouped_sketch(
+            df, ["k"], "v", lambda: TDigest(delta=200), KIND_DOUBLE,
+            max_groups_per_partition=max_groups,
+        ).collect()
+        return {
+            r["k"]: (bytes(r["state"]), r["items"]) for r in rows
+        }
+
+    flushed = run(max_groups=16)  # far below 500 -> many flushes
+    unbounded = run(max_groups=1_000_000)
+    assert set(flushed) == set(unbounded) and len(flushed) == 500
+    assert all(flushed[k][1] == unbounded[k][1] == n // 500 for k in flushed)
+    # estimates agree (states may differ byte-wise: different merge trees)
+    from sketchlib import serde
+
+    for k in list(flushed)[:20]:
+        a = serde.from_bytes(flushed[k][0])
+        b = serde.from_bytes(unbounded[k][0])
+        assert a.count == b.count
+        assert abs(a.value_at_quantile(0.5) - b.value_at_quantile(0.5)) <= 2.0
