@@ -560,6 +560,52 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("id", F.size("features").alias("n_features"))
 
 
+def q_iceberg_manifest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg manifest direct-scan parity: documents are written as a
+    2-snapshot Iceberg-layout table (snapshot 2 appends the remainder
+    and DELETES the file holding the 100 smallest doc_ids); Spark reads
+    via the manifest chain (sketchlib.iceberg — no runtime jar), DuckDB
+    recomputes the live set with the equivalent predicate.  A raw
+    directory listing would disagree (it would resurrect the deleted
+    rows), so a hash match proves the manifest machinery.
+
+    Fixture synthesis collects 3 narrow columns driver-side — fixture
+    TOOLING at test scale, not an operator path."""
+    import os
+
+    from sketchlib.spark.io import read_table
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    loc = f"/tmp/iceberg_docs{tag}"
+    if not os.path.exists(os.path.join(loc, "metadata", "version-hint.text")):
+        import pyarrow as pa
+
+        from sketchlib.iceberg.fixture import write_iceberg_table
+
+        pdf = (
+            _read(spark, sf_dir, "documents")
+            .select("doc_id", "lang", "n_chars")
+            .orderBy("doc_id")
+            .toPandas()
+        )
+        t_all = pa.Table.from_pandas(pdf, preserve_index=False)
+        head, rest = t_all.slice(0, 100), t_all.slice(100)
+        write_iceberg_table(
+            loc,
+            [head, rest],
+            rows_per_file=max(rest.num_rows // 32, 100),
+            delete_first_n_at_last_snapshot=1,
+        )
+    live = read_table(spark, loc)  # manifest-resolved live files only
+    return (
+        live.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
+
+
 def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN recall vs the brute baseline (Spark-side check; oracle
     carries the constant shape)."""
@@ -618,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_top1": q_similarity_top1,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_features": q_multimodal_features,
+        "iceberg_manifest_scan": q_iceberg_manifest_scan,
         "ivf_recall": q_ivf_recall,
     }
 
@@ -774,6 +821,15 @@ def oracle_sql() -> dict[str, str]:
         "ivf_recall": (
             "SELECT * FROM (VALUES ('ivf_mean_recall_ge_0.6', TRUE)) "
             "AS t(metric, ok)"
+        ),
+        "iceberg_manifest_scan": (
+            # live set = everything except the 100 smallest doc_ids
+            # (the deleted first data file of the fixture)
+            "SELECT lang, count(*) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents "
+            "WHERE doc_id > (SELECT max(doc_id) FROM "
+            "  (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 100)) "
+            "GROUP BY lang"
         ),
     }
 

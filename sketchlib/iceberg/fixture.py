@@ -1,0 +1,268 @@
+"""Write a local Iceberg-layout table fixture (spec v1 subset).
+
+No Iceberg runtime jar exists in this sandbox, so tests (and the
+driver's iceberg query) build a real on-disk Iceberg layout here —
+parquet data files plus the Avro metadata chain
+(manifest -> manifest list -> vN.metadata.json -> version-hint.text)
+with the spec's field names/ids — and the reader side
+(sketchlib.iceberg.manifest) resolves it exactly as it would a table
+written by the Java/PyIceberg writers.
+
+Supported fixture shapes: multiple append snapshots (older snapshots
+see fewer files), DELETED manifest entries in the latest snapshot
+(the reader must drop them), and real per-field lower/upper bounds
+(so file-level min/max pruning is testable).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from sketchlib.iceberg.avro import write_avro
+
+_KV = lambda name, vtype: {  # noqa: E731
+    "type": "array",
+    "items": {
+        "type": "record",
+        "name": name,
+        "fields": [
+            {"name": "key", "type": "int"},
+            {"name": "value", "type": vtype},
+        ],
+    },
+}
+
+MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
+        {
+            "name": "data_file",
+            "field-id": 2,
+            "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    {"name": "file_path", "type": "string", "field-id": 100},
+                    {"name": "file_format", "type": "string", "field-id": 101},
+                    {
+                        "name": "partition",
+                        "field-id": 102,
+                        "type": {"type": "record", "name": "r102", "fields": []},
+                    },
+                    {"name": "record_count", "type": "long", "field-id": 103},
+                    {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                    {
+                        "name": "lower_bounds",
+                        "type": ["null", _KV("k126_v127", "bytes")],
+                        "field-id": 125,
+                    },
+                    {
+                        "name": "upper_bounds",
+                        "type": ["null", _KV("k128_v129", "bytes")],
+                        "field-id": 128,
+                    },
+                ],
+            },
+        },
+    ],
+}
+
+MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "added_snapshot_id", "type": ["null", "long"], "field-id": 503},
+        {"name": "added_data_files_count", "type": ["null", "int"], "field-id": 504},
+        {"name": "existing_data_files_count", "type": ["null", "int"], "field-id": 505},
+        {"name": "deleted_data_files_count", "type": ["null", "int"], "field-id": 506},
+    ],
+}
+
+
+def _encode_bound(value, typ: pa.DataType) -> bytes | None:
+    """Iceberg single-value serialization (little-endian numerics)."""
+    if value is None:
+        return None
+    if pa.types.is_integer(typ):
+        return struct.pack("<q", int(value))
+    if pa.types.is_floating(typ):
+        return struct.pack("<d", float(value))
+    return None
+
+
+def _file_bounds(table: pa.Table) -> tuple[list, list]:
+    """Per-field (1-based field id) lower/upper bound key-value lists."""
+    import pyarrow.compute as pc
+
+    lowers, uppers = [], []
+    for i, col in enumerate(table.columns):
+        typ = table.schema.field(i).type
+        if not (pa.types.is_integer(typ) or pa.types.is_floating(typ)):
+            continue
+        if col.null_count == len(col):
+            continue
+        mm = pc.min_max(col)
+        lo = _encode_bound(mm["min"].as_py(), typ)
+        hi = _encode_bound(mm["max"].as_py(), typ)
+        if lo is not None:
+            lowers.append({"key": i + 1, "value": lo})
+        if hi is not None:
+            uppers.append({"key": i + 1, "value": hi})
+    return lowers, uppers
+
+
+def _iceberg_schema_json(schema: pa.Schema) -> dict:
+    def typ(t: pa.DataType) -> str:
+        if pa.types.is_integer(t):
+            return "long"
+        if pa.types.is_floating(t):
+            return "double"
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return "string"
+        if pa.types.is_boolean(t):
+            return "boolean"
+        return "binary"
+
+    return {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": [
+            {"id": i + 1, "name": f.name, "required": False, "type": typ(f.type)}
+            for i, f in enumerate(schema)
+        ],
+    }
+
+
+def write_iceberg_table(
+    location: str,
+    appends: list[pa.Table],
+    rows_per_file: int = 1 << 20,
+    delete_first_n_at_last_snapshot: int = 0,
+) -> dict:
+    """Write an Iceberg-layout table: one append snapshot per table in
+    ``appends``; the latest snapshot optionally marks the first N data
+    files DELETED (manifest entries with status=2, excluded from the
+    live file set).  Returns the table metadata dict."""
+    data_dir = os.path.join(location, "data")
+    meta_dir = os.path.join(location, "metadata")
+    os.makedirs(data_dir, exist_ok=True)
+    os.makedirs(meta_dir, exist_ok=True)
+
+    all_files: list[dict] = []  # {"path","rows","size","lowers","uppers","snap"}
+    snapshots_meta = []
+    file_idx = 0
+    for snap_no, table in enumerate(appends):
+        snapshot_id = 1000 + snap_no
+        # ---- data files for this append
+        added = []
+        for start in range(0, max(table.num_rows, 1), rows_per_file):
+            chunk = table.slice(start, rows_per_file)
+            if chunk.num_rows == 0 and table.num_rows > 0:
+                continue
+            fpath = os.path.join(data_dir, f"{file_idx:05d}.parquet")
+            pq.write_table(chunk, fpath)
+            lowers, uppers = _file_bounds(chunk)
+            added.append(
+                {
+                    "path": fpath,
+                    "rows": chunk.num_rows,
+                    "size": os.path.getsize(fpath),
+                    "lowers": lowers,
+                    "uppers": uppers,
+                    "snap": snapshot_id,
+                }
+            )
+            file_idx += 1
+        all_files.extend(added)
+
+        is_last = snap_no == len(appends) - 1
+        deleted_paths = set()
+        if is_last and delete_first_n_at_last_snapshot:
+            deleted_paths = {
+                f["path"] for f in all_files[:delete_first_n_at_last_snapshot]
+            }
+
+        # ---- one manifest holding the cumulative entries
+        entries = []
+        for f in all_files:
+            if f["path"] in deleted_paths:
+                status = 2  # DELETED: dropped by readers of this snapshot
+            elif f["snap"] == snapshot_id:
+                status = 1  # ADDED in this snapshot
+            else:
+                status = 0  # EXISTING
+            entries.append(
+                {
+                    "status": status,
+                    "snapshot_id": snapshot_id,
+                    "data_file": {
+                        "file_path": f["path"],
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": f["rows"],
+                        "file_size_in_bytes": f["size"],
+                        "lower_bounds": f["lowers"] or None,
+                        "upper_bounds": f["uppers"] or None,
+                    },
+                }
+            )
+        mpath = os.path.join(meta_dir, f"snap-{snapshot_id}-m0.avro")
+        write_avro(mpath, MANIFEST_ENTRY_SCHEMA, entries)
+
+        mlist_path = os.path.join(meta_dir, f"snap-{snapshot_id}.avro")
+        write_avro(
+            mlist_path,
+            MANIFEST_LIST_SCHEMA,
+            [
+                {
+                    "manifest_path": mpath,
+                    "manifest_length": os.path.getsize(mpath),
+                    "partition_spec_id": 0,
+                    "added_snapshot_id": snapshot_id,
+                    "added_data_files_count": len(added),
+                    "existing_data_files_count": len(all_files) - len(added),
+                    "deleted_data_files_count": len(deleted_paths),
+                }
+            ],
+        )
+        snapshots_meta.append(
+            {
+                "snapshot-id": snapshot_id,
+                "timestamp-ms": 0,
+                "manifest-list": mlist_path,
+                "summary": {"operation": "append" if not deleted_paths else "overwrite"},
+            }
+        )
+
+    schema_src = appends[0] if appends else pa.table({})
+    meta = {
+        "format-version": 1,
+        "table-uuid": "00000000-0000-0000-0000-000000000000",
+        "location": location,
+        "last-updated-ms": 0,
+        "last-column-id": len(schema_src.schema),
+        "schema": _iceberg_schema_json(schema_src.schema),
+        "partition-spec": [],
+        "properties": {},
+        "current-snapshot-id": snapshots_meta[-1]["snapshot-id"]
+        if snapshots_meta
+        else -1,
+        "snapshots": snapshots_meta,
+    }
+    version = len(appends)
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as fh:
+        json.dump(meta, fh, indent=1)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+    return meta

@@ -178,4 +178,42 @@ def sketch_parquet(
 ):
     """End-to-end direct build: partials over raw files -> tree merge."""
     partials = build_partials_direct(spark, path, col, factory, kind, tasks, files)
-    return tree_merge(partials, fanout=fanout)
+    return tree_merge(partials, fanout=fanout, size_hint=tasks)
+
+
+def sketch_iceberg(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    factory: Callable[[], object],
+    kind: str = KIND_DOUBLE,
+    snapshot_id: int | None = None,
+    prune_field_id: int | None = None,
+    prune_min=None,
+    prune_max=None,
+    tasks: int | None = None,
+    fanout: int = 64,
+):
+    """Sketch build over an Iceberg table's manifest chain — no runtime
+    jar: metadata.json -> manifest list -> manifests resolve the
+    snapshot's LIVE data files (deleted entries dropped, snapshot
+    time-travel via ``snapshot_id``), optional file-level min/max
+    pruning drops files before any scan task is scheduled, then the
+    direct pyarrow path scans exactly that file list.  This is the
+    production shape for a 10^12-row Iceberg table: the planner never
+    lists the data directory."""
+    from sketchlib.iceberg import prune_files, snapshot_data_files
+
+    dfiles = snapshot_data_files(table_dir, snapshot_id=snapshot_id)
+    if prune_field_id is not None:
+        dfiles = prune_files(dfiles, prune_field_id, prune_min, prune_max)
+    bad = [f.path for f in dfiles if f.file_format != "PARQUET"]
+    if bad:
+        raise ValueError(f"non-parquet data files: {bad[:3]}")
+    paths = [f.path for f in dfiles]
+    if not paths:
+        return None
+    partials = build_partials_direct(
+        spark, table_dir, col, factory, kind, tasks, files=paths
+    )
+    return tree_merge(partials, fanout=fanout, size_hint=tasks)

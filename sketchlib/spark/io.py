@@ -1,35 +1,70 @@
 """Input/output: Iceberg-first table reader with parquet fallback.
 
 The production target is an Iceberg table of ~10^12 pre-tokenized
-sequences (north rule).  Iceberg gives snapshot-consistent scans,
-partition pruning and file-level split planning for free through the
-Spark DataSource V2 API — the reader below uses it whenever the
-``iceberg`` format is available in the session, and falls back to plain
-parquet directories (the only format in this sandbox) otherwise.
+sequences (north rule).  With the DataSource V2 ``iceberg`` format on
+the classpath the reader uses it directly; WITHOUT the jar (this
+sandbox) an Iceberg table DIRECTORY is still read correctly by
+resolving its manifest chain with ``sketchlib.iceberg`` and scanning
+exactly the current snapshot's live data files — never a raw directory
+listing, which would double-count compacted files and resurrect
+deleted ones.
 """
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _is_iceberg_dir(source: str) -> bool:
+    meta = os.path.join(source, "metadata")
+    if not os.path.isdir(meta):
+        return False
+    return any(f.endswith(".metadata.json") for f in os.listdir(meta))
+
+
+def _read_iceberg_dir(
+    spark: SparkSession, source: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """Manifest-resolved read of an Iceberg table directory: the scan
+    covers exactly the snapshot's live files (jar-free path)."""
+    from sketchlib.iceberg import snapshot_file_paths
+
+    paths = snapshot_file_paths(source, snapshot_id=snapshot_id)
+    if not paths:
+        raise FileNotFoundError(f"iceberg table {source} has no live data files")
+    return spark.read.parquet(*paths)
 
 
 def read_table(
     spark: SparkSession,
     source: str,
     fmt: str = "auto",
+    snapshot_id: int | None = None,
 ) -> DataFrame:
     """Read ``source`` as a DataFrame.
 
-    fmt="iceberg": catalog table name (``cat.db.tbl``) or metadata path.
+    fmt="iceberg": catalog table name (``cat.db.tbl``), or an Iceberg
+    table DIRECTORY (resolved via its manifest chain when the iceberg
+    format jar is absent).
     fmt="parquet": file/directory path.
-    fmt="auto": try Iceberg when the name looks like a catalog table,
-    else parquet.
+    fmt="auto": Iceberg table dirs and catalog-table names route to
+    iceberg; everything else is parquet.
     """
     if fmt == "iceberg":
+        if os.path.isdir(source) and _is_iceberg_dir(source):
+            try:
+                df = spark.read.format("iceberg").load(source)
+                return df
+            except Exception:
+                return _read_iceberg_dir(spark, source, snapshot_id)
         return spark.read.format("iceberg").load(source)
     if fmt == "parquet":
         return spark.read.parquet(source)
     if fmt == "auto":
+        if os.path.isdir(source) and _is_iceberg_dir(source):
+            return read_table(spark, source, fmt="iceberg", snapshot_id=snapshot_id)
         looks_like_table = "/" not in source and source.count(".") >= 1
         if looks_like_table:
             try:

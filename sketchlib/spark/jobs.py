@@ -65,9 +65,18 @@ def job_build(args) -> None:
 
     metrics = {}
     if getattr(args, "direct", False) and args.format in ("auto", "parquet"):
-        from sketchlib.spark.direct import sketch_parquet
+        from sketchlib.spark.io import _is_iceberg_dir
 
-        sk = sketch_parquet(spark, args.input, args.col, factory, kind)
+        if os.path.isdir(args.input) and _is_iceberg_dir(args.input):
+            # direct scan over the snapshot's live files via the
+            # manifest chain (jar-free Iceberg path)
+            from sketchlib.spark.direct import sketch_iceberg
+
+            sk = sketch_iceberg(spark, args.input, args.col, factory, kind)
+        else:
+            from sketchlib.spark.direct import sketch_parquet
+
+            sk = sketch_parquet(spark, args.input, args.col, factory, kind)
     elif args.checkpoint:
         sk, metrics = run_checkpointed(
             spark,
