@@ -48,37 +48,112 @@ def _roll_shingles(wh: np.ndarray, w: int) -> np.ndarray:
     return np.unique(acc)
 
 
-def _word_shingle_hashes_batch(
-    texts, w: int, seed: int
-) -> list[np.ndarray]:
-    """Per-doc unique shingle hashes for a whole Arrow batch.
+def _flat_shingle_segments(texts, w: int, seed: int):
+    """Unique shingle hashes for a whole Arrow batch in FLAT form:
+    returns (values uint64, offsets int64) where doc i's sorted unique
+    shingles are ``values[offsets[i]:offsets[i+1]]``.
 
-    All words of every document in the batch are hashed in ONE
-    vectorized ``hash_str`` call (the former per-doc/per-word loop
-    dominated the dedup_minhash query); only the cheap rolling combine
-    runs per document."""
+    Everything batch-level is one vectorized pass: a single
+    ``hash_str`` call over all words, a GLOBAL rolling w-gram combine
+    over the flat hash array (windows crossing document boundaries
+    masked out), and a lexsort-based per-doc dedupe — no per-document
+    numpy calls (the former per-doc loop dominated dedup_minhash)."""
     docs = [(t or "").split() for t in texts]
-    flat: list[str] = []
-    spans: list[tuple[int, int, int]] = []  # (start, n, kind) 0=empty 1=short 2=full
-    for ws in docs:
-        if not ws:
-            spans.append((len(flat), 0, 0))
-        elif len(ws) < w:
-            spans.append((len(flat), 1, 1))
-            flat.append(" ".join(ws))
+    nd = len(docs)
+    lens = np.array([len(d) for d in docs], dtype=np.int64)
+    offsets = np.zeros(nd + 1, dtype=np.int64)
+    # short docs (< w words, incl. empty) hash as a single unit
+    flat_words: list[str] = []
+    short_pos: list[int] = []  # index into flat_words for short docs, -1 empty
+    for d in docs:
+        if not d:
+            short_pos.append(-1)
+        elif len(d) < w:
+            short_pos.append(len(flat_words))
+            flat_words.append(" ".join(d))
         else:
-            spans.append((len(flat), len(ws), 2))
-            flat.extend(ws)
-    wh_all = hash_str(flat, seed=seed)
-    out: list[np.ndarray] = []
-    for start, n, kind in spans:
-        if kind == 0:
-            out.append(np.zeros(1, dtype=np.uint64))
-        elif kind == 1:
-            out.append(wh_all[start : start + 1].copy())
-        else:
-            out.append(_roll_shingles(wh_all[start : start + n], w))
-    return out
+            short_pos.append(-2)  # full doc marker
+            flat_words.extend(d)
+    wh = hash_str(flat_words, seed=seed)
+
+    # per-word doc index over the flat array (short docs occupy 1 slot)
+    slot_lens = np.where(lens == 0, 0, np.where(lens < w, 1, lens))
+    doc_of = np.repeat(np.arange(nd, dtype=np.int64), slot_lens)
+    W = wh.size
+    n_acc = max(W - w + 1, 0)
+    if n_acc:
+        acc = wh[:n_acc].copy()
+        for i in range(1, w):
+            with np.errstate(over="ignore"):
+                acc = splitmix64(acc ^ (wh[i : i + n_acc] * _U64(0x9E3779B97F4A7C15)))
+        # a window is a real shingle iff it stays inside one FULL doc
+        valid = (doc_of[:n_acc] == doc_of[w - 1 : w - 1 + n_acc]) & (
+            lens[doc_of[:n_acc]] >= w
+        )
+        gram_doc = doc_of[:n_acc][valid]
+        gram_val = acc[valid]
+    else:
+        gram_doc = np.empty(0, dtype=np.int64)
+        gram_val = np.empty(0, dtype=np.uint64)
+    # short/empty docs contribute exactly one value each
+    sp = np.asarray(short_pos, dtype=np.int64)
+    sd = np.flatnonzero(sp != -2)
+    if wh.size:
+        sv = np.where(sp[sd] >= 0, wh[np.maximum(sp[sd], 0)], np.uint64(0))
+    else:
+        # a batch of ONLY empty docs: no words were hashed at all
+        sv = np.zeros(sd.size, dtype=np.uint64)
+    gram_doc = np.concatenate([gram_doc, sd])
+    gram_val = np.concatenate([gram_val, sv.astype(np.uint64)])
+
+    # global per-doc sorted dedupe: lexsort by (doc, value), then drop
+    # positions equal to their predecessor within the same doc
+    order = np.lexsort((gram_val, gram_doc))
+    gd, gv = gram_doc[order], gram_val[order]
+    if gd.size:
+        keep = np.empty(gd.size, dtype=bool)
+        keep[0] = True
+        keep[1:] = (gd[1:] != gd[:-1]) | (gv[1:] != gv[:-1])
+        gd, gv = gd[keep], gv[keep]
+    counts = np.bincount(gd, minlength=nd)
+    offsets[1:] = np.cumsum(counts)
+    return gv, offsets
+
+
+def _word_shingle_hashes_batch(texts, w: int, seed: int) -> list[np.ndarray]:
+    """Per-doc unique shingle hashes (list form over the flat kernel)."""
+    vals, offs = _flat_shingle_segments(texts, w, seed)
+    return [vals[offs[i] : offs[i + 1]] for i in range(len(texts))]
+
+
+def _signatures_from_segments(
+    vals: np.ndarray, offs: np.ndarray, num_perm: int, seed: int
+) -> np.ndarray:
+    """(n_docs, num_perm) int64 signatures from flat shingle segments:
+    one permuted-hash pass + one ``np.minimum.reduceat`` per
+    permutation — no per-doc work.  Bit-identical to
+    ``_minhash_from_shingles`` per doc."""
+    nd = offs.size - 1
+    out = np.empty((nd, num_perm), dtype=np.uint64)
+    if vals.size == 0 or nd == 0:
+        out[:] = 0
+        return out.view(np.int64)
+    seeds = splitmix64(np.arange(num_perm, dtype=np.uint64) + _U64(seed * 7919 + 13))
+    starts = offs[:-1].copy()
+    empty_seg = offs[1:] == offs[:-1]
+    starts[empty_seg] = 0  # reduceat needs in-range indices; fixed below
+    with np.errstate(over="ignore"):
+        for p in range(num_perm):
+            hp = splitmix64(vals ^ seeds[p])
+            out[:, p] = np.minimum.reduceat(hp, starts)
+    if empty_seg.any():  # zero-shingle docs (cannot happen via
+        out[empty_seg] = 0  # _flat_shingle_segments, but stay safe)
+    return out.view(np.int64)
+
+
+def _batch_signatures(texts, w: int, num_perm: int, seed: int) -> np.ndarray:
+    vals, offs = _flat_shingle_segments(texts, w, seed)
+    return _signatures_from_segments(vals, offs, num_perm, seed)
 
 
 def _word_shingle_hashes(text: str, w: int, seed: int) -> np.ndarray:
@@ -140,13 +215,8 @@ def minhash_signatures(
 
         @pandas_udf("array<long>")
         def sig_udf(vals: pd.Series) -> pd.Series:
-            shingles = _word_shingle_hashes_batch(vals, shingle_w, seed)
-            return pd.Series(
-                [
-                    _minhash_from_shingles(sh, num_perm, seed).tolist()
-                    for sh in shingles
-                ]
-            )
+            sigs = _batch_signatures(vals, shingle_w, num_perm, seed)
+            return pd.Series(list(sigs.tolist()))
 
     return df.select(F.col(id_col).alias("id"), sig_udf(F.col(col)).alias("sig"))
 
@@ -254,6 +324,12 @@ def exact_jaccard_pairs(
     # persist: joined twice (id_a and id_b sides) and upstream is the
     # shingle-hash UDF
     sh = _shingle_sets_df(df, col, id_col, shingle_w, seed, tokens).persist()
+    return _jaccard_verify(pairs, sh)
+
+
+def _jaccard_verify(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact Jaccard over precomputed shingle sets
+    (``sh``: DataFrame[id, sh array<long>], ideally persisted)."""
     joined = (
         pairs.join(
             sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sha")), "id_a"
@@ -276,6 +352,34 @@ def exact_jaccard_pairs(
     )
 
 
+def _signatures_and_shingles(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    num_perm: int,
+    shingle_w: int,
+    seed: int,
+) -> DataFrame:
+    """DataFrame[id, sig array<long>, sh array<long>] — signatures AND
+    shingle sets from ONE tokenize+hash pass per document (the
+    signature and verifier stages each need them; computing them in
+    separate UDFs would split/hash every document twice)."""
+
+    @pandas_udf("struct<sig: array<long>, sh: array<long>>")
+    def both_udf(vals: pd.Series) -> pd.DataFrame:
+        flat, offs = _flat_shingle_segments(vals, shingle_w, seed)
+        sigs = _signatures_from_segments(flat, offs, num_perm, seed)
+        sh = [
+            flat[offs[i] : offs[i + 1]].view(np.int64).tolist()
+            for i in range(len(vals))
+        ]
+        return pd.DataFrame({"sig": list(sigs.tolist()), "sh": sh})
+
+    return df.select(
+        F.col(id_col).alias("id"), both_udf(F.col(col)).alias("b")
+    ).select("id", F.col("b.sig").alias("sig"), F.col("b.sh").alias("sh"))
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     col: str = "text",
@@ -290,6 +394,17 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """End-to-end: DataFrame[id_a, id_b, jaccard] with
     jaccard >= threshold."""
+    if not tokens:
+        # one tokenize+hash pass feeds BOTH the LSH and verify stages
+        both = _signatures_and_shingles(
+            df, col, id_col, num_perm, shingle_w, seed
+        ).persist()
+        sigs = both.select("id", "sig")
+        cands = lsh_candidate_pairs(
+            sigs, bands=bands, rows_per_band=rows_per_band, num_perm=num_perm
+        )
+        verified = _jaccard_verify(cands, both.select("id", "sh"))
+        return verified.filter(F.col("jaccard") >= threshold)
     sigs = minhash_signatures(
         df, col, id_col, num_perm=num_perm, shingle_w=shingle_w, seed=seed,
         tokens=tokens,

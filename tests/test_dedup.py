@@ -164,3 +164,24 @@ def test_lsh_rejects_short_signature(spark):
         minhash_near_duplicates(
             df, num_perm=8, bands=4, rows_per_band=4
         )
+
+
+def test_minhash_degenerate_docs(spark):
+    # Regression: a partition batch of ONLY empty/None docs crashed the
+    # flat kernel (indexing an empty word-hash array); also covers
+    # unicode, all-same-word, and giant docs through the full pipeline.
+    rows = [
+        (1, ""), (2, None), (3, "solo"),
+        (4, "héllo wörld ünïcode tokens here"),
+        (5, "same same same same same same"),
+        (6, "same same same same same same"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_duplicates(df, threshold=0.8).collect()
+    }
+    assert (5, 6) in pairs
+    # all-empty input must not crash (empty docs share the sentinel)
+    df2 = spark.createDataFrame([(i, "") for i in range(6)], "doc_id long, text string")
+    assert minhash_near_duplicates(df2, threshold=0.9).count() == 15
