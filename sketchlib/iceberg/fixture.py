@@ -144,6 +144,113 @@ def _iceberg_schema_json(schema: pa.Schema) -> dict:
     }
 
 
+def wrap_existing_parquet(
+    location: str,
+    data_files: list[str],
+    stats_columns: list[str] | None = None,
+) -> dict:
+    """Write an Iceberg metadata chain OVER existing parquet files —
+    the realistic shape for a huge table: data is never rewritten, the
+    manifest just records paths + row counts (+ optional min/max bounds
+    for ``stats_columns``, read from the parquet footers' row-group
+    statistics, so file pruning works without touching data pages).
+
+    Returns the table metadata dict.  The files stay where they are;
+    ``location`` holds only the metadata directory."""
+    meta_dir = os.path.join(location, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    snapshot_id = 1000
+    entries = []
+    schema_arrow = None
+    for fpath in data_files:
+        md = pq.read_metadata(fpath)
+        if schema_arrow is None:
+            schema_arrow = pq.read_schema(fpath)
+        lowers, uppers = [], []
+        if stats_columns:
+            name_to_idx = {
+                schema_arrow.field(i).name: i for i in range(len(schema_arrow))
+            }
+            for cname in stats_columns:
+                ci = name_to_idx.get(cname)
+                if ci is None:
+                    continue
+                typ = schema_arrow.field(ci).type
+                lo = hi = None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        lo = hi = None
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                lob = _encode_bound(lo, typ)
+                hib = _encode_bound(hi, typ)
+                if lob is not None:
+                    lowers.append({"key": ci + 1, "value": lob})
+                if hib is not None:
+                    uppers.append({"key": ci + 1, "value": hib})
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "file_path": os.path.abspath(fpath),
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": md.num_rows,
+                    "file_size_in_bytes": os.path.getsize(fpath),
+                    "lower_bounds": lowers or None,
+                    "upper_bounds": uppers or None,
+                },
+            }
+        )
+    mpath = os.path.join(meta_dir, f"snap-{snapshot_id}-m0.avro")
+    write_avro(mpath, MANIFEST_ENTRY_SCHEMA, entries)
+    mlist_path = os.path.join(meta_dir, f"snap-{snapshot_id}.avro")
+    write_avro(
+        mlist_path,
+        MANIFEST_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": mpath,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": 0,
+                "added_snapshot_id": snapshot_id,
+                "added_data_files_count": len(entries),
+                "existing_data_files_count": 0,
+                "deleted_data_files_count": 0,
+            }
+        ],
+    )
+    meta = {
+        "format-version": 1,
+        "table-uuid": "00000000-0000-0000-0000-000000000001",
+        "location": location,
+        "last-updated-ms": 0,
+        "last-column-id": len(schema_arrow) if schema_arrow is not None else 0,
+        "schema": _iceberg_schema_json(schema_arrow)
+        if schema_arrow is not None
+        else {"type": "struct", "schema-id": 0, "fields": []},
+        "partition-spec": [],
+        "properties": {},
+        "current-snapshot-id": snapshot_id,
+        "snapshots": [
+            {
+                "snapshot-id": snapshot_id,
+                "timestamp-ms": 0,
+                "manifest-list": mlist_path,
+                "summary": {"operation": "append"},
+            }
+        ],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh, indent=1)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    return meta
+
+
 def write_iceberg_table(
     location: str,
     appends: list[pa.Table],

@@ -183,3 +183,33 @@ def test_relocated_table(tbl, tmp_path):
     assert len(files) == 6
     assert all(os.path.exists(f.path) for f in files)
     assert all(f.path.startswith(dst) for f in files)
+
+
+def test_wrap_existing_parquet(spark, tmp_path):
+    """Metadata-only table over pre-existing parquet files: data files
+    are never rewritten; record counts and min/max bounds come from the
+    parquet footers (the realistic shape for a 10^12-row table)."""
+    import pyarrow.parquet as pq
+
+    from sketchlib.iceberg.fixture import wrap_existing_parquet
+
+    data = str(tmp_path / "raw")
+    os.makedirs(data)
+    paths = []
+    for i in range(4):
+        t = _table(i * 50, (i + 1) * 50)
+        p = os.path.join(data, f"part{i}.parquet")
+        pq.write_table(t, p)
+        paths.append(p)
+    loc = str(tmp_path / "meta_only")
+    wrap_existing_parquet(loc, paths, stats_columns=["id", "v"])
+    files = snapshot_data_files(loc)
+    assert len(files) == 4
+    assert sum(f.record_count for f in files) == 200
+    # footer-derived bounds enable pruning without touching data pages
+    pruned = prune_files(files, field_id=1, min_value=150)
+    assert [f.record_count for f in pruned] == [50]
+    # and the spark read sees exactly the wrapped rows
+    from sketchlib.spark.io import read_table
+
+    assert read_table(spark, loc).count() == 200
