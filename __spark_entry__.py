@@ -560,6 +560,63 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("id", F.size("features").alias("n_features"))
 
 
+def q_sampling_and_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable bottom-k uniform sample + sketch-driven range-partition
+    bounds over lineitem.l_extendedprice, verified Spark-side:
+
+    * sample: full capacity, exact total count, mean within 4 standard
+      errors of the exact mean, sample median rank-near 0.5;
+    * bounds: 8 split points partition the table into rows-per-bucket
+      within 25% of perfectly balanced (Zipf-proof balance check).
+
+    Oracle carries the constant shape."""
+    from sketchlib.spark.api import range_partition_bounds, sample_column
+
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+    )
+    cap = 2000
+    sk = sample_column(li, "l_extendedprice", capacity=cap, seed=7)
+    stats = li.agg(
+        F.count("l_extendedprice").alias("n"),
+        F.avg("l_extendedprice").alias("mean"),
+        F.stddev_pop("l_extendedprice").alias("sd"),
+    ).first()
+    s = np.asarray(sk.sample(), dtype=np.float64)
+    size_ok = s.size == min(cap, stats["n"]) and sk.count == stats["n"]
+    se = stats["sd"] / np.sqrt(max(s.size, 1))
+    mean_ok = abs(s.mean() - stats["mean"]) <= 4 * se + 1e-9
+    med = float(np.median(s))
+    med_rank = li.agg(
+        F.avg((F.col("l_extendedprice") <= F.lit(med)).cast("double"))
+    ).first()[0]
+    median_ok = abs(med_rank - 0.5) <= 0.05
+
+    n_buckets = 8
+    bounds = range_partition_bounds(
+        li, "l_extendedprice", n_buckets, delta=2000
+    )
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + (F.col("l_extendedprice") > F.lit(b)).cast("int")
+    per = (
+        li.select(bucket.alias("b")).groupBy("b").count().collect()
+    )
+    cnts = {r["b"]: r["count"] for r in per}
+    target = stats["n"] / n_buckets
+    balance_ok = len(cnts) == n_buckets and all(
+        abs(c - target) <= 0.25 * target + 2 for c in cnts.values()
+    )
+
+    rows = [
+        ("sample_size_count", bool(size_ok)),
+        ("sample_mean_4se", bool(mean_ok)),
+        ("sample_median_rank", bool(median_ok)),
+        ("range_bounds_balanced", bool(balance_ok)),
+    ]
+    return spark.createDataFrame(rows, "metric string, ok boolean")
+
+
 def q_iceberg_manifest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg manifest direct-scan parity: documents are written as a
     2-snapshot Iceberg-layout table (snapshot 2 appends the remainder
@@ -664,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_top1": q_similarity_top1,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_features": q_multimodal_features,
+        "sampling_and_bounds": q_sampling_and_bounds,
         "iceberg_manifest_scan": q_iceberg_manifest_scan,
         "ivf_recall": q_ivf_recall,
     }
@@ -821,6 +879,11 @@ def oracle_sql() -> dict[str, str]:
         "ivf_recall": (
             "SELECT * FROM (VALUES ('ivf_mean_recall_ge_0.6', TRUE)) "
             "AS t(metric, ok)"
+        ),
+        "sampling_and_bounds": (
+            "SELECT * FROM (VALUES ('range_bounds_balanced', TRUE), "
+            "('sample_mean_4se', TRUE), ('sample_median_rank', TRUE), "
+            "('sample_size_count', TRUE)) AS t(metric, ok)"
         ),
         "iceberg_manifest_scan": (
             # live set = everything except the 100 smallest doc_ids

@@ -219,6 +219,53 @@ def heavy_hitters(
     return est.orderBy(F.desc("est_count"), F.asc(col)).limit(k)
 
 
+def range_partition_bounds(
+    df: DataFrame,
+    col: str,
+    n_partitions: int,
+    sketch: str = "tdigest",
+    is_array: bool = False,
+    **params,
+) -> list[float]:
+    """Balanced range-partition split points from one sketch scan:
+    the (i/n)-quantiles for i in 1..n-1.
+
+    Why a sketch and not ``repartitionByRange`` alone: Spark's range
+    partitioner re-samples per JOB; a 100-TB pipeline that writes
+    range-bucketed output, repartitions several stages, or shares split
+    points across engines wants ONE cheap pass producing explicit,
+    persistable bounds.  On skewed keys the quantile bounds equalize
+    rows-per-partition where equal-width ranges would hotspot."""
+    if n_partitions < 2:
+        return []
+    qs = [i / n_partitions for i in range(1, n_partitions)]
+    vals, _sk = approx_quantiles(
+        df, col, qs, sketch=sketch, is_array=is_array, **params
+    )
+    if _sk is None:  # empty input: no meaningful split points
+        return []
+    # enforce strictly non-decreasing bounds (interp jitter on ties)
+    out = []
+    prev = -np.inf
+    for v in vals:
+        prev = max(v, prev)
+        out.append(float(prev))
+    return out
+
+
+def sample_column(
+    df: DataFrame, col: str, capacity: int = 1024, seed: int = 42
+):
+    """Mergeable uniform sample (bottom-k) of a numeric column in one
+    scan; returns the ReservoirSample sketch."""
+    from sketchlib.core.reservoir import ReservoirSample
+
+    return sketch_column(
+        df, col, lambda: ReservoirSample(capacity=capacity, seed=seed),
+        KIND_DOUBLE,
+    )
+
+
 def build_theta(df: DataFrame, col: str, k: int = 4096, is_array: bool = False):
     """KMV/theta distinct sketch over a key column (JVM-side hashing)."""
     from sketchlib.core.theta import ThetaSketch

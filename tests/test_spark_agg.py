@@ -307,3 +307,31 @@ def test_grouped_sketch_flush_bounded_memory(spark):
         b = serde.from_bytes(unbounded[k][0])
         assert a.count == b.count
         assert abs(a.value_at_quantile(0.5) - b.value_at_quantile(0.5)) <= 2.0
+
+
+def test_range_partition_bounds_balance_on_skew(spark):
+    from sketchlib.spark.api import range_partition_bounds
+
+    rng = np.random.default_rng(5)
+    # continuous heavy skew: lognormal sigma=2 (equal-WIDTH ranges would
+    # put ~everything in the first bucket)
+    vals = rng.lognormal(0.0, 2.0, 40_000)
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    bounds = range_partition_bounds(df, "v", 8, delta=2000)
+    assert len(bounds) == 7
+    assert bounds == sorted(bounds)
+    b = np.searchsorted(np.array(bounds), vals, side="left")
+    counts = np.bincount(b, minlength=8)
+    target = vals.size / 8
+    assert counts.max() <= 1.25 * target, counts.tolist()
+    assert counts.min() >= 0.75 * target, counts.tolist()
+    assert range_partition_bounds(df, "v", 1) == []
+    # tie-dominated data: a single value holding ~45% of rows cannot be
+    # split by ANY range bounds; buckets are bounded by that mass
+    zv = rng.zipf(1.5, 20_000).astype(float)
+    zdf = spark.createDataFrame([(float(v),) for v in zv], "v double")
+    zb = range_partition_bounds(zdf, "v", 8, delta=2000)
+    assert zb == sorted(zb)
+    zc = np.bincount(np.searchsorted(np.array(zb), zv, side="left"), minlength=8)
+    top_mass = np.bincount(zv.astype(int)).max()
+    assert zc.max() <= top_mass + zv.size / 8
