@@ -513,6 +513,34 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "metric string, ok boolean")
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over CHAIN pairs (d — d+1M — d+2M for every
+    10th doc): merging d with d+2M requires actual transitive label
+    propagation, not pairwise grouping.  DuckDB recomputes components
+    with a recursive CTE over the same edges — a real cross-engine
+    graph-algorithm check."""
+    from sketchlib.dedup.cluster import duplicate_clusters
+
+    base = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+    pairs = base.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1_000_000).alias("id_b"),
+    ).union(
+        base.select(
+            (F.col("doc_id") + 1_000_000).alias("id_a"),
+            (F.col("doc_id") + 2_000_000).alias("id_b"),
+        )
+    )
+    clusters = duplicate_clusters(pairs)
+    return clusters.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("n_members")
+    ).select(F.col("cluster_id").cast("bigint"), "n_members")
+
+
 def q_similarity_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine nearest neighbor (excluding self) for the
     first 20 vectors — exact SQL parity with DuckDB
@@ -718,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": q_text_language_id,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_clusters": q_dedup_clusters,
         "similarity_top1": q_similarity_top1,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_features": q_multimodal_features,
@@ -845,6 +874,23 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": (
             "SELECT * FROM (VALUES ('minhash_recall', TRUE), "
             "('minhash_precision', TRUE)) AS t(metric, ok)"
+        ),
+        "dedup_clusters": (
+            "WITH RECURSIVE "
+            "base AS (SELECT doc_id AS d FROM documents WHERE doc_id % 10 = 0), "
+            "pairs AS (SELECT d AS a, d + 1000000 AS b FROM base "
+            "  UNION ALL SELECT d + 1000000, d + 2000000 FROM base), "
+            "edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs), "
+            "nodes AS (SELECT a AS id FROM edges UNION SELECT b FROM edges), "
+            "reach(src, dst) AS ("
+            "  SELECT id, id FROM nodes "
+            "  UNION "
+            "  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a"
+            ") "
+            "SELECT CAST(cluster_id AS BIGINT) AS cluster_id, "
+            "CAST(count(*) AS BIGINT) AS n_members FROM ("
+            "  SELECT src, min(dst) AS cluster_id FROM reach GROUP BY src"
+            ") GROUP BY cluster_id"
         ),
         "similarity_top1": (
             "SELECT query_id, nn_id, cos FROM ("

@@ -1,0 +1,103 @@
+"""Duplicate clusters from near-dup pairs: distributed connected
+components + representative selection.
+
+The dedup operators (exact / MinHash-LSH / SimHash / embedding) emit
+PAIRS; a curation pipeline needs CLUSTERS ("keep one copy per
+component").  Transitivity matters: a~b and b~c must collapse to one
+cluster even when a~c was never emitted as a pair.
+
+Algorithm: min-label propagation over the undirected pair graph —
+each round every node takes the min label among itself and its
+neighbours, iterated to a fixpoint.  Rounds needed = graph diameter;
+near-dup graphs are unions of small cliques/chains (diameter is tiny),
+and every round is a single shuffle on the edge list.  Each round
+``localCheckpoint``s the labels so the plan/lineage stays O(1) deep
+instead of O(rounds).  For adversarially long chains at extreme scale
+the alternating large-star/small-star variant (O(log n) rounds) is the
+published upgrade path; the round structure here is the same shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Connected components of the pair graph:
+    DataFrame[id, cluster_id] for every id that appears in a pair,
+    where cluster_id is the component's minimum id.
+
+    Raises RuntimeError if the fixpoint is not reached within
+    ``max_rounds`` (a component with diameter > max_rounds) — never
+    silently returns half-merged clusters."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        # candidate label per node: min over neighbours' labels
+        nbr = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()  # truncate lineage: O(1) plan depth
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            edges.unpersist()
+            return labels
+    edges.unpersist()
+    raise RuntimeError(
+        f"duplicate_clusters did not converge in {max_rounds} rounds "
+        "(component diameter too large); raise max_rounds or use the "
+        "large-star/small-star variant"
+    )
+
+
+def keep_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Drop all but one document per duplicate cluster: keeps every row
+    whose id is its cluster's minimum (or appears in no pair).  This is
+    the curation step "dedup the corpus" given any pair-producing
+    detector."""
+    clusters = duplicate_clusters(pairs, id_a=id_a, id_b=id_b)
+    losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -185,3 +185,38 @@ def test_minhash_degenerate_docs(spark):
     # all-empty input must not crash (empty docs share the sentinel)
     df2 = spark.createDataFrame([(i, "") for i in range(6)], "doc_id long, text string")
     assert minhash_near_duplicates(df2, threshold=0.9).count() == 15
+
+
+def test_duplicate_clusters_transitive(spark):
+    from sketchlib.dedup.cluster import duplicate_clusters, keep_representatives
+
+    # two chains (1-2-3-4, 10-11) and one clique (20,21,22)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["id"]: r["cluster_id"] for r in duplicate_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in [1, 2, 3, 4, 10, 11, 20, 21, 22, 99]],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in keep_representatives(docs, pairs).collect()
+    )
+    assert kept == [1, 10, 20, 99]  # one per cluster + untouched doc
+
+
+def test_duplicate_clusters_long_chain_and_bound(spark):
+    from sketchlib.dedup.cluster import duplicate_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    labels = duplicate_clusters(chain).collect()
+    assert {r["cluster_id"] for r in labels} == {0}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(chain, max_rounds=3)
