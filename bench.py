@@ -181,6 +181,9 @@ def main() -> None:
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
     try:
+        # warm python workers + codegen once, as the throughput legs do:
+        # otherwise the FIRST query's time is mostly session boot
+        _warmup(spark)
         for name, fn in queries.items():
             t0 = time.monotonic()
             df = fn(spark, sf_dir)

@@ -72,3 +72,33 @@ def test_filter_pushdown_reaches_scan(spark, tokens_path):
     df = spark.read.parquet(tokens_path).filter(F.col("source") == "web")
     plan = _formatted(build_partials(df, "n_tok", lambda: TDigest(), KIND_DOUBLE))
     assert "PushedFilters: [IsNotNull(source), EqualTo(source,web)]" in plan
+
+
+def test_heavy_hitters_value_recovery_pushes_isin(spark, tokens_path):
+    """The SpaceSaving value-recovery scan must push the winning-hash
+    isin predicate into the scan stage (a full-column distinct shuffle
+    before filtering would defeat the design)."""
+    df = spark.read.parquet(tokens_path)
+    hashed = df.select("source", F.xxhash64("source").alias("__h"))
+    probe = hashed.filter(F.col("__h").isin([1, 2, 3])).distinct()
+    plan = _formatted(probe)
+    # the filter sits below the distinct's exchange: node id of the
+    # Filter (with the hash-IN condition) < node id of the Exchange
+    import re
+
+    assert "Condition : xxhash64" in plan and " IN (1,2,3)" in plan, plan
+    f = int(re.search(r"\((\d+)\) Filter", plan).group(1))
+    e = int(re.search(r"\((\d+)\) Exchange", plan).group(1))
+    assert f < e, plan
+    assert "ReadSchema: struct<source:string>" in plan
+
+
+def test_range_bounds_single_scan(spark, tokens_path):
+    """range_partition_bounds is one pruned sketch scan (no join, no
+    extra shuffle in the partials plan)."""
+    from sketchlib.core.tdigest import TDigest
+
+    df = spark.read.parquet(tokens_path)
+    plan = _formatted(build_partials(df, "n_tok", lambda: TDigest(), KIND_DOUBLE))
+    assert "ReadSchema: struct<n_tok:int>" in plan
+    assert "Exchange" not in plan
