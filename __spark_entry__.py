@@ -588,6 +588,66 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("id", F.size("features").alias("n_features"))
 
 
+def q_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming global sketch (foreachBatch + exactly-once
+    per-batch ledger): the events table arrives as a 3-file stream
+    (maxFilesPerTrigger=1 -> >= 3 micro-batches); after draining, the
+    streamed sketch must carry the exact row count and rank-correct
+    quantiles vs the batch table.  No SQL oracle exists for a streaming
+    query — this entry intentionally has no oracle_sql (rows-only
+    check); the real verification is the Spark-side ok flags."""
+    import tempfile
+    import time as _time
+
+    from sketchlib.streaming.stream import current_sketch, run_streaming_sketch
+
+    events = _read(spark, sf_dir, "events").select("value").filter(
+        F.col("value").isNotNull()
+    )
+    work = tempfile.mkdtemp(prefix="stream_gate_")
+    src = f"{work}/src"
+    # 3 deterministic source files = micro-batches
+    for i in range(3):
+        events.filter(F.pmod(F.xxhash64("value"), F.lit(3)) == i).coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{src}/f{i}")
+    stream = (
+        spark.readStream.schema("value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    from sketchlib.core.tdigest import TDigest
+
+    q = run_streaming_sketch(
+        stream, "value", lambda: TDigest(delta=1000),
+        f"{work}/ledger", f"{work}/ckpt", query_name="gate-stream",
+    )
+    try:
+        deadline = _time.monotonic() + 120
+        while _time.monotonic() < deadline:
+            q.processAllAvailable()
+            if not q.status["isDataAvailable"]:
+                break
+            _time.sleep(0.2)
+    finally:
+        q.stop()
+    sk = current_sketch(spark, f"{work}/ledger")
+    n_exact = events.count()
+    count_ok = sk is not None and sk.count == n_exact
+    qs = [0.1, 0.5, 0.9]
+    ests = [float(v) for v in np.atleast_1d(sk.value_at_quantile(np.array(qs)))]
+    oks = _rank_ok(events, "value", qs, ests)
+    n_batches = len(
+        [d for d in __import__("os").listdir(f"{work}/ledger")]
+    ) if sk is not None else 0
+    rows = [
+        ("stream_count_exact", bool(count_ok)),
+        ("stream_rank_q10_q50_q90", bool(all(oks))),
+        ("stream_multiple_batches", bool(n_batches >= 3)),
+    ]
+    return spark.createDataFrame(rows, "metric string, ok boolean")
+
+
 def q_sampling_and_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable bottom-k uniform sample + sketch-driven range-partition
     bounds over lineitem.l_extendedprice, verified Spark-side:
@@ -751,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_features": q_multimodal_features,
         "sampling_and_bounds": q_sampling_and_bounds,
+        "streaming_quantiles": q_streaming_quantiles,
         "iceberg_manifest_scan": q_iceberg_manifest_scan,
         "ivf_recall": q_ivf_recall,
     }
