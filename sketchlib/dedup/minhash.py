@@ -203,7 +203,7 @@ def minhash_signatures(
             return pd.Series(
                 [
                     _minhash_from_shingles(
-                        _token_shingle_hashes(np.asarray(v, dtype=np.int64), shingle_w, seed),
+                        _token_shingle_hashes(np.asarray(v if v is not None else [], dtype=np.int64), shingle_w, seed),
                         num_perm,
                         seed,
                     ).tolist()
@@ -293,7 +293,7 @@ def _shingle_sets_df(
             return pd.Series(
                 [
                     _token_shingle_hashes(
-                        np.asarray(v, dtype=np.int64), shingle_w, seed
+                        np.asarray(v if v is not None else [], dtype=np.int64), shingle_w, seed
                     ).view(np.int64).tolist()
                     for v in vals
                 ]
@@ -359,21 +359,37 @@ def _signatures_and_shingles(
     num_perm: int,
     shingle_w: int,
     seed: int,
+    tokens: bool = False,
 ) -> DataFrame:
     """DataFrame[id, sig array<long>, sh array<long>] — signatures AND
     shingle sets from ONE tokenize+hash pass per document (the
     signature and verifier stages each need them; computing them in
     separate UDFs would split/hash every document twice)."""
 
-    @pandas_udf("struct<sig: array<long>, sh: array<long>>")
-    def both_udf(vals: pd.Series) -> pd.DataFrame:
-        flat, offs = _flat_shingle_segments(vals, shingle_w, seed)
-        sigs = _signatures_from_segments(flat, offs, num_perm, seed)
-        sh = [
-            flat[offs[i] : offs[i + 1]].view(np.int64).tolist()
-            for i in range(len(vals))
-        ]
-        return pd.DataFrame({"sig": list(sigs.tolist()), "sh": sh})
+    if tokens:
+
+        @pandas_udf("struct<sig: array<long>, sh: array<long>>")
+        def both_udf(vals: pd.Series) -> pd.DataFrame:
+            sigs, shs = [], []
+            for v in vals:
+                sh = _token_shingle_hashes(
+                    np.asarray(v if v is not None else [], dtype=np.int64), shingle_w, seed
+                )
+                sigs.append(_minhash_from_shingles(sh, num_perm, seed).tolist())
+                shs.append(sh.view(np.int64).tolist())
+            return pd.DataFrame({"sig": sigs, "sh": shs})
+
+    else:
+
+        @pandas_udf("struct<sig: array<long>, sh: array<long>>")
+        def both_udf(vals: pd.Series) -> pd.DataFrame:
+            flat, offs = _flat_shingle_segments(vals, shingle_w, seed)
+            sigs = _signatures_from_segments(flat, offs, num_perm, seed)
+            sh = [
+                flat[offs[i] : offs[i + 1]].view(np.int64).tolist()
+                for i in range(len(vals))
+            ]
+            return pd.DataFrame({"sig": list(sigs.tolist()), "sh": sh})
 
     return df.select(
         F.col(id_col).alias("id"), both_udf(F.col(col)).alias("b")
@@ -394,25 +410,13 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """End-to-end: DataFrame[id_a, id_b, jaccard] with
     jaccard >= threshold."""
-    if not tokens:
-        # one tokenize+hash pass feeds BOTH the LSH and verify stages
-        both = _signatures_and_shingles(
-            df, col, id_col, num_perm, shingle_w, seed
-        ).persist()
-        sigs = both.select("id", "sig")
-        cands = lsh_candidate_pairs(
-            sigs, bands=bands, rows_per_band=rows_per_band, num_perm=num_perm
-        )
-        verified = _jaccard_verify(cands, both.select("id", "sh"))
-        return verified.filter(F.col("jaccard") >= threshold)
-    sigs = minhash_signatures(
-        df, col, id_col, num_perm=num_perm, shingle_w=shingle_w, seed=seed,
-        tokens=tokens,
-    )
+    # one tokenize+hash pass feeds BOTH the LSH and verify stages
+    both = _signatures_and_shingles(
+        df, col, id_col, num_perm, shingle_w, seed, tokens=tokens
+    ).persist()
+    sigs = both.select("id", "sig")
     cands = lsh_candidate_pairs(
         sigs, bands=bands, rows_per_band=rows_per_band, num_perm=num_perm
     )
-    verified = exact_jaccard_pairs(
-        cands, df, col, id_col, shingle_w=shingle_w, seed=seed, tokens=tokens
-    )
+    verified = _jaccard_verify(cands, both.select("id", "sh"))
     return verified.filter(F.col("jaccard") >= threshold)

@@ -220,3 +220,18 @@ def test_duplicate_clusters_long_chain_and_bound(spark):
     assert {r["cluster_id"] for r in labels} == {0}
     with pytest.raises(RuntimeError, match="did not converge"):
         duplicate_clusters(chain, max_rounds=3)
+
+
+def test_minhash_token_mode_degenerate_docs(spark):
+    # NULL token arrays arrive as None from Arrow — the combined UDF
+    # must treat them like empty docs, not crash (regression)
+    rows = [(1, []), (2, None), (3, [7]),
+            (4, [1, 2, 3, 4, 5, 6, 7, 8]), (5, [1, 2, 3, 4, 5, 6, 7, 8])]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_duplicates(
+            df, col="tokens", id_col="doc_id", threshold=0.9, tokens=True
+        ).collect()
+    }
+    assert (4, 5) in pairs and (1, 2) in pairs
