@@ -185,10 +185,19 @@ def main() -> None:
         # otherwise the FIRST query's time is mostly session boot
         _warmup(spark)
         for name, fn in queries.items():
-            t0 = time.monotonic()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            timings[name] = round(time.monotonic() - t0, 3)
+            # best-of-2, same estimator as the scaling legs: shared-VM
+            # noise windows can double a single run (observed 50s->116s
+            # suite swings); min-time is robust to one-sided noise
+            best = None
+            n = 0
+            for _ in range(2):
+                t0 = time.monotonic()
+                df = fn(spark, sf_dir)
+                n = df.count()
+                elapsed = time.monotonic() - t0
+                if best is None or elapsed < best:
+                    best = elapsed
+            timings[name] = round(best, 3)
             if n == 0 and name != "bloom_custkey_membership":
                 timings[name + "__empty"] = 1.0
     finally:
