@@ -513,6 +513,78 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "metric string, ok boolean")
 
 
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup detection: exact copies (hamming 0) of every
+    10th doc plus lightly mutated copies (drop every 30th word) of
+    every 20th doc must be recovered within hamming <= 3 (the 4x16
+    banding guarantee); verified Spark-side, constant-shape oracle."""
+    from sketchlib.dedup.simhash import simhash_near_duplicates
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    exact_copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    mutated = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.array_join(
+            F.filter(F.split("text", " "), lambda w, i: (i % 30) != 29), " "
+        ).alias("text"),
+    )
+    data = docs.union(exact_copies).union(mutated)
+    pairs = simhash_near_duplicates(data, max_hamming=3).collect()
+    found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    n_exact = exact_copies.count()
+    # a < 1M restricts to base-doc pairs: a mutated copy of a SHORT doc
+    # (fewer than 30 words -> nothing dropped) equals the exact copy,
+    # so (a+1M, a+2M) pairs also appear at hamming 0 — legitimate
+    # output, but not what this flag counts
+    exact_hits = sum(
+        1 for (a, b), h in found.items()
+        if b == a + 1_000_000 and a < 1_000_000 and a % 10 == 0 and h == 0
+    )
+    n_mut = mutated.count()
+    mut_hits = sum(
+        1 for (a, b), h in found.items()
+        if b == a + 2_000_000 and a < 1_000_000 and a % 20 == 0
+    )
+    rows = [
+        ("simhash_exact_hamming0", bool(exact_hits == n_exact)),
+        ("simhash_mutated_recall", bool(mut_hits >= 0.8 * n_mut)),
+        ("simhash_all_within_bound", bool(all(h <= 3 for h in found.values()))),
+    ]
+    return spark.createDataFrame(rows, "metric string, ok boolean")
+
+
+def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints (min rolling shingle hash): every injected
+    exact copy must share its original's fingerprint (recall), and
+    natural min-shingle collisions among distinct docs must stay rare
+    (word-soup docs drawing from one vocabulary DO collide sometimes —
+    the bound is a rate, not zero).  Verified Spark-side."""
+    from sketchlib.text.fingerprint import document_fingerprints
+
+    data = _dedup_dataset(spark, sf_dir)  # docs + exact copies of every 10th
+    fps = document_fingerprints(data).select("doc_id", "fingerprint").persist()
+    n_docs = _read(spark, sf_dir, "documents").count()
+    n_copies = n_docs // 10
+    orig = fps.filter(F.col("doc_id") < 1_000_000)
+    copies = fps.filter(F.col("doc_id") >= 1_000_000).select(
+        (F.col("doc_id") - 1_000_000).alias("doc_id"),
+        F.col("fingerprint").alias("fp_copy"),
+    )
+    matched = (
+        orig.join(copies, "doc_id")
+        .filter(F.col("fingerprint") == F.col("fp_copy"))
+        .count()
+    )
+    distinct_fps = orig.select("fingerprint").distinct().count()
+    rows = [
+        ("fingerprint_copy_recall_exact", bool(matched == n_copies)),
+        ("fingerprint_collision_rate_low", bool(distinct_fps >= 0.9 * n_docs)),
+    ]
+    return spark.createDataFrame(rows, "metric string, ok boolean")
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over CHAIN pairs (d — d+1M — d+2M for every
     10th doc): merging d with d+2M requires actual transitive label
@@ -806,7 +878,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": q_text_language_id,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
+        "text_fingerprints": q_text_fingerprints,
         "similarity_top1": q_similarity_top1,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_features": q_multimodal_features,
@@ -935,6 +1009,15 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": (
             "SELECT * FROM (VALUES ('minhash_recall', TRUE), "
             "('minhash_precision', TRUE)) AS t(metric, ok)"
+        ),
+        "dedup_simhash": (
+            "SELECT * FROM (VALUES ('simhash_all_within_bound', TRUE), "
+            "('simhash_exact_hamming0', TRUE), "
+            "('simhash_mutated_recall', TRUE)) AS t(metric, ok)"
+        ),
+        "text_fingerprints": (
+            "SELECT * FROM (VALUES ('fingerprint_collision_rate_low', TRUE), "
+            "('fingerprint_copy_recall_exact', TRUE)) AS t(metric, ok)"
         ),
         "dedup_clusters": (
             "WITH RECURSIVE "
