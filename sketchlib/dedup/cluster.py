@@ -6,15 +6,14 @@ PAIRS; a curation pipeline needs CLUSTERS ("keep one copy per
 component").  Transitivity matters: a~b and b~c must collapse to one
 cluster even when a~c was never emitted as a pair.
 
-Algorithm: min-label propagation over the undirected pair graph —
-each round every node takes the min label among itself and its
-neighbours, iterated to a fixpoint.  Rounds needed = graph diameter;
-near-dup graphs are unions of small cliques/chains (diameter is tiny),
-and every round is a single shuffle on the edge list.  Each round
-``localCheckpoint``s the labels so the plan/lineage stays O(1) deep
-instead of O(rounds).  For adversarially long chains at extreme scale
-the alternating large-star/small-star variant (O(log n) rounds) is the
-published upgrade path; the round structure here is the same shape.
+Algorithm: min-label propagation + POINTER JUMPING.  Each round every
+node (a) takes the min label among itself and its neighbours (one
+shuffle over the edge list), then (b) follows its label's label
+(path halving — one self-join on the label table).  The jump halves
+label-chain depth every round, so convergence needs O(log diameter)
+rounds instead of O(diameter) — a 200-hop chain converges in ~8 rounds
+where plain propagation needs 200.  Each round ``localCheckpoint``s
+the labels so the plan/lineage stays O(1) deep instead of O(rounds).
 """
 
 from __future__ import annotations
@@ -55,14 +54,27 @@ def duplicate_clusters(
             .groupBy(F.col("src").alias("id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        propagated = labels.join(nbr, "id", "left").select(
+            "id",
+            F.least(
+                F.col("cluster_id"),
+                F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+            ).alias("cluster_id"),
+        )
+        # pointer jumping (path halving): follow the label's label —
+        # every label points at a node id that is itself in the table,
+        # so chains of stale labels collapse exponentially fast
+        lut = propagated.select(
+            F.col("id").alias("cluster_id"),
+            F.col("cluster_id").alias("root"),
+        )
         new_labels = (
-            labels.join(nbr, "id", "left")
+            propagated.join(lut, "cluster_id", "left")
             .select(
                 "id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
-                ).alias("cluster_id"),
+                F.coalesce(F.col("root"), F.col("cluster_id")).alias(
+                    "cluster_id"
+                ),
             )
             .localCheckpoint()  # truncate lineage: O(1) plan depth
         )
@@ -80,8 +92,8 @@ def duplicate_clusters(
     edges.unpersist()
     raise RuntimeError(
         f"duplicate_clusters did not converge in {max_rounds} rounds "
-        "(component diameter too large); raise max_rounds or use the "
-        "large-star/small-star variant"
+        "(with pointer jumping that means component diameter > "
+        f"~2^{max_rounds}); raise max_rounds"
     )
 
 

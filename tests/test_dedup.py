@@ -213,13 +213,16 @@ def test_duplicate_clusters_transitive(spark):
 def test_duplicate_clusters_long_chain_and_bound(spark):
     from sketchlib.dedup.cluster import duplicate_clusters
 
+    # 200-hop chain: plain min-label propagation needs 200 rounds;
+    # pointer jumping converges within the default max_rounds=25
     chain = spark.createDataFrame(
-        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
     )
     labels = duplicate_clusters(chain).collect()
     assert {r["cluster_id"] for r in labels} == {0}
+    assert len(labels) == 201
     with pytest.raises(RuntimeError, match="did not converge"):
-        duplicate_clusters(chain, max_rounds=3)
+        duplicate_clusters(chain, max_rounds=2)
 
 
 def test_minhash_token_mode_degenerate_docs(spark):
