@@ -236,6 +236,38 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "metric string, exact_count bigint, ok boolean")
 
 
+def q_grouped_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event_type HLL distinct user counts (the grouped staging
+    with a HASH sketch): estimates within 4x RSE of the exact per-group
+    distinct, which DuckDB recomputes for the value-hash parity."""
+    from sketchlib.spark.api import grouped_distinct
+
+    events = _read(spark, sf_dir, "events")
+    est_rows = grouped_distinct(
+        events, ["event_type"], "user_id", p=14, salt_buckets=4
+    ).collect()
+    est = {r["event_type"]: (r["estimate"], r["rse"]) for r in est_rows}
+    exact_rows = (
+        events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    )
+    rows = sorted(
+        (
+            r["event_type"],
+            int(r["d"]),
+            bool(
+                abs(est[r["event_type"]][0] - r["d"]) / max(r["d"], 1)
+                <= 4 * est[r["event_type"]][1]
+            ),
+        )
+        for r in exact_rows
+    )
+    return spark.createDataFrame(
+        rows, "event_type string, exact_distinct bigint, ok boolean"
+    )
+
+
 def q_cms_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min frequencies of events.event_type: estimates must be
     >= exact and within the eps*N bound."""
@@ -865,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_orders_quantiles_k1": q_tdigest_orders_total,
         "grouped_doc_quantiles": q_grouped_doc_quantiles,
         "hll_distinct": q_hll_distinct,
+        "grouped_hll_distinct": q_grouped_hll_distinct,
         "cms_event_type_counts": q_cms_event_type,
         "heavy_hitters_user": q_heavy_hitters,
         "bloom_custkey_membership": q_bloom_membership,
@@ -932,6 +965,10 @@ def oracle_sql() -> dict[str, str]:
         "cms_event_type_counts": (
             "SELECT event_type, count(*) AS exact_count, TRUE AS ok "
             "FROM events GROUP BY event_type"
+        ),
+        "grouped_hll_distinct": (
+            "SELECT event_type, count(DISTINCT user_id) AS exact_distinct, "
+            "TRUE AS ok FROM events GROUP BY event_type"
         ),
         "heavy_hitters_user": (
             "SELECT * FROM (VALUES ('hh_top5_contained', TRUE), "

@@ -118,7 +118,7 @@ def brute_topk(
 
 def train_centroids(
     df: DataFrame,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     vec_col: str = "embedding",
     sample: int = 4096,
     iters: int = 5,
@@ -131,6 +131,11 @@ def train_centroids(
     # partitions' rows, so on data sorted/clustered by similarity the
     # centroids would all be trained inside one region (recall collapse)
     n = df.count()
+    if n_centroids is None:
+        # IVF heuristic: C ~ sqrt(N) balances probe cost (~nprobe/C of
+        # the data per query) against candidate volume (~N^2*assign/C
+        # for near-dup self-joins)
+        n_centroids = max(8, int(n ** 0.5))
     if n > sample:
         frac = min(1.0, 1.3 * sample / n)  # oversample; trimmed below
         picked = df.select(vec_col).sample(fraction=frac, seed=seed)
@@ -201,7 +206,7 @@ def ivf_topk(
     queries: np.ndarray,
     query_ids: list,
     k: int = 10,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -215,6 +220,12 @@ def ivf_topk(
             df, n_centroids=n_centroids, vec_col=vec_col, seed=seed
         )
     cents = _normalize(np.asarray(centroids, dtype=np.float32))
+    if n_centroids is None:
+        # auto-sized centroid count: keep the probed fraction ~1/4 —
+        # on weakly-clustered embeddings smaller fractions collapse
+        # recall (measured 0.53 at 1/8 vs 0.8+ at 1/4 on the random
+        # test embeddings; naturally clustered data needs far less)
+        nprobe = max(nprobe, cents.shape[0] // 4)
     qm = _normalize(np.asarray(queries, dtype=np.float32))
     probe = np.argsort(-(qm @ cents.T), axis=1)[:, :nprobe]  # (Q, nprobe)
     wanted = sorted({int(b) for row in probe for b in row})
@@ -284,7 +295,7 @@ def ivf_topk(
 def ivf_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     assign: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",

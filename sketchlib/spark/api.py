@@ -359,6 +359,40 @@ def cms_frequencies(
     )
 
 
+def grouped_distinct(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    p: int = 14,
+    salt_buckets: int = 0,
+) -> DataFrame:
+    """Per-group HLL distinct counts: DataFrame[*keys, estimate double,
+    rse double].  Same grouped map-side-combine + salted-merge staging
+    as grouped_quantiles — raw rows never shuffle, one HLL state per
+    (partition x key) moves."""
+    states = grouped_sketch(
+        df, keys, col, lambda: HyperLogLog(p=p), KIND_HASH64,
+        salt_buckets=salt_buckets,
+    )
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(*keys).schema.fields
+    )
+
+    def extract(pdf):
+        import pandas as pd
+
+        sk = serde.from_bytes(pdf["state"].iloc[0])
+        out = {k: [pdf[k].iloc[0]] for k in keys}
+        out["estimate"] = [float(sk.estimate())]
+        out["rse"] = [float(sk.relative_std_error())]
+        return pd.DataFrame(out)
+
+    return states.groupBy(*keys).applyInPandas(
+        extract, f"{key_schema}, estimate double, rse double"
+    )
+
+
 def grouped_quantiles(
     df: DataFrame,
     keys: list[str],

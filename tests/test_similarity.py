@@ -182,3 +182,34 @@ def test_centroid_training_unbiased_on_sorted_data(spark):
     # every true cluster proto must have a centroid at cosine >= 0.95
     best = (protos @ cents.T).max(axis=1)
     assert (best >= 0.95).all(), best
+
+
+def test_ivf_auto_sizing_on_clustered_data(spark):
+    """n_centroids=None auto-sizes C ~ sqrt(N) with nprobe ~ C/4: on
+    clustered embeddings (IVF's operating assumption) recall stays
+    high while probing ~25% of the data.  Unclustered/random vectors
+    inherently defeat IVF at any probe fraction < 1 — that case is the
+    brute/broadcast path's job."""
+    from sketchlib.similarity.ann import brute_topk, ivf_topk
+
+    rng = np.random.default_rng(0)
+    protos = rng.normal(size=(50, 32)).astype(np.float32)
+    protos /= np.linalg.norm(protos, axis=1, keepdims=True)
+    m = np.vstack([
+        protos[c] + rng.normal(scale=0.15, size=(100, 32)).astype(np.float32)
+        for c in range(50)
+    ])
+    df = spark.createDataFrame(
+        [(i, m[i].tolist()) for i in range(5000)],
+        "vec_id long, embedding array<float>",
+    )
+    qidx = list(range(0, 5000, 500))
+    brute = brute_topk(df, m[qidx], qidx, k=10).collect()
+    approx = ivf_topk(df, m[qidx], qidx, k=10, n_centroids=None, seed=1).collect()
+    bs, as_ = {}, {}
+    for r in brute:
+        bs.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in approx:
+        as_.setdefault(r["query_id"], set()).add(r["vec_id"])
+    rec = np.mean([len(bs[i] & as_.get(i, set())) / len(bs[i]) for i in bs])
+    assert rec >= 0.9, rec

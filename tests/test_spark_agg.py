@@ -335,3 +335,24 @@ def test_range_partition_bounds_balance_on_skew(spark):
     zc = np.bincount(np.searchsorted(np.array(zb), zv, side="left"), minlength=8)
     top_mass = np.bincount(zv.astype(int)).max()
     assert zc.max() <= top_mass + zv.size / 8
+
+
+def test_grouped_distinct(spark, tokens_df):
+    from sketchlib.spark.api import grouped_distinct
+
+    est = {
+        r["source"]: (r["estimate"], r["rse"])
+        for r in grouped_distinct(
+            tokens_df, ["source"], "doc_id", p=14, salt_buckets=4
+        ).collect()
+    }
+    exact = {
+        r["source"]: r["d"]
+        for r in tokens_df.groupBy("source")
+        .agg(F.countDistinct("doc_id").alias("d"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for src, d in exact.items():
+        e, rse = est[src]
+        assert abs(e - d) / max(d, 1) <= 4 * rse, (src, e, d)
