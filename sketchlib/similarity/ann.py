@@ -127,29 +127,25 @@ def train_centroids(
     """Deterministic k-means-lite on a driver-side sample (seeded
     subsample + a few Lloyd iterations).  Centroid quality only gates
     recall/speed, never correctness (verification is exact)."""
-    # seeded random sample — NOT .limit(): limit takes the first
-    # partitions' rows, so on data sorted/clustered by similarity the
-    # centroids would all be trained inside one region (recall collapse)
-    n = df.count()
     if n_centroids is None:
         # IVF heuristic: C ~ sqrt(N) balances probe cost (~nprobe/C of
         # the data per query) against candidate volume (~N^2*assign/C
         # for near-dup self-joins)
-        n_centroids = max(8, int(n ** 0.5))
-    if n > sample:
-        frac = min(1.0, 1.3 * sample / n)  # oversample; trimmed below
-        picked = df.select(vec_col).sample(fraction=frac, seed=seed)
-    else:
-        picked = df.select(vec_col)
+        n_centroids = max(8, int(df.count() ** 0.5))
+    # ONE-job seeded pseudo-random sample: order by a seeded hash of
+    # the vector (TakeOrderedAndProject = per-partition top-K merge,
+    # no full sort shuffle).  NOT a bare .limit(): that takes the first
+    # partitions' rows, so on data sorted/clustered by similarity the
+    # centroids would all be trained inside one region (recall
+    # collapse).  Hash order is data-derived, unbiased by partition or
+    # row order, deterministic for (data, seed).
+    picked = (
+        df.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col), F.lit(int(seed))))
+        .limit(sample)
+    )
     rows = picked.toPandas()[vec_col]
     m = _normalize(np.array([np.asarray(r, dtype=np.float32) for r in rows]))
-    if m.shape[0] > sample:
-        # trim with a seeded shuffle, NOT .limit(): limit keeps the
-        # FIRST rows, re-biasing the sample toward early partitions
-        keep = np.random.default_rng(seed).choice(
-            m.shape[0], size=sample, replace=False
-        )
-        m = m[np.sort(keep)]
     k = min(n_centroids, m.shape[0])
     rng = np.random.default_rng(seed)
     # greedy farthest-point init (k-means++-style, deterministic):
