@@ -23,19 +23,42 @@ import numpy as np
 
 from sketchlib.core.hashing import mix_seed
 
-_MAGIC = b"RS02"
+_MAGIC = b"RS03"
+
+
+def _partition_salt() -> int:
+    """Partition-unique salt for the key stream.
+
+    Keys are splitmix64(seed ^ index ^ value bits); without a salt, two
+    same-seed builders holding the SAME value at the SAME local
+    position emit identical keys, so on replicated/duplicated shards
+    the merged bottom-k includes such copies jointly (correlated
+    inclusion) instead of independently.  Inside a Spark task the
+    partition id de-correlates them; on the driver (tests, single
+    stream) the salt is 0 and builds stay reproducible."""
+    try:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        if ctx is not None:
+            return ctx.partitionId() + 1
+    except Exception:
+        pass
+    return 0
 
 
 class ReservoirSample:
     """Uniform sample of a float64 stream (bottom-k construction)."""
 
-    __slots__ = ("capacity", "seed", "keys", "values", "count")
+    __slots__ = ("capacity", "seed", "salt", "keys", "values", "count")
 
-    def __init__(self, capacity: int = 1024, seed: int = 42):
+    def __init__(self, capacity: int = 1024, seed: int = 42,
+                 salt: int | None = None):
         if capacity < 1:
             raise ValueError("capacity must be >= 1")
         self.capacity = int(capacity)
         self.seed = int(seed)
+        self.salt = _partition_salt() if salt is None else int(salt)
         self.keys = np.empty(0, dtype=np.uint64)
         self.values = np.empty(0, dtype=np.float64)
         self.count = 0
@@ -52,7 +75,7 @@ class ReservoirSample:
         # emit independent key streams (see module docstring)
         from sketchlib.core.hashing import splitmix64
 
-        base = mix_seed(self.seed, 0x5EED)
+        base = mix_seed(self.seed, self.salt, 0x5EED)
         idx = np.arange(self.count, self.count + v.size, dtype=np.uint64)
         with np.errstate(over="ignore"):
             pos_keys = splitmix64(idx ^ np.uint64(base))
@@ -93,8 +116,8 @@ class ReservoirSample:
         order = np.argsort(self.keys, kind="stable")
         return (
             struct.pack(
-                "<4s i q q q", _MAGIC, self.capacity, self.seed, self.count,
-                self.values.size,
+                "<4s i q q q q", _MAGIC, self.capacity, self.seed, self.salt,
+                self.count, self.values.size,
             )
             + self.keys[order].tobytes()
             + self.values[order].tobytes()
@@ -102,11 +125,13 @@ class ReservoirSample:
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "ReservoirSample":
-        hdr = struct.calcsize("<4s i q q q")
-        magic, cap, seed, count, n = struct.unpack("<4s i q q q", data[:hdr])
+        hdr = struct.calcsize("<4s i q q q q")
+        magic, cap, seed, salt, count, n = struct.unpack(
+            "<4s i q q q q", data[:hdr]
+        )
         if magic != _MAGIC:
             raise ValueError("not a ReservoirSample blob")
-        sk = cls(capacity=cap, seed=seed)
+        sk = cls(capacity=cap, seed=seed, salt=salt)
         off = hdr
         sk.keys = np.frombuffer(data, np.uint64, n, off).copy()
         off += 8 * n

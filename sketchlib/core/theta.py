@@ -93,12 +93,19 @@ class ThetaSketch:
         include/exclude hashes at the threshold inconsistently with the
         theta used as divisor."""
         cut = min(self._cut(), other._cut())
-        cut64 = np.uint64(cut)
-        a = self.hashes[self.hashes <= cut64]
-        b = other.hashes[other.hashes <= cut64]
-        common = np.intersect1d(a, b, assume_unique=True).size
         if cut == 2**64 - 1:  # both sketches exact: no scaling
+            common = np.intersect1d(
+                self.hashes, other.hashes, assume_unique=True
+            ).size
             return float(common)
+        # STRICT < matches estimate()'s convention ((k-1)/theta counts
+        # the hashes strictly below the k-th smallest): with <= the
+        # identity intersect(A, A) would be k/theta > estimate(A) and
+        # jaccard(A, A) would exceed 1.
+        cut64 = np.uint64(cut)
+        a = self.hashes[self.hashes < cut64]
+        b = other.hashes[other.hashes < cut64]
+        common = np.intersect1d(a, b, assume_unique=True).size
         theta = float(cut) / _MAX
         return common / theta if theta > 0 else float(common)
 

@@ -96,21 +96,55 @@ def _remap(table_dir: str, location: str, path: str) -> str:
     return path
 
 
-def _decode_bound(raw: bytes):
-    """Single-value serialization (Iceberg spec: little-endian for
-    numeric types).  Returns None when the width is ambiguous."""
-    if not isinstance(raw, (bytes, bytearray)):
+def schema_field_types(meta: dict) -> dict[int, str]:
+    """field-id -> Iceberg type name from the table metadata schema.
+
+    v1 carries a top-level ``schema``; v2 carries ``schemas`` +
+    ``current-schema-id``.  Only primitive type names are kept (struct /
+    list / map bounds are not single-value decodable anyway)."""
+    schema = meta.get("schema")
+    if schema is None:
+        cur = meta.get("current-schema-id")
+        for s in meta.get("schemas", []):
+            if s.get("schema-id") == cur:
+                schema = s
+                break
+        else:
+            schemas = meta.get("schemas", [])
+            schema = schemas[-1] if schemas else {}
+    out: dict[int, str] = {}
+    for f in schema.get("fields", []):
+        t = f.get("type")
+        if isinstance(t, str):
+            out[int(f["id"])] = t
+    return out
+
+
+def _decode_bound(raw: bytes, typ: str | None):
+    """Iceberg single-value serialization, decoded BY DECLARED TYPE —
+    an 8-byte bound is a long *or* a double and the raw bit pattern of
+    a double compared as int64 mis-prunes (negative doubles even
+    order-reverse), so we never guess: unknown/missing type -> None and
+    the file is conservatively kept by ``prune_files``."""
+    if not isinstance(raw, (bytes, bytearray)) or typ is None:
         return None
-    if len(raw) == 8:
-        # could be long or double; expose the long reading (bounds for
-        # doubles are re-decoded by callers who know the field type)
-        return struct.unpack("<q", raw)[0]
-    if len(raw) == 4:
-        return struct.unpack("<i", raw)[0]
+    try:
+        if typ in ("long", "timestamp", "timestamptz", "time") and len(raw) == 8:
+            return struct.unpack("<q", raw)[0]
+        if typ in ("int", "date") and len(raw) == 4:
+            return struct.unpack("<i", raw)[0]
+        if typ == "double" and len(raw) == 8:
+            return struct.unpack("<d", raw)[0]
+        if typ == "float" and len(raw) == 4:
+            return struct.unpack("<f", raw)[0]
+        if typ == "string":
+            return bytes(raw).decode("utf-8", errors="replace")
+    except struct.error:
+        return None
     return None
 
 
-def _bounds_map(entry) -> dict:
+def _bounds_map(entry, field_types: dict[int, str]) -> dict:
     """lower/upper bounds arrive as map<int,bytes> — Avro encodes that
     as array<record{key,value}> or map<string,bytes> depending on the
     writer."""
@@ -122,7 +156,7 @@ def _bounds_map(entry) -> dict:
     else:
         return out
     for k, v in items:
-        val = _decode_bound(v)
+        val = _decode_bound(v, field_types.get(int(k)))
         if val is not None:
             out[int(k)] = val
     return out
@@ -138,6 +172,7 @@ def snapshot_data_files(
     manifest chain would double-count compacted files and resurrect
     deleted ones."""
     meta = load_table_metadata(table_dir)
+    field_types = schema_field_types(meta)
     location = meta.get("location", "")
     snaps = meta.get("snapshots", [])
     if not snaps:
@@ -168,8 +203,8 @@ def snapshot_data_files(
                     file_format=str(df.get("file_format", "PARQUET")).upper(),
                     record_count=int(df.get("record_count", 0)),
                     file_size=int(df.get("file_size_in_bytes", 0) or 0),
-                    lower_bounds=_bounds_map(df.get("lower_bounds")),
-                    upper_bounds=_bounds_map(df.get("upper_bounds")),
+                    lower_bounds=_bounds_map(df.get("lower_bounds"), field_types),
+                    upper_bounds=_bounds_map(df.get("upper_bounds"), field_types),
                 )
             )
     # Data-file path resolution is ALL-OR-NOTHING: either every live

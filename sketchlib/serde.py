@@ -27,7 +27,7 @@ _BY_MAGIC = {
     b"CM01": CountMinSketch,
     b"BF01": BloomFilter,
     b"SS01": SpaceSaving,
-    b"RS02": ReservoirSample,
+    b"RS03": ReservoirSample,
     b"TH01": ThetaSketch,
 }
 

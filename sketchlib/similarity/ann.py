@@ -398,9 +398,24 @@ def embedding_near_duplicates(
         raise ValueError(
             f"unknown on_overflow {on_overflow!r} (use 'ivf' or 'raise')"
         )
-    n = df.count()
+    # size probe stops scanning once max_side+1 rows are found (a full
+    # count of a huge table just to discover "too big" is wasted work)
+    n = df.limit(max_side + 1).count()
     if n > max_side:
         if on_overflow == "ivf":
+            # the downgrade from exact to approximate must be VISIBLE:
+            # IVF recall < 1, so callers who need exactness should see
+            # this and either raise or size max_side up.
+            import warnings
+
+            warnings.warn(
+                f"embedding_near_duplicates: table exceeds max_side="
+                f"{max_side}; delegating to ivf_near_duplicates "
+                "(approximate — recall < 1). Pass on_overflow='raise' "
+                "to forbid the downgrade.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
             return ivf_near_duplicates(
                 df,
                 threshold=threshold,
@@ -409,8 +424,8 @@ def embedding_near_duplicates(
                 **ivf_kwargs,
             )
         raise ValueError(
-            f"embedding_near_duplicates: table has {n} rows > max_side="
-            f"{max_side}; a capped broadcast would silently drop pairs. "
+            f"embedding_near_duplicates: table has > max_side={max_side} "
+            "rows; a capped broadcast would silently drop pairs. "
             "Use ivf_near_duplicates (or on_overflow='ivf')."
         )
     side = df.select(id_col, vec_col).toPandas()

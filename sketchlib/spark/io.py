@@ -53,24 +53,41 @@ def read_table(
     iceberg; everything else is parquet.
     """
     if fmt == "iceberg":
+        # snapshot_id must be honored on EVERY path — time travel that
+        # silently reads the current snapshot is wrong data, not a
+        # degraded mode.  The DSv2 reader takes .option("snapshot-id").
+        reader = spark.read.format("iceberg")
+        if snapshot_id is not None:
+            reader = reader.option("snapshot-id", str(snapshot_id))
         if os.path.isdir(source) and _is_iceberg_dir(source):
             try:
-                df = spark.read.format("iceberg").load(source)
-                return df
+                return reader.load(source)
             except Exception:
                 return _read_iceberg_dir(spark, source, snapshot_id)
-        return spark.read.format("iceberg").load(source)
+        return reader.load(source)
     if fmt == "parquet":
+        if snapshot_id is not None:
+            raise ValueError("snapshot_id requires an Iceberg source")
         return spark.read.parquet(source)
     if fmt == "auto":
         if os.path.isdir(source) and _is_iceberg_dir(source):
             return read_table(spark, source, fmt="iceberg", snapshot_id=snapshot_id)
         looks_like_table = "/" not in source and source.count(".") >= 1
         if looks_like_table:
+            reader = spark.read.format("iceberg")
+            if snapshot_id is not None:
+                reader = reader.option("snapshot-id", str(snapshot_id))
             try:
-                return spark.read.format("iceberg").load(source)
+                return reader.load(source)
             except Exception:
+                if snapshot_id is not None:
+                    raise ValueError(
+                        f"cannot honor snapshot_id={snapshot_id}: iceberg "
+                        f"format unavailable for table {source!r}"
+                    )
                 return spark.read.table(source)
+        if snapshot_id is not None:
+            raise ValueError("snapshot_id requires an Iceberg source")
         return spark.read.parquet(source)
     raise ValueError(f"unknown format {fmt!r}")
 

@@ -132,6 +132,28 @@ def test_bounds_pruning(tbl):
     assert len(prune_files(cur, field_id=3, min_value=0)) == len(cur)
 
 
+def test_double_bounds_typed_decode(tmp_path):
+    """Bounds must decode by the DECLARED field type: an 8-byte double
+    read as int64 mis-orders (negative doubles bit-compare reversed),
+    silently mis-pruning floating-point fields."""
+    loc = str(tmp_path / "dbl")
+    # 4 files: v ranges [-100,-51], [-50,-1], [0,49], [50,99]
+    write_iceberg_table(loc, [_table(-100, 100)], rows_per_file=50)
+    files = snapshot_data_files(loc)
+    assert len(files) == 4
+    by_lo = sorted(files, key=lambda f: f.lower_bounds[2])
+    # field 2 is the double column: bounds decode to the real floats
+    assert by_lo[0].lower_bounds[2] == -100.0
+    assert by_lo[0].upper_bounds[2] == -51.0
+    assert isinstance(by_lo[0].lower_bounds[2], float)
+    # prune v >= -0.5 keeps only the two non-negative files
+    pruned = prune_files(files, field_id=2, min_value=-0.5)
+    assert sorted(f.lower_bounds[2] for f in pruned) == [0.0, 50.0]
+    # prune v <= -60.5 keeps only the most-negative file
+    pruned = prune_files(files, field_id=2, max_value=-60.5)
+    assert [f.lower_bounds[2] for f in pruned] == [-100.0]
+
+
 def test_sketch_iceberg_end_to_end(spark, tbl):
     """t-digest over the live snapshot through the manifest chain must
     see exactly the live rows (deleted file's rows absent)."""
@@ -170,6 +192,12 @@ def test_read_table_auto_iceberg(spark, tbl):
     # raw listing WOULD see all 250 rows — proves the manifest matters
     raw = spark.read.parquet(os.path.join(tbl, "data"))
     assert raw.count() == 250
+    # snapshot_id on a non-iceberg source must raise, never be ignored
+    with pytest.raises(ValueError, match="snapshot_id"):
+        read_table(spark, os.path.join(tbl, "data"), fmt="parquet",
+                   snapshot_id=1000)
+    with pytest.raises(ValueError, match="snapshot_id"):
+        read_table(spark, os.path.join(tbl, "data"), snapshot_id=1000)
 
 
 def test_relocated_table(tbl, tmp_path):

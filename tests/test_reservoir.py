@@ -119,6 +119,30 @@ def test_same_seed_partitions_independent_keys():
     assert share.min() > 0.06 and share.max() < 0.20
 
 
+def test_replicated_shards_decorrelated():
+    """Regression (advisor r2): two same-seed builders over an
+    IDENTICAL shard (same values at the same local positions) must emit
+    independent key streams — the partition salt de-correlates them so
+    the merged bottom-k treats the copies as distinct stream items
+    rather than jointly including/excluding each duplicate pair."""
+    vals = np.random.default_rng(7).uniform(0, 1, 4000)
+    a = ReservoirSample(capacity=1000, seed=11, salt=1)
+    b = ReservoirSample(capacity=1000, seed=11, salt=2)
+    a.add_buffer(vals)
+    b.add_buffer(vals)
+    assert not np.array_equal(np.sort(a.keys), np.sort(b.keys))
+    a.merge(b)
+    # correlated keys would keep every survivor twice (500 distinct);
+    # independent keys keep ~ 1000 * (1 - 1000/2... ) well above that
+    distinct = np.unique(a.sample()).size
+    assert distinct > 650, distinct
+    # and the salt round-trips through serde
+    from sketchlib import serde
+
+    rt = serde.from_bytes(a.to_bytes())
+    assert rt.salt == a.salt
+
+
 def test_merge_associative_exact():
     # bottom-k merge is exactly associative/commutative on the state
     import itertools

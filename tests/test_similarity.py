@@ -154,9 +154,11 @@ def test_near_dup_overflow_routes_to_ivf(spark):
     df = spark.createDataFrame(
         [(i, m[i].tolist()) for i in range(n)], "vec_id long, embedding array<float>"
     )
-    pairs = embedding_near_duplicates(
-        df, threshold=0.99, max_side=50, n_centroids=8, seed=1
-    ).collect()
+    # the exact->approximate downgrade must be VISIBLE (advisor r2)
+    with pytest.warns(RuntimeWarning, match="approximate"):
+        pairs = embedding_near_duplicates(
+            df, threshold=0.99, max_side=50, n_centroids=8, seed=1
+        ).collect()
     assert any({p["id_a"], p["id_b"]} == {150, 151} for p in pairs), pairs
 
     with pytest.raises(ValueError, match="max_side"):

@@ -46,6 +46,21 @@ def test_disjoint_and_identical():
     assert abs(a.jaccard_estimate(c) - 1.0) <= 0.01
 
 
+def test_self_intersection_matches_estimate():
+    """Estimator-convention consistency: the intersection sample uses
+    STRICT < against the cut, so intersect(A, A) == estimate(A),
+    jaccard(A, A) == 1.0 exactly, and difference(A, A) == 0.0 without
+    relying on the clamp."""
+    a = _sk(0, 200_000)  # well above capacity -> theta < 1
+    assert a.theta < 1.0
+    assert a.intersect_estimate(a) == pytest.approx(a.estimate())
+    assert a.jaccard_estimate(a) == pytest.approx(1.0)
+    assert a.estimate() - a.intersect_estimate(a) == pytest.approx(0.0)
+    # and jaccard can never exceed 1 between different sketches either
+    b = _sk(0, 200_000, seed=2)
+    assert a.jaccard_estimate(b) <= 1.0
+
+
 def test_merge_laws_exact_state():
     a = _sk(0, 30_000)
     b = _sk(20_000, 60_000)
