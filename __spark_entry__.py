@@ -694,12 +694,18 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming global sketch (foreachBatch + exactly-once
-    per-batch ledger): the events table arrives as a 3-file stream
-    (maxFilesPerTrigger=1 -> >= 3 micro-batches); after draining, the
-    streamed sketch must carry the exact row count and rank-correct
-    quantiles vs the batch table.  No SQL oracle exists for a streaming
-    query — this entry intentionally has no oracle_sql (rows-only
-    check); the real verification is the Spark-side ok flags."""
+    per-batch ledger), SELF-VALIDATING so the DuckDB oracle can pin it
+    (rows + schema + value hash, not rows-only):
+
+    the events table arrives as a 3-file stream (maxFilesPerTrigger=1
+    -> >= 3 micro-batches).  After draining, (a) the streamed sketch
+    must carry the exact row count, (b) its quantile estimates must be
+    rank-correct vs the raw rows, and (c) a BATCH-path rebuild of the
+    identical sketch over the identical ingested files must also be
+    rank-correct — streamed and batch builds agree in rank space.  The
+    emitted columns are exact values DuckDB reproduces (count, exact
+    percentiles) plus the ok flags, so a wrong streamed estimate flips
+    an ok to false and fails the hash."""
     import tempfile
     import time as _time
 
@@ -736,20 +742,48 @@ def q_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     sk = current_sketch(spark, f"{work}/ledger")
-    n_exact = events.count()
-    count_ok = sk is not None and sk.count == n_exact
     qs = [0.1, 0.5, 0.9]
-    ests = [float(v) for v in np.atleast_1d(sk.value_at_quantile(np.array(qs)))]
-    oks = _rank_ok(events, "value", qs, ests)
+    ests_stream = [
+        float(v) for v in np.atleast_1d(sk.value_at_quantile(np.array(qs)))
+    ]
+    # batch-path rebuild over the IDENTICAL ingested files: the
+    # streamed state and a fresh batch aggregation must tell the same
+    # story (both rank-correct at every q)
+    ingested = spark.read.schema("value double").parquet(f"{src}/f*")
+    ests_batch, _bsk = approx_quantiles(
+        ingested, "value", qs, sketch="tdigest", delta=1000
+    )
+    ests_batch = [float(v) for v in ests_batch]
+    # ONE fused aggregation: exact count + exact percentiles + rank
+    # intervals for all 6 estimates (3 streamed, 3 batch)
+    aggs = _rank_aggs("value", ests_stream + ests_batch) + [
+        F.percentile(
+            F.col("value").cast("double"), F.array(*[F.lit(x) for x in qs])
+        ).alias("p")
+    ]
+    row = events.agg(*aggs).first()
+    oks = _rank_oks(row, qs + qs)
+    oks_stream, oks_batch = oks[: len(qs)], oks[len(qs):]
+    n_exact = int(row["n"])
+    count_ok = sk is not None and sk.count == n_exact
     n_batches = len(
         [d for d in __import__("os").listdir(f"{work}/ledger")]
     ) if sk is not None else 0
     rows = [
-        ("stream_count_exact", bool(count_ok)),
-        ("stream_rank_q10_q50_q90", bool(all(oks))),
-        ("stream_multiple_batches", bool(n_batches >= 3)),
+        ("stream_batches", 0.0, -1.0, bool(n_batches >= 3)),
+        ("stream_count", 0.0, float(n_exact), bool(count_ok)),
+    ] + [
+        (
+            "stream_q",
+            float(qx),
+            float(round(row["p"][i], 4)),
+            bool(oks_stream[i] and oks_batch[i]),
+        )
+        for i, qx in enumerate(qs)
     ]
-    return spark.createDataFrame(rows, "metric string, ok boolean")
+    return spark.createDataFrame(
+        rows, "metric string, q double, exact_value double, ok boolean"
+    )
 
 
 def q_sampling_and_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1120,6 +1154,28 @@ def oracle_sql() -> dict[str, str]:
             "WHERE doc_id > (SELECT max(doc_id) FROM "
             "  (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 100)) "
             "GROUP BY lang"
+        ),
+        "streaming_quantiles": (
+            # exact count + exact percentiles pin real numbers; the ok
+            # flags carry the stream-vs-batch rank verification
+            "SELECT 'stream_batches' AS metric, CAST(0.0 AS DOUBLE) AS q, "
+            "CAST(-1.0 AS DOUBLE) AS exact_value, TRUE AS ok "
+            "UNION ALL "
+            "SELECT 'stream_count', CAST(0.0 AS DOUBLE), "
+            "CAST(count(value) AS DOUBLE), TRUE FROM events "
+            "WHERE value IS NOT NULL "
+            "UNION ALL "
+            "SELECT 'stream_q', CAST(0.1 AS DOUBLE), "
+            "round(quantile_cont(value, CAST(0.1 AS DOUBLE)), 4), TRUE "
+            "FROM events WHERE value IS NOT NULL "
+            "UNION ALL "
+            "SELECT 'stream_q', CAST(0.5 AS DOUBLE), "
+            "round(quantile_cont(value, CAST(0.5 AS DOUBLE)), 4), TRUE "
+            "FROM events WHERE value IS NOT NULL "
+            "UNION ALL "
+            "SELECT 'stream_q', CAST(0.9 AS DOUBLE), "
+            "round(quantile_cont(value, CAST(0.9 AS DOUBLE)), 4), TRUE "
+            "FROM events WHERE value IS NOT NULL"
         ),
     }
 

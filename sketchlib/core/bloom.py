@@ -17,20 +17,21 @@ import struct
 
 import numpy as np
 
-from sketchlib.core.hashing import splitmix64
+from sketchlib.core.hashing import combine_domains, splitmix64
 
-_MAGIC = b"BF01"
+_MAGIC = b"BF02"
 _U64 = np.uint64
 
 
 class BloomFilter:
-    __slots__ = ("m", "k", "words", "n_added")
+    __slots__ = ("m", "k", "words", "n_added", "hash_domain")
 
     def __init__(self, m_bits: int = 1 << 20, k: int = 7):
         self.m = int(m_bits)
         self.k = int(k)
         self.words = np.zeros((self.m + 63) // 64, dtype=np.uint64)
         self.n_added = 0
+        self.hash_domain = 0
 
     @classmethod
     def from_capacity(cls, n_items: int, fpr: float = 0.01) -> "BloomFilter":
@@ -66,6 +67,9 @@ class BloomFilter:
     def merge(self, other: "BloomFilter") -> "BloomFilter":
         if (other.m, other.k) != (self.m, self.k):
             raise ValueError("cannot merge Bloom filters with different geometry")
+        self.hash_domain = combine_domains(
+            self.hash_domain, other.hash_domain, "BloomFilter"
+        )
         np.bitwise_or(self.words, other.words, out=self.words)
         self.n_added += other.n_added
         return self
@@ -96,17 +100,21 @@ class BloomFilter:
 
     def to_bytes(self) -> bytes:
         return (
-            struct.pack("<4s q i q", _MAGIC, self.m, self.k, self.n_added)
+            struct.pack(
+                "<4s B q i q", _MAGIC, self.hash_domain, self.m, self.k,
+                self.n_added,
+            )
             + self.words.tobytes()
         )
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "BloomFilter":
-        hdr = struct.calcsize("<4s q i q")
-        magic, m, k, n_added = struct.unpack("<4s q i q", data[:hdr])
+        hdr = struct.calcsize("<4s B q i q")
+        magic, domain, m, k, n_added = struct.unpack("<4s B q i q", data[:hdr])
         if magic != _MAGIC:
             raise ValueError("not a BloomFilter blob")
         sk = cls(m_bits=m, k=k)
+        sk.hash_domain = int(domain)
         sk.words = np.frombuffer(
             data, dtype=np.uint64, count=(m + 63) // 64, offset=hdr
         ).copy()

@@ -18,20 +18,21 @@ import struct
 
 import numpy as np
 
-from sketchlib.core.hashing import splitmix64
+from sketchlib.core.hashing import combine_domains, splitmix64
 
-_MAGIC = b"CM01"
+_MAGIC = b"CM02"
 _U64 = np.uint64
 
 
 class CountMinSketch:
-    __slots__ = ("depth", "width", "table", "total")
+    __slots__ = ("depth", "width", "table", "total", "hash_domain")
 
     def __init__(self, depth: int = 5, width: int = 16384):
         self.depth = int(depth)
         self.width = int(width)
         self.table = np.zeros((self.depth, self.width), dtype=np.int64)
         self.total = 0
+        self.hash_domain = 0
 
     @classmethod
     def from_error_bounds(cls, eps: float, delta: float) -> "CountMinSketch":
@@ -75,6 +76,9 @@ class CountMinSketch:
     def merge(self, other: "CountMinSketch") -> "CountMinSketch":
         if (other.depth, other.width) != (self.depth, self.width):
             raise ValueError("cannot merge CMS with different dimensions")
+        self.hash_domain = combine_domains(
+            self.hash_domain, other.hash_domain, "CountMinSketch"
+        )
         self.table += other.table
         self.total += other.total
         return self
@@ -101,17 +105,23 @@ class CountMinSketch:
 
     def to_bytes(self) -> bytes:
         return (
-            struct.pack("<4s i i q", _MAGIC, self.depth, self.width, self.total)
+            struct.pack(
+                "<4s B i i q", _MAGIC, self.hash_domain, self.depth,
+                self.width, self.total,
+            )
             + self.table.tobytes()
         )
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "CountMinSketch":
-        hdr = struct.calcsize("<4s i i q")
-        magic, depth, width, total = struct.unpack("<4s i i q", data[:hdr])
+        hdr = struct.calcsize("<4s B i i q")
+        magic, domain, depth, width, total = struct.unpack(
+            "<4s B i i q", data[:hdr]
+        )
         if magic != _MAGIC:
             raise ValueError("not a CountMinSketch blob")
         sk = cls(depth=depth, width=width)
+        sk.hash_domain = int(domain)
         sk.table = (
             np.frombuffer(data, dtype=np.int64, count=depth * width, offset=hdr)
             .reshape(depth, width)

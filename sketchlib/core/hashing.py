@@ -17,6 +17,32 @@ import numpy as np
 _U64 = np.uint64
 _MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
 
+# ----------------------------------------------------------------- hash domains
+#
+# Two hash functions feed the hash-based sketches: JVM xxhash64 (the
+# DataFrame path, KIND_HASH64) and numpy splitmix64/pandas-siphash (the
+# direct pyarrow path and KIND_ARRAY_HASH).  States built from
+# DIFFERENT hash functions over the same keys share no register/bucket
+# structure — merging them yields silently-wrong estimates, so every
+# hash-consuming sketch carries its domain and merge() raises on a
+# definite mismatch.  DOMAIN_UNSET (empty or legacy state) merges with
+# anything and adopts the partner's domain.
+DOMAIN_UNSET = 0
+DOMAIN_XXHASH64 = 1  # JVM F.xxhash64 (DataFrame path)
+DOMAIN_SPLITMIX64 = 2  # numpy splitmix64 / pandas siphash (direct path)
+
+
+def combine_domains(a: int, b: int, kind: str = "sketch") -> int:
+    """Merge-guard: raise on a definite cross-domain merge, else the
+    surviving (nonzero-if-any) domain."""
+    if a and b and a != b:
+        raise ValueError(
+            f"cannot merge {kind} states from different hash domains "
+            f"({a} vs {b}): one was fed JVM xxhash64, the other numpy "
+            "splitmix64 — the merged estimate would be silently wrong"
+        )
+    return a or b
+
 
 def splitmix64(x: np.ndarray) -> np.ndarray:
     """Vectorized splitmix64 finalizer over a uint64 array (wraps mod 2^64)."""

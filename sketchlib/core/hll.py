@@ -17,13 +17,13 @@ import struct
 
 import numpy as np
 
-from sketchlib.core.hashing import clz64
+from sketchlib.core.hashing import clz64, combine_domains
 
-_MAGIC = b"HL01"
+_MAGIC = b"HL02"
 
 
 class HyperLogLog:
-    __slots__ = ("p", "m", "registers")
+    __slots__ = ("p", "m", "registers", "hash_domain")
 
     def __init__(self, p: int = 14):
         if not 4 <= int(p) <= 18:
@@ -31,6 +31,7 @@ class HyperLogLog:
         self.p = int(p)
         self.m = 1 << self.p
         self.registers = np.zeros(self.m, dtype=np.uint8)
+        self.hash_domain = 0  # DOMAIN_UNSET until first stamped feed
 
     # ------------------------------------------------------------------- build
 
@@ -50,6 +51,9 @@ class HyperLogLog:
     def merge(self, other: "HyperLogLog") -> "HyperLogLog":
         if other.p != self.p:
             raise ValueError("cannot merge HLLs with different precision")
+        self.hash_domain = combine_domains(
+            self.hash_domain, other.hash_domain, "HyperLogLog"
+        )
         np.maximum(self.registers, other.registers, out=self.registers)
         return self
 
@@ -84,15 +88,19 @@ class HyperLogLog:
         return len(self.to_bytes())
 
     def to_bytes(self) -> bytes:
-        return struct.pack("<4sB", _MAGIC, self.p) + self.registers.tobytes()
+        return (
+            struct.pack("<4sBB", _MAGIC, self.p, self.hash_domain)
+            + self.registers.tobytes()
+        )
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "HyperLogLog":
-        magic, p = struct.unpack("<4sB", data[:5])
+        magic, p, domain = struct.unpack("<4sBB", data[:6])
         if magic != _MAGIC:
             raise ValueError("not a HyperLogLog blob")
         sk = cls(p=p)
-        sk.registers = np.frombuffer(data, dtype=np.uint8, count=sk.m, offset=5).copy()
+        sk.hash_domain = int(domain)
+        sk.registers = np.frombuffer(data, dtype=np.uint8, count=sk.m, offset=6).copy()
         return sk
 
     def __repr__(self) -> str:  # pragma: no cover

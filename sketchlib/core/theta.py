@@ -25,18 +25,21 @@ import struct
 
 import numpy as np
 
-_MAGIC = b"TH01"
+from sketchlib.core.hashing import combine_domains
+
+_MAGIC = b"TH02"
 _MAX = float(2**64)
 
 
 class ThetaSketch:
-    __slots__ = ("k", "hashes")
+    __slots__ = ("k", "hashes", "hash_domain")
 
     def __init__(self, k: int = 4096):
         if k < 8:
             raise ValueError("k must be >= 8")
         self.k = int(k)
         self.hashes = np.empty(0, dtype=np.uint64)  # sorted ascending, unique
+        self.hash_domain = 0
 
     # ------------------------------------------------------------------- build
 
@@ -54,6 +57,9 @@ class ThetaSketch:
     def merge(self, other: "ThetaSketch") -> "ThetaSketch":
         if other.k != self.k:
             raise ValueError("cannot merge theta sketches of different k")
+        self.hash_domain = combine_domains(
+            self.hash_domain, other.hash_domain, "ThetaSketch"
+        )
         merged = np.union1d(self.hashes, other.hashes)
         self.hashes = merged[: self.k]
         return self
@@ -130,16 +136,20 @@ class ThetaSketch:
 
     def to_bytes(self) -> bytes:
         return (
-            struct.pack("<4s i q", _MAGIC, self.k, self.hashes.size)
+            struct.pack(
+                "<4s B i q", _MAGIC, self.hash_domain, self.k,
+                self.hashes.size,
+            )
             + self.hashes.tobytes()
         )
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "ThetaSketch":
-        hdr = struct.calcsize("<4s i q")
-        magic, k, n = struct.unpack("<4s i q", data[:hdr])
+        hdr = struct.calcsize("<4s B i q")
+        magic, domain, k, n = struct.unpack("<4s B i q", data[:hdr])
         if magic != _MAGIC:
             raise ValueError("not a ThetaSketch blob")
         sk = cls(k=k)
+        sk.hash_domain = int(domain)
         sk.hashes = np.frombuffer(data, np.uint64, n, hdr).copy()
         return sk

@@ -23,12 +23,12 @@ _BY_MAGIC = {
     b"TD01": TDigest,
     b"KL01": KLL,
     b"RC01": RCSketch,
-    b"HL01": HyperLogLog,
-    b"CM01": CountMinSketch,
-    b"BF01": BloomFilter,
+    b"HL02": HyperLogLog,
+    b"CM02": CountMinSketch,
+    b"BF02": BloomFilter,
     b"SS01": SpaceSaving,
     b"RS03": ReservoirSample,
-    b"TH01": ThetaSketch,
+    b"TH02": ThetaSketch,
 }
 
 KINDS = {

@@ -52,11 +52,28 @@ _PARTIAL_SCHEMA = "state binary, items long, build_secs double"
 # --------------------------------------------------------------------- feeding
 
 
-def _feed(sk, vals: np.ndarray) -> int:
+def _kind_domain(kind: str) -> int:
+    """Hash domain implied by the input kind (0 for value streams)."""
+    from sketchlib.core import hashing
+
+    if kind == KIND_HASH64:
+        return hashing.DOMAIN_XXHASH64
+    if kind == KIND_ARRAY_HASH:
+        return hashing.DOMAIN_SPLITMIX64
+    return 0
+
+
+def _feed(sk, vals: np.ndarray, domain: int = 0) -> int:
     """Route a numpy batch into a sketch; returns item count."""
     if vals.size == 0:
         return 0
     if hasattr(sk, "add_hashes") and vals.dtype == np.uint64:
+        if domain and hasattr(sk, "hash_domain"):
+            from sketchlib.core.hashing import combine_domains
+
+            sk.hash_domain = combine_domains(
+                sk.hash_domain, domain, type(sk).__name__
+            )
         sk.add_hashes(vals)
         return int(vals.size)
     if np.issubdtype(vals.dtype, np.integer) and hasattr(sk, "add_weighted"):
@@ -126,12 +143,14 @@ def build_partials(
     """Stage 1: one serialized partial sketch per input partition."""
     vdf = _prepare_value_df(df, col, kind)
 
+    dom = _kind_domain(kind)
+
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         t0 = time.monotonic()
         sk = factory()
         items = 0
         for b in batches:
-            items += _feed(sk, _batch_values(b, 0, kind))
+            items += _feed(sk, _batch_values(b, 0, kind), dom)
         if items == 0:
             return
         yield pa.RecordBatch.from_arrays(
@@ -265,7 +284,10 @@ def sketch_columns(
         items = {c: 0 for c in cols}
         for b in batches:
             for i, c in enumerate(cols):
-                items[c] += _feed(sks[c], _batch_values(b, i, specs[c][1]))
+                items[c] += _feed(
+                    sks[c], _batch_values(b, i, specs[c][1]),
+                    _kind_domain(specs[c][1]),
+                )
         got = [c for c in cols if items[c] > 0]
         if not got:
             return
@@ -413,7 +435,7 @@ def grouped_sketch(
                 ent = sketches.get(kt)
                 if ent is None:
                     ent = sketches[kt] = [factory(), 0]
-                ent[1] += _feed(ent[0], vals)
+                ent[1] += _feed(ent[0], vals, _kind_domain(kind))
             if len(sketches) >= max_groups_per_partition:
                 # flush-on-threshold: bound worker memory under
                 # high-cardinality keys; stage 2 merges duplicates

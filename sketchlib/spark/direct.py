@@ -37,6 +37,7 @@ from typing import Callable, Iterator
 import pyarrow as pa
 from pyspark.sql import SparkSession
 
+from sketchlib.core import hashing
 from sketchlib.spark.aggregate import (
     _PARTIAL_SCHEMA,
     KIND_ARRAY,
@@ -134,7 +135,11 @@ def build_partials_direct(
                             vals = _hash_any(arr)
                         else:
                             vals = _batch_values(rb, 0, dkind)
-                        items += _feed(sk, vals)
+                        # every hash this path produces is numpy-side:
+                        # stamp SPLITMIX so a later merge with a JVM
+                        # xxhash64-fed state raises instead of silently
+                        # corrupting the estimate
+                        items += _feed(sk, vals, hashing.DOMAIN_SPLITMIX64)
         if items == 0:
             return
         yield pa.RecordBatch.from_arrays(

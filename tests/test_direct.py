@@ -60,6 +60,36 @@ def test_direct_hash_kind_int(spark, token_path):
     assert abs(sk.estimate() - true) / true <= 4 * sk.relative_std_error()
 
 
+def test_cross_hash_domain_merge_refused(spark, token_path):
+    """A direct-path HLL (numpy splitmix64) must REFUSE to merge with a
+    DataFrame-path HLL (JVM xxhash64) — their register states live in
+    different hash domains and a merged estimate would be silently
+    wrong.  The guard rides the serialized header, so it also fires
+    through serde.merge_blobs (the Spark merge stages)."""
+    from sketchlib import serde
+    from sketchlib.core.hashing import DOMAIN_SPLITMIX64, DOMAIN_XXHASH64
+
+    direct = sketch_parquet(
+        spark, token_path, "n_tok", lambda: HyperLogLog(p=12), KIND_HASH64
+    )
+    df = spark.read.parquet(token_path)
+    via_df = sketch_column(df, "n_tok", lambda: HyperLogLog(p=12), KIND_HASH64)
+    assert direct.hash_domain == DOMAIN_SPLITMIX64
+    assert via_df.hash_domain == DOMAIN_XXHASH64
+    with pytest.raises(ValueError, match="hash domain"):
+        direct.merge(via_df)
+    # and through the serialized-blob path the merge stages use
+    with pytest.raises(ValueError, match="hash domain"):
+        serde.merge_blobs([direct.to_bytes(), via_df.to_bytes()])
+    # same-domain merges still work
+    direct2 = sketch_parquet(
+        spark, token_path, "n_tok", lambda: HyperLogLog(p=12), KIND_HASH64
+    )
+    direct.merge(direct2)
+    rt = serde.from_bytes(direct.to_bytes())
+    assert rt.hash_domain == DOMAIN_SPLITMIX64
+
+
 def test_direct_missing_path(spark):
     with pytest.raises(FileNotFoundError):
         sketch_parquet(
