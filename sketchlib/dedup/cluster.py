@@ -47,7 +47,9 @@ def duplicate_clusters(
         .withColumn("cluster_id", F.col("id"))
         .localCheckpoint()
     )
-    for _ in range(max_rounds):
+    from pyspark.sql import Observation
+
+    for rnd in range(max_rounds):
         # candidate label per node: min over neighbours' labels
         nbr = (
             edges.join(labels.withColumnRenamed("id", "dst"), "dst")
@@ -56,6 +58,7 @@ def duplicate_clusters(
         )
         propagated = labels.join(nbr, "id", "left").select(
             "id",
+            F.col("cluster_id").alias("prev"),
             F.least(
                 F.col("cluster_id"),
                 F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
@@ -68,25 +71,31 @@ def duplicate_clusters(
             F.col("id").alias("cluster_id"),
             F.col("cluster_id").alias("root"),
         )
+        # convergence detection rides the SAME materializing action as
+        # the checkpoint (observe metric filled by localCheckpoint's
+        # job) — the former separate join+limit+count job per round is
+        # gone
+        obs = Observation(f"cc_round_{rnd}")
         new_labels = (
             propagated.join(lut, "cluster_id", "left")
             .select(
                 "id",
+                "prev",
                 F.coalesce(F.col("root"), F.col("cluster_id")).alias(
                     "cluster_id"
                 ),
             )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("cluster_id") != F.col("prev")).cast("long")
+                ).alias("changed"),
+            )
+            .select("id", "cluster_id")
             .localCheckpoint()  # truncate lineage: O(1) plan depth
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        if obs.get["changed"] == 0:
             edges.unpersist()
             return labels
     edges.unpersist()

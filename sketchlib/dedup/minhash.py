@@ -227,15 +227,31 @@ def lsh_candidate_pairs(
     rows_per_band: int = 4,
     max_bucket: int = 64,
     num_perm: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """DataFrame[id_a, id_b] distinct candidate pairs from band-hash
     buckets.  Everything stays JVM-side: band hashes via ``xxhash64``
-    over signature slices, bucket-membership cap via a window
-    row_number (skew guard — a pathological bucket of B members would
-    emit B^2/2 pairs), and pair emission via an equi-self-join on
-    (band, bucket-hash) inside whole-stage codegen.  (An earlier
-    applyInPandas-per-bucket version spent ~2ms of Python overhead per
-    bucket — 100k buckets made candidate generation the bottleneck.)"""
+    over signature slices, and pair emission via an equi-self-join on
+    (band, bucket-hash, sub-bucket) inside whole-stage codegen.  (An
+    earlier applyInPandas-per-bucket version spent ~2ms of Python
+    overhead per bucket — 100k buckets made candidate generation the
+    bottleneck.)
+
+    Skew handling — hot buckets are SUB-SPLIT, never truncated: a
+    bucket of B > max_bucket members (boilerplate text puts millions of
+    docs in one band bucket at 100 TB) is chunked into ceil(B /
+    max_bucket) sub-buckets, bounding pair volume at ~B * max_bucket
+    instead of B^2 while every member keeps participating.  The chunk
+    assignment is ordered by a per-band hash of the id, so each band
+    chunks a hot bucket DIFFERENTLY — overlapping cliques across bands
+    chain the sub-buckets back together under connected-components
+    clustering.  (The previous row_number cap silently DROPPED the
+    overflow — a recall hole with no signal.)
+
+    Pass a ``pyspark.sql.Observation`` as ``observation`` to receive
+    ``overflow_rows`` (bucket memberships beyond the first chunk, i.e.
+    rows the old cap would have dropped) and ``max_bucket_rows`` with
+    the returned DataFrame's first action."""
     from pyspark.sql.window import Window
 
     if num_perm is not None and bands * rows_per_band > num_perm:
@@ -254,20 +270,27 @@ def lsh_candidate_pairs(
         ]
     )
     exploded = sig_df.select("id", F.posexplode(band_hashes).alias("band", "bh"))
-    w = Window.partitionBy("band", "bh").orderBy("id")
+    # per-band shuffled order => per-band independent chunkings
+    w = Window.partitionBy("band", "bh").orderBy(
+        F.xxhash64(F.col("id"), F.col("band")), F.col("id")
+    )
+    split = exploded.withColumn(
+        "sub", ((F.row_number().over(w) - F.lit(1)) / F.lit(max_bucket)).cast("int")
+    )
+    if observation is not None:
+        split = split.observe(
+            observation,
+            F.sum((F.col("sub") > 0).cast("long")).alias("overflow_rows"),
+            F.count(F.lit(1)).alias("bucket_rows"),
+        )
     # persist: the self-join below reads this twice, and its upstream
     # includes the Python signature UDF — without a cache every join
     # side would recompute all signatures
-    capped = (
-        exploded.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= max_bucket)
-        .select("band", "bh", "id")
-        .persist()
-    )
-    a = capped.alias("a")
-    b = capped.alias("b")
+    split = split.select("band", "bh", "sub", "id").persist()
+    a = split.alias("a")
+    b = split.alias("b")
     return (
-        a.join(b, ["band", "bh"])
+        a.join(b, ["band", "bh", "sub"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
@@ -407,16 +430,21 @@ def minhash_near_duplicates(
     rows_per_band: int = 4,
     seed: int = 1,
     tokens: bool = False,
+    max_bucket: int = 64,
+    observation=None,
 ) -> DataFrame:
     """End-to-end: DataFrame[id_a, id_b, jaccard] with
-    jaccard >= threshold."""
+    jaccard >= threshold.  ``observation`` (optional
+    ``pyspark.sql.Observation``) surfaces LSH hot-bucket sub-split
+    counts — see ``lsh_candidate_pairs``."""
     # one tokenize+hash pass feeds BOTH the LSH and verify stages
     both = _signatures_and_shingles(
         df, col, id_col, num_perm, shingle_w, seed, tokens=tokens
     ).persist()
     sigs = both.select("id", "sig")
     cands = lsh_candidate_pairs(
-        sigs, bands=bands, rows_per_band=rows_per_band, num_perm=num_perm
+        sigs, bands=bands, rows_per_band=rows_per_band, num_perm=num_perm,
+        max_bucket=max_bucket, observation=observation,
     )
     verified = _jaccard_verify(cands, both.select("id", "sh"))
     return verified.filter(F.col("jaccard") >= threshold)

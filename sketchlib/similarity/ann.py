@@ -298,6 +298,7 @@ def ivf_near_duplicates(
     max_bucket: int = 4096,
     centroids: np.ndarray | None = None,
     seed: int = 42,
+    observation=None,
 ) -> DataFrame:
     """All-pairs cosine >= threshold when *both* sides are too large to
     broadcast: multi-assign every vector to its ``assign`` nearest
@@ -306,7 +307,17 @@ def ivf_near_duplicates(
     Multi-assignment covers boundary pairs (two near-identical vectors
     always share their nearest centroid; probing 2 covers the
     near-boundary cases).  Candidate volume is ~N^2 * assign / C, so
-    size C to the data.  Returns DataFrame[id_a, id_b, cos]."""
+    size C to the data.  Returns DataFrame[id_a, id_b, cos].
+
+    Skew handling — hot buckets are SUB-SPLIT, never truncated: a
+    dense embedding cluster of B > max_bucket members is chunked into
+    ceil(B / max_bucket) sub-buckets (pair volume ~B * max_bucket, not
+    B^2), ordered by a per-bucket hash of the id so each of the
+    ``assign`` bucket assignments chunks DIFFERENTLY — near-dup pairs
+    split in one bucket usually co-occur in another.  (The previous
+    row_number cap silently dropped the overflow — recall loss with no
+    signal.)  Pass a ``pyspark.sql.Observation`` as ``observation`` to
+    receive ``overflow_rows`` / ``bucket_rows`` with the first action."""
     if centroids is None:
         centroids = train_centroids(
             df, n_centroids=n_centroids, vec_col=vec_col, seed=seed
@@ -332,17 +343,23 @@ def ivf_near_duplicates(
     from pyspark.sql.window import Window
 
     exploded = assigned.select(id_col, vec_col, F.explode("buckets").alias("bucket"))
-    w = Window.partitionBy("bucket").orderBy(id_col)
-    capped = (
-        exploded.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= max_bucket)
-        .select("bucket", id_col, vec_col)
-        .persist()
+    w = Window.partitionBy("bucket").orderBy(
+        F.xxhash64(F.col(id_col), F.col("bucket")), F.col(id_col)
     )
-    a = capped.alias("a")
-    b = capped.alias("b")
+    split = exploded.withColumn(
+        "sub", ((F.row_number().over(w) - F.lit(1)) / F.lit(max_bucket)).cast("int")
+    )
+    if observation is not None:
+        split = split.observe(
+            observation,
+            F.sum((F.col("sub") > 0).cast("long")).alias("overflow_rows"),
+            F.count(F.lit(1)).alias("bucket_rows"),
+        )
+    split = split.select("bucket", "sub", id_col, vec_col).persist()
+    a = split.alias("a")
+    b = split.alias("b")
     pairs = (
-        a.join(b, "bucket")
+        a.join(b, ["bucket", "sub"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),

@@ -139,16 +139,45 @@ def test_simhash_identical_is_zero(spark):
     assert hamming64(np.array([sigs[0]]), np.array([sigs[1]]))[0] == 0
 
 
-def test_lsh_bucket_cap(spark):
-    # 100 identical docs -> one bucket; cap keeps pair count bounded
+def test_lsh_hot_bucket_subsplit_no_silent_drop(spark):
+    """Pathological all-identical-band fixture: every band puts all N
+    docs in ONE bucket.  The hot bucket must be SUB-SPLIT (pair volume
+    bounded ~N*max_bucket, not N^2) with NO doc silently dropped: every
+    doc participates in at least one candidate pair, the per-band chunk
+    orders chain the sub-buckets into one connected component, and the
+    overflow is REPORTED via the observation."""
+    from pyspark.sql import Observation
+
+    n, cap = 200, 16
     df = spark.createDataFrame(
-        [(i, "same words every time for all") for i in range(100)],
+        [(i, "same words every time for all") for i in range(n)],
         "doc_id long, text string",
     )
     sigs = minhash_signatures(df)
-    pairs = lsh_candidate_pairs(sigs, max_bucket=16)
-    n = pairs.count()
-    assert 0 < n <= 16 * 15 / 2
+    obs = Observation("lsh_skew")
+    pairs = lsh_candidate_pairs(sigs, max_bucket=cap, observation=obs).persist()
+    n_pairs = pairs.count()
+    # bounded: <= bands * ceil(n/cap) * C(cap,2) distinct pairs
+    assert 0 < n_pairs <= 16 * -(-n // cap) * cap * (cap - 1) / 2
+    # the old row_number cap capped participation at `cap` docs; now
+    # every doc appears in >= 1 pair
+    ids = {
+        r[0]
+        for r in pairs.select(F.col("id_a").alias("i"))
+        .union(pairs.select("id_b"))
+        .distinct()
+        .collect()
+    }
+    assert ids == set(range(n))
+    # the overflow that the old cap silently dropped is now reported
+    assert obs.get["overflow_rows"] > 0
+    assert obs.get["bucket_rows"] >= n
+    # per-band independent chunkings chain everything into ONE cluster
+    from sketchlib.dedup.cluster import duplicate_clusters
+
+    labels = duplicate_clusters(pairs)
+    assert labels.select("cluster_id").distinct().count() == 1
+    pairs.unpersist()
 
 
 def test_lsh_rejects_short_signature(spark):

@@ -66,6 +66,26 @@ def test_curate(spark, corpus):
     assert set(report["sketches"]) == {"quality_score", "ws_tokens", "doc_id"}
 
 
+def test_curate_single_materialization(spark, corpus):
+    """The stage row-counts must ride observe() metric nodes on the
+    final sketch scan's lineage — NOT separate count() actions (four
+    redundant full passes at 100 TB).  The returned plan must carry the
+    three CollectMetrics nodes on the output lineage, and every count
+    in the report must be exactly right even though no count() action
+    ran."""
+    from sketchlib.pipeline import curate
+
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    curated, report = curate(docs, quality_min=0.2, near_dup_threshold=0.5)
+    plan = curated._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("CollectMetrics") >= 3, plan
+    # all four counts present and consistent without any count() action
+    assert report["input_rows"] == 52
+    assert report["after_quality_filter"] == 50
+    assert report["after_exact_dedup"] == 45
+    assert report["after_near_dedup"] == 40
+
+
 def test_curate_idempotent(spark, corpus):
     from sketchlib.pipeline import curate
 

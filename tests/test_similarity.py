@@ -165,6 +165,44 @@ def test_near_dup_overflow_routes_to_ivf(spark):
         embedding_near_duplicates(df, max_side=50, on_overflow="raise")
 
 
+def test_ivf_hot_bucket_subsplit_no_silent_drop(spark):
+    """Pathological dense-cluster fixture: ALL vectors are near-copies
+    of one prototype, so every vector lands in the same `assign`
+    centroid buckets.  The hot bucket must be sub-split (never
+    truncated): every vector still participates in >= 1 reported pair
+    and the overflow volume is surfaced via the observation."""
+    from pyspark.sql import Observation
+
+    from sketchlib.similarity.ann import ivf_near_duplicates
+
+    rng = np.random.default_rng(11)
+    n, d, cap = 240, 16, 32
+    proto = rng.normal(size=d).astype(np.float32)
+    proto /= np.linalg.norm(proto)
+    m = proto + rng.normal(scale=1e-4, size=(n, d)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, m[i].tolist()) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    obs = Observation("ivf_skew")
+    pairs = ivf_near_duplicates(
+        df, threshold=0.99, n_centroids=4, assign=2, max_bucket=cap,
+        seed=3, observation=obs,
+    ).persist()
+    n_pairs = pairs.count()
+    assert 0 < n_pairs <= 2 * -(-n // cap) * cap * (cap - 1) / 2
+    ids = {
+        r[0]
+        for r in pairs.select(F.col("id_a").alias("i"))
+        .union(pairs.select("id_b"))
+        .distinct()
+        .collect()
+    }
+    assert ids == set(range(n))  # the old cap orphaned all but `cap`
+    assert obs.get["overflow_rows"] > 0
+    pairs.unpersist()
+
+
 def test_centroid_training_unbiased_on_sorted_data(spark):
     # Adversarial fixture: rows ORDERED by cluster, so .limit(sample)
     # would only ever see cluster 0 and train every centroid there.
