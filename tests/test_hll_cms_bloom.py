@@ -23,6 +23,31 @@ def test_hll_accuracy(n):
     assert abs(h.estimate() - n) / n <= 4 * sigma
 
 
+def test_hll_deferred_clz_feed_bit_identical():
+    """The clz-bound fast feed must produce BIT-IDENTICAL registers to
+    the naive feed (clz on every hash, unconditional maximum.at) across
+    batch orders, including the adversarial all-zero-suffix hashes that
+    exercise the w == 0 / cur == 0 edge cases."""
+    from sketchlib.core.hashing import clz64
+
+    rng = np.random.default_rng(5)
+    batches = [rng.integers(0, 2**64, 40_000, dtype=np.uint64) for _ in range(5)]
+    # adversarial: hashes whose low 64-p bits are all zero (w == 0,
+    # rho saturates at 64-p+1) and tiny values (idx 0, cur stays 0)
+    batches.append((np.arange(64, dtype=np.uint64) << np.uint64(50)))
+    batches.append(np.arange(64, dtype=np.uint64))
+    for p in (6, 14):
+        fast = HyperLogLog(p=p)
+        naive = HyperLogLog(p=p)
+        for b in batches:
+            fast.add_hashes(b)
+            idx = (b >> np.uint64(64 - p)).astype(np.int64)
+            w = b << np.uint64(p)
+            rho = np.minimum(clz64(w) + 1, 64 - p + 1).astype(np.uint8)
+            np.maximum.at(naive.registers, idx, rho)
+        np.testing.assert_array_equal(fast.registers, naive.registers)
+
+
 def test_hll_duplicates_dont_count():
     h = HyperLogLog(p=12)
     keys = np.arange(5000)
