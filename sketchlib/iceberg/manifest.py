@@ -120,6 +120,22 @@ def schema_field_types(meta: dict) -> dict[int, str]:
     return out
 
 
+def schema_field_names(meta: dict) -> dict[int, str]:
+    """field-id -> column name from the table metadata schema (same
+    resolution rules as ``schema_field_types``)."""
+    schema = meta.get("schema")
+    if schema is None:
+        cur = meta.get("current-schema-id")
+        for s in meta.get("schemas", []):
+            if s.get("schema-id") == cur:
+                schema = s
+                break
+        else:
+            schemas = meta.get("schemas", [])
+            schema = schemas[-1] if schemas else {}
+    return {int(f["id"]): f["name"] for f in schema.get("fields", [])}
+
+
 def _decode_bound(raw: bytes, typ: str | None):
     """Iceberg single-value serialization, decoded BY DECLARED TYPE —
     an 8-byte bound is a long *or* a double and the raw bit pattern of

@@ -78,6 +78,36 @@ def _direct_kind(kind: str) -> str:
     return kind
 
 
+def _prune_row_groups(md, column: str, min_value=None, max_value=None):
+    """Row-group indices whose [min, max] footer statistics for
+    ``column`` can intersect [min_value, max_value] — the pruning tier
+    BELOW file-level bounds: inside a kept 1-GB data file, 8-MB row
+    groups outside the predicate range are skipped without reading a
+    single data page.  Groups lacking statistics are conservatively
+    kept.  Returns (kept_indices, skipped_count)."""
+    leaf = None
+    if md.num_row_groups:
+        rg0 = md.row_group(0)
+        for j in range(rg0.num_columns):
+            if rg0.column(j).path_in_schema == column:
+                leaf = j
+                break
+    if leaf is None:  # nested/absent column: no stats addressable
+        return list(range(md.num_row_groups)), 0
+    kept = []
+    for g in range(md.num_row_groups):
+        st = md.row_group(g).column(leaf).statistics
+        if st is None or not st.has_min_max:
+            kept.append(g)
+            continue
+        if max_value is not None and st.min > max_value:
+            continue
+        if min_value is not None and st.max < min_value:
+            continue
+        kept.append(g)
+    return kept, md.num_row_groups - len(kept)
+
+
 def build_partials_direct(
     spark: SparkSession,
     path: str,
@@ -86,12 +116,21 @@ def build_partials_direct(
     kind: str = KIND_DOUBLE,
     tasks: int | None = None,
     files: list[str] | None = None,
+    prune: tuple | None = None,
 ):
     """Stage 1 over raw parquet files: returns the usual partials
     DataFrame[state binary, items long, build_secs double].  Pass an
     explicit ``files`` list to override discovery (e.g. a snapshot's
     data-file list from an Iceberg manifest, or a repeated list for
-    benchmarking)."""
+    benchmarking).
+
+    ``prune=(column_name, min, max)`` applies ROW-GROUP-level predicate
+    pushdown from the parquet footer statistics (the next pruning tier
+    under Iceberg's file-level bounds): row groups that cannot
+    intersect the range are never decoded.  Same granularity contract
+    as file pruning — it is a scan-planning operation (kept groups may
+    contain rows outside the range); exact row filtering stays with the
+    caller's semantics."""
     if files is None:
         files = list_parquet_files(path)
     if not files:
@@ -125,8 +164,16 @@ def build_partials_direct(
                         if pa.types.is_list(col_type) or pa.types.is_large_list(col_type)
                         else _READ_BATCH_ROWS
                     )
+                    row_groups = None
+                    if prune is not None:
+                        row_groups, _skipped = _prune_row_groups(
+                            pf.metadata, prune[0], prune[1], prune[2]
+                        )
+                        if not row_groups:
+                            continue  # whole file outside the range
                     for rb in pf.iter_batches(
-                        batch_size=bs, columns=[col], use_threads=False
+                        batch_size=bs, columns=[col], use_threads=False,
+                        row_groups=row_groups,
                     ):
                         if dkind == "hash64_numpy":
                             arr = rb.column(0)
@@ -180,9 +227,12 @@ def sketch_parquet(
     tasks: int | None = None,
     fanout: int = 64,
     files: list[str] | None = None,
+    prune: tuple | None = None,
 ):
     """End-to-end direct build: partials over raw files -> tree merge."""
-    partials = build_partials_direct(spark, path, col, factory, kind, tasks, files)
+    partials = build_partials_direct(
+        spark, path, col, factory, kind, tasks, files, prune=prune
+    )
     return tree_merge(partials, fanout=fanout, size_hint=tasks)
 
 
@@ -204,14 +254,26 @@ def sketch_iceberg(
     snapshot's LIVE data files (deleted entries dropped, snapshot
     time-travel via ``snapshot_id``), optional file-level min/max
     pruning drops files before any scan task is scheduled, then the
-    direct pyarrow path scans exactly that file list.  This is the
-    production shape for a 10^12-row Iceberg table: the planner never
-    lists the data directory."""
+    direct pyarrow path scans exactly that file list.  Inside each kept
+    file, the SAME predicate prunes at ROW-GROUP granularity from the
+    parquet footer statistics (the tier below Iceberg's file bounds).
+    This is the production shape for a 10^12-row Iceberg table: the
+    planner never lists the data directory."""
     from sketchlib.iceberg import prune_files, snapshot_data_files
+    from sketchlib.iceberg.manifest import (
+        load_table_metadata,
+        schema_field_names,
+    )
 
     dfiles = snapshot_data_files(table_dir, snapshot_id=snapshot_id)
+    rg_prune = None
     if prune_field_id is not None:
         dfiles = prune_files(dfiles, prune_field_id, prune_min, prune_max)
+        pcol = schema_field_names(load_table_metadata(table_dir)).get(
+            int(prune_field_id)
+        )
+        if pcol is not None:
+            rg_prune = (pcol, prune_min, prune_max)
     bad = [f.path for f in dfiles if f.file_format != "PARQUET"]
     if bad:
         raise ValueError(f"non-parquet data files: {bad[:3]}")
@@ -219,6 +281,7 @@ def sketch_iceberg(
     if not paths:
         return None
     partials = build_partials_direct(
-        spark, table_dir, col, factory, kind, tasks, files=paths
+        spark, table_dir, col, factory, kind, tasks, files=paths,
+        prune=rg_prune,
     )
     return tree_merge(partials, fanout=fanout, size_hint=tasks)

@@ -90,6 +90,82 @@ def test_cross_hash_domain_merge_refused(spark, token_path):
     assert rt.hash_domain == DOMAIN_SPLITMIX64
 
 
+def test_row_group_predicate_pushdown(spark, tmp_path):
+    """Row-group pruning from parquet footer statistics: inside one
+    kept file, groups outside the predicate range are never decoded.
+    Verified with the pyarrow metadata counter (which groups exist,
+    which are skipped) and by the sketch count covering exactly the
+    kept groups' rows."""
+    import pyarrow.parquet as pq
+
+    from sketchlib.spark.direct import _prune_row_groups
+
+    # one file, 10 row groups of 1000 rows: v in [0,1000), [1000,2000)…
+    path = str(tmp_path / "rg.parquet")
+    tbl = __import__("pyarrow").table(
+        {"v": np.arange(10_000, dtype=np.float64)}
+    )
+    pq.write_table(tbl, path, row_group_size=1000)
+    md = pq.ParquetFile(path).metadata
+    assert md.num_row_groups == 10
+
+    kept, skipped = _prune_row_groups(md, "v", 7500, None)
+    assert skipped == 7 and kept == [7, 8, 9]
+    kept, skipped = _prune_row_groups(md, "v", 2500, 4200)
+    assert kept == [2, 3, 4] and skipped == 7
+    # groups lacking stats for a missing column: conservatively kept
+    kept, skipped = _prune_row_groups(md, "nope", 0, 1)
+    assert skipped == 0 and len(kept) == 10
+
+    # end-to-end: the sketch sees exactly the kept groups' rows
+    sk = sketch_parquet(
+        spark, path, "v", lambda: TDigest(delta=500), KIND_DOUBLE,
+        prune=("v", 7500, None),
+    )
+    assert sk.count == 3000
+    assert sk.min == 7000.0 and sk.max == 9999.0  # group granularity
+    # a range matching nothing prunes every group -> empty build
+    assert sketch_parquet(
+        spark, path, "v", lambda: TDigest(delta=500), KIND_DOUBLE,
+        prune=("v", 50_000, None),
+    ) is None
+
+
+def test_iceberg_row_group_pruning(spark, tmp_path):
+    """sketch_iceberg: the file-level predicate also reaches ROW-GROUP
+    granularity inside kept files (field-id resolved to the column name
+    through the table-metadata schema)."""
+    import pyarrow.parquet as pq
+
+    from sketchlib.iceberg.fixture import wrap_existing_parquet
+    from sketchlib.spark.direct import sketch_iceberg
+
+    # 2 files x 4 row groups of 250 rows each
+    data = str(tmp_path / "raw")
+    __import__("os").makedirs(data)
+    paths = []
+    for i in range(2):
+        t = __import__("pyarrow").table(
+            {
+                "id": np.arange(i * 1000, (i + 1) * 1000, dtype=np.int64),
+                "v": np.arange(i * 1000, (i + 1) * 1000, dtype=np.float64),
+            }
+        )
+        p = f"{data}/part{i}.parquet"
+        pq.write_table(t, p, row_group_size=250)
+        paths.append(p)
+    loc = str(tmp_path / "tbl")
+    wrap_existing_parquet(loc, paths, stats_columns=["id", "v"])
+    # id >= 1750: file 0 fully pruned (file bounds), file 1 keeps only
+    # its last row group at row-group granularity -> 250 rows
+    sk = sketch_iceberg(
+        spark, loc, "v", lambda: TDigest(delta=500),
+        prune_field_id=1, prune_min=1750,
+    )
+    assert sk.count == 250
+    assert sk.min == 1750.0 and sk.max == 1999.0
+
+
 def test_direct_missing_path(spark):
     with pytest.raises(FileNotFoundError):
         sketch_parquet(
