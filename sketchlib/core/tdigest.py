@@ -32,6 +32,34 @@ from sketchlib.core.scale_functions import get_scale
 _MAGIC = b"TD01"
 
 
+def _find_closest(ms: list, xm: float):
+    """t_digest.rs:527-575 find_closest_centroids on a mean-sorted
+    list: half-open ``range`` over the centroids at minimum SIGNED
+    distance, with the reference's equal-distance expansion (its
+    right-expansion checks the element past the exclusive end — kept
+    as-is for parity).  None when empty."""
+    import bisect
+
+    n = len(ms)
+    if n == 0:
+        return None
+    index = bisect.bisect_left(ms, xm)
+    if index == 0:
+        min_lr = ms[0] - xm
+        left, right = 0, 1
+    elif index == n:
+        min_lr = ms[n - 1] - xm
+        left, right = n - 1, n
+    else:
+        min_lr = min(ms[index - 1] - xm, ms[index] - xm)
+        left, right = index, index + 1
+    while left > 0 and ms[left - 1] - xm == min_lr:
+        left -= 1
+    while right < n - 1 and ms[right + 1] - xm == min_lr:
+        right += 1
+    return range(left, right)
+
+
 class TDigest:
     """Mergeable t-digest over float64 values.
 
@@ -179,6 +207,182 @@ class TDigest:
         out_w = np.bincount(ids, weights=w, minlength=nbins)
         out_m = np.bincount(ids, weights=w * m, minlength=nbins) / out_w
         return out_m, out_w
+
+    # ----------------------------------------------------- incremental clustering
+    #
+    # Port of the reference's single-centroid insert path
+    # (t_digest.rs:368-436 add_cluster, 443-520 add_cluster_tree,
+    # 527-575 find_closest_centroids, 581-627 weight_left/total_weight/
+    # k_size).  The Spark paths never use these — the reference's own
+    # benchmarks show the batch merge path dominates
+    # (benches/t_digest.rs:230-258) and Spark feeds batches by
+    # construction — but a user streaming true single-event inserts
+    # outside Spark gets the same API surface.
+
+    def total_weight(self) -> float:
+        """Reference trait alias for count (t_digest.rs:593-603)."""
+        return self.count
+
+    def weight_left(self, mean: float) -> float:
+        """Total weight of centroids with mean strictly below ``mean``
+        (t_digest.rs:581-591)."""
+        self._flush()
+        return float(self.weights[self.means < float(mean)].sum())
+
+    def k_size_from_weights(
+        self, weight: float, weight_left: float, new_total_weight: float
+    ) -> float:
+        """Scale-space span of a centroid from its weight and the
+        weight to its left (t_digest.rs:616-623)."""
+        k_fn, _ = get_scale(self.scale)
+        q_left = weight_left / new_total_weight
+        q_right = q_left + weight / new_total_weight
+        return float(
+            k_fn(q_right, self.delta, new_total_weight)
+            - k_fn(q_left, self.delta, new_total_weight)
+        )
+
+    def k_size(self, mean: float, weight: float, total_weight: float) -> float:
+        """k-size of a prospective centroid against the current digest
+        (t_digest.rs:605-614 — note the reference adds the target's
+        weight on top of the passed total, ported as-is)."""
+        new_total = total_weight + weight
+        return self.k_size_from_weights(weight, self.weight_left(mean), new_total)
+
+    def find_closest_centroids(self, mean: float):
+        """Half-open index range of the centroids at minimum SIGNED
+        distance from ``mean`` (t_digest.rs:527-575 ported exactly,
+        including the signed-difference tie expansion); None when the
+        digest is empty."""
+        self._flush()
+        return _find_closest(self.means.tolist(), float(mean))
+
+    def add_cluster(self, means, weights=None, growth_limit: float = 10.0) -> None:
+        """Insert centroids one at a time via clustering
+        (t_digest.rs:368-436): each incoming centroid merges into the
+        closest existing centroid that stays under one k-unit
+        (minimum mean*weight among acceptable candidates, as the
+        reference selects), else inserts at its sort position; a merge-
+        compression pass runs whenever the digest exceeds
+        growth_limit * delta centroids.  No final compression (the
+        reference skips it; size stays bounded by the growth limit)."""
+        m_in = np.asarray(means, dtype=np.float64).ravel()
+        if weights is None:
+            w_in = np.ones(m_in.size)
+        else:
+            w_in = np.asarray(weights, dtype=np.float64).ravel()
+        if m_in.size == 0:
+            return
+        self._flush()
+        # update_limits (t_digest.rs:650-672): limits from cluster means
+        self.min = min(self.min, float(m_in.min()))
+        self.max = max(self.max, float(m_in.max()))
+        ms = self.means.tolist()
+        ws = self.weights.tolist()
+        total = float(self.weights.sum())
+        limit = int(growth_limit * self.delta)
+        import bisect
+
+        for xm, xw in zip(m_in.tolist(), w_in.tolist()):
+            idx_range = _find_closest(ms, xm)
+            chosen = None
+            if idx_range is not None:
+                for index in idx_range:
+                    nw = xw + ws[index]
+                    nm = (xm * xw + ms[index] * ws[index]) / nw
+                    wl = 0.0
+                    for j in range(len(ms)):  # weight strictly left
+                        if ms[j] < nm:
+                            wl += ws[j]
+                    if abs(self.k_size_from_weights(nw, wl, total + nw)) < 1.0:
+                        if chosen is None or (
+                            ms[chosen] * ws[chosen] > ms[index] * ws[index]
+                        ):
+                            chosen = index
+            if chosen is not None:
+                ws_c = ws[chosen]
+                ms[chosen] = (ms[chosen] * ws_c + xm * xw) / (ws_c + xw)
+                ws[chosen] = ws_c + xw
+                total += xw
+            else:
+                pos = bisect.bisect_left(ms, xm)
+                ms.insert(pos, xm)
+                ws.insert(pos, xw)
+                total += xw
+            if len(ms) > limit:
+                cm, cw = self._compress(np.asarray(ms), np.asarray(ws))
+                ms, ws = cm.tolist(), cw.tolist()
+        # deviation from the reference: in-place merges can leave means
+        # locally unsorted (t_digest.rs keeps them as-is); our queries
+        # interpolate over cumulative weights, so restore sort order
+        # (a permutation, not a compression — growth-limit semantics
+        # and centroid identities are preserved)
+        m_arr = np.asarray(ms)
+        w_arr = np.asarray(ws)
+        order = np.argsort(m_arr, kind="stable")
+        self.means, self.weights = m_arr[order], w_arr[order]
+
+    def add_cluster_tree(
+        self, means, weights=None, growth_limit: float = 10.0, seed: int = 0
+    ) -> None:
+        """``add_cluster`` with a KeyedSumTree carrying the
+        weight-to-the-left queries (t_digest.rs:443-520): existing
+        centroids are shuffled (seeded here — the reference uses
+        thread_rng, t_digest.rs:447-449) into an unbalanced BST with
+        subtree sums, so closest-centroid and weight_left queries run
+        in O(depth) instead of a scan.  Deviation: the reference passes
+        the merged MEAN where k_size_from_weights expects the merged
+        weight (t_digest.rs:459-470); we pass the weight the signature
+        declares."""
+        from sketchlib.core.keyed_sum_tree import KeyedSumTree
+
+        m_in = np.asarray(means, dtype=np.float64).ravel()
+        if weights is None:
+            w_in = np.ones(m_in.size)
+        else:
+            w_in = np.asarray(weights, dtype=np.float64).ravel()
+        if m_in.size == 0:
+            return
+        self._flush()
+        self.min = min(self.min, float(m_in.min()))
+        self.max = max(self.max, float(m_in.max()))
+        rng = np.random.default_rng(seed)
+        limit = int(growth_limit * self.delta)
+
+        def build_tree() -> KeyedSumTree:
+            perm = rng.permutation(self.means.size)
+            return KeyedSumTree.from_centroids(
+                self.means[perm], self.weights[perm]
+            )
+
+        tree = build_tree()
+        total = float(self.weights.sum())
+        for xm, xw in zip(m_in.tolist(), w_in.tolist()):
+            closest = tree.closest_keys(xm)
+            chosen = None
+            for cm, cw in closest:
+                nw = xw + cw
+                nm = (xm * xw + cm * cw) / nw
+                wl = tree.less_than_sum(nm) or 0.0
+                if abs(self.k_size_from_weights(nw, wl, total + xw)) < 1.0:
+                    if chosen is None or chosen[0] * chosen[1] > cm * cw:
+                        chosen = (cm, cw)
+            if chosen is not None:
+                cm, cw = chosen
+                tree.delete(cm)
+                tree.insert((cm * cw + xm * xw) / (cw + xw), cw + xw)
+            else:
+                tree.insert(xm, xw)
+            total += xw
+            if tree.size() > limit:
+                pairs = tree.sorted_vec_key()
+                m_arr = np.asarray([p[0] for p in pairs])
+                w_arr = np.asarray([p[1] for p in pairs])
+                self.means, self.weights = self._compress(m_arr, w_arr)
+                tree = build_tree()
+        pairs = tree.sorted_vec_key()
+        self.means = np.asarray([p[0] for p in pairs])
+        self.weights = np.asarray([p[1] for p in pairs])
 
     # ------------------------------------------------------------------ merge
 

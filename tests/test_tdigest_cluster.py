@@ -1,0 +1,184 @@
+"""Incremental-clustering insert path: TDigest.add_cluster /
+add_cluster_tree / find_closest_centroids + KeyedSumTree.
+
+Mirrors the reference's own tests: add_cluster accuracy bars
+(t_digest.rs:839-892), KeyedSumTree manual + uniform prefix-sum
+tests (keyed_sum_tree.rs:336-424)."""
+
+import numpy as np
+import pytest
+
+from sketchlib.core.keyed_sum_tree import KeyedSumTree
+from sketchlib.core.tdigest import TDigest
+
+
+# ------------------------------------------------------------- add_cluster
+
+
+def test_add_cluster_single_centroid():
+    # t_digest.rs:839-852
+    d = TDigest(delta=1.0, scale="k0")
+    d.add_cluster([1.0], [1.0], growth_limit=3.0)
+    assert d.n_centroids == 1
+    assert d.means[0] == 1.0 and d.weights[0] == 1.0
+    assert d.total_weight() == 1.0
+
+
+@pytest.mark.parametrize(
+    "delta,growth", [(100.0, 3.0), (20.0, 10.0)],
+    ids=["delta100", "high_compression_delta20"],
+)
+def test_add_cluster_many_centroids_bars(delta, growth):
+    # t_digest.rs:854-892 — the reference's accuracy bars verbatim
+    d = TDigest(delta=delta, scale="k1")
+    d.add_cluster(np.arange(1001, dtype=float), growth_limit=growth)
+    assert d.value_at_quantile(0.0) == pytest.approx(0.0)
+    assert d.value_at_quantile(0.25) == pytest.approx(250.0, abs=1.0)
+    assert d.value_at_quantile(0.5) == pytest.approx(500.0, abs=2.0)
+    assert d.value_at_quantile(0.75) == pytest.approx(750.0, abs=1.0)
+    assert d.value_at_quantile(1.0) == pytest.approx(1000.0)
+    assert d.total_weight() == 1001.0
+    # growth limit bounds digest size
+    assert d.n_centroids <= growth * delta
+
+
+@pytest.mark.parametrize(
+    "delta,growth", [(100.0, 3.0), (20.0, 10.0)],
+    ids=["delta100", "high_compression_delta20"],
+)
+def test_add_cluster_tree_many_centroids_bars(delta, growth):
+    # same bars through the KeyedSumTree-backed variant
+    d = TDigest(delta=delta, scale="k1")
+    d.add_cluster_tree(
+        np.arange(1001, dtype=float), growth_limit=growth, seed=7
+    )
+    assert d.value_at_quantile(0.0) == pytest.approx(0.0)
+    assert d.value_at_quantile(0.25) == pytest.approx(250.0, abs=1.0)
+    assert d.value_at_quantile(0.5) == pytest.approx(500.0, abs=2.0)
+    assert d.value_at_quantile(0.75) == pytest.approx(750.0, abs=1.0)
+    assert d.value_at_quantile(1.0) == pytest.approx(1000.0)
+    assert d.total_weight() == 1001.0
+    assert d.n_centroids <= growth * delta
+
+
+def test_add_cluster_random_order_matches_exact_ranks():
+    # shuffled heavy-tailed stream through the trickle path: rank error
+    # at delta=500 must stay within a few k-units
+    rng = np.random.default_rng(3)
+    vals = rng.lognormal(0.0, 1.5, 4000)
+    d = TDigest(delta=500.0, scale="k2")
+    d.add_cluster(vals, growth_limit=5.0)
+    assert d.total_weight() == 4000.0
+    s = np.sort(vals)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        est = d.value_at_quantile(q)
+        rank = np.searchsorted(s, est) / s.size
+        assert abs(rank - q) <= 0.02, (q, rank)
+
+
+def test_find_closest_centroids():
+    d = TDigest(delta=100.0, scale="k1")
+    # build a known centroid layout
+    d.add_weighted([0.0, 10.0, 10.0, 20.0], [1.0, 1.0, 1.0, 1.0])
+    d._flush()
+    # empty digest -> None
+    assert TDigest().find_closest_centroids(1.0) is None
+    ms = d.means.tolist()
+    # below the smallest: first centroid only
+    r = d.find_closest_centroids(ms[0] - 5.0)
+    assert list(r) == [0]
+    # above the largest: last centroid
+    r = d.find_closest_centroids(ms[-1] + 5.0)
+    assert list(r)[-1] == len(ms) - 1
+    # exactly between two: both neighbours covered
+    mid = (ms[0] + ms[1]) / 2.0
+    r = d.find_closest_centroids(mid)
+    assert 0 in r or 1 in r
+
+
+def test_weight_left_and_k_size():
+    d = TDigest(delta=100.0, scale="k1")
+    d.add_weighted([1.0, 2.0, 3.0], [2.0, 3.0, 4.0])
+    assert d.weight_left(2.5) == 5.0
+    assert d.weight_left(0.5) == 0.0
+    assert d.total_weight() == 9.0
+    # k_size of a tiny centroid is < 1 k-unit; a dominating one is not
+    assert abs(d.k_size(2.5, 0.1, 9.0)) < 1.0
+    assert abs(d.k_size(2.5, 100.0, 9.0)) >= 1.0
+
+
+# ----------------------------------------------------------- KeyedSumTree
+
+
+def test_keyed_sum_tree_manual():
+    # keyed_sum_tree.rs:343-379 verbatim
+    t = KeyedSumTree()
+    assert t.less_than_sum(0.0) is None
+    assert t.less_than_sum(1_000_000.0) is None
+    t.insert(1.0, 1.0)
+    assert t.less_than_sum(1.0) == pytest.approx(0.0)
+    assert t.less_than_sum(2.0) == pytest.approx(1.0)
+    t.delete(1.0)
+    assert t.less_than_sum(0.0) is None
+    t.insert(1.0, 1.0)
+    t.insert(13.0, 100.0)
+    t.insert(25.0, 1.0)
+    t.insert(-100.0, 5.0)
+    assert t.size() == 4
+    assert t.less_than_sum(-101.0) == pytest.approx(0.0)
+    assert t.less_than_sum(-100.0) == pytest.approx(0.0)
+    assert t.less_than_sum(-99.0) == pytest.approx(5.0)
+    assert t.less_than_sum(0.0) == pytest.approx(5.0)
+    assert t.less_than_sum(1.0) == pytest.approx(5.0)
+    assert t.less_than_sum(2.0) == pytest.approx(6.0)
+    assert t.less_than_sum(12.0) == pytest.approx(6.0)
+    assert t.less_than_sum(13.0) == pytest.approx(6.0)
+    assert t.less_than_sum(14.0) == pytest.approx(106.0)
+    assert t.less_than_sum(24.0) == pytest.approx(106.0)
+    assert t.less_than_sum(25.0) == pytest.approx(106.0)
+    assert t.less_than_sum(26.0) == pytest.approx(107.0)
+
+
+def test_keyed_sum_tree_uniform_with_deletes():
+    # keyed_sum_tree.rs:381-423: prefix sums stay exact through
+    # inserting 1000 random-weight centroids and deleting half — this
+    # exercises the delete-sum maintenance the reference lacks
+    rng = np.random.default_rng(0)
+    means = rng.permutation(1000).astype(float)
+    weights = rng.uniform(0.1, 2.0, 1000)
+    t = KeyedSumTree()
+    for m, w in zip(means, weights):
+        t.insert(m, w)
+    assert t.size() == 1000
+    order = np.argsort(means)
+    sm, sw = means[order], weights[order]
+    cum = np.concatenate(([0.0], np.cumsum(sw)[:-1]))
+    for m, c in zip(sm[::37], cum[::37]):
+        assert t.less_than_sum(m) == pytest.approx(c, abs=1e-7)
+    # delete every other key (mixed leaf/one-child/two-child shapes)
+    for m in sm[::2]:
+        assert t.delete(float(m))
+    assert t.size() == 500
+    keep = np.ones(1000, dtype=bool)
+    keep[::2] = False
+    km, kw = sm[keep], sw[keep]
+    kcum = np.concatenate(([0.0], np.cumsum(kw)[:-1]))
+    for m, c in zip(km[::23], kcum[::23]):
+        assert t.less_than_sum(m) == pytest.approx(c, abs=1e-7)
+    # in-order traversal matches the kept keys
+    assert [k for k, _ in t.sorted_vec_key()] == km.tolist()
+
+
+def test_keyed_sum_tree_closest_and_duplicates():
+    t = KeyedSumTree()
+    for m in (0.0, 10.0, 20.0):
+        t.insert(m, 1.0)
+    ks = [k for k, _ in t.closest_keys(9.0)]
+    assert 10.0 in ks
+    # duplicate-key insert merges weight (reference panics; we absorb)
+    t.insert(10.0, 2.5)
+    assert t.size() == 3
+    assert t.less_than_sum(10.0001) == pytest.approx(1.0 + 3.5)
+    assert t.delete(10.0)
+    assert not t.delete(10.0)  # already gone
+    assert t.less_than_sum(100.0) == pytest.approx(2.0)
