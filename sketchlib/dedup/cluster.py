@@ -27,14 +27,27 @@ def duplicate_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_rounds: int = 25,
+    method: str = "jump",
 ) -> DataFrame:
     """Connected components of the pair graph:
     DataFrame[id, cluster_id] for every id that appears in a pair,
     where cluster_id is the component's minimum id.
 
+    ``method="jump"`` (default): min-label propagation + pointer
+    jumping — O(log diameter) rounds, the right default for dedup
+    graphs (near-dup components are dense and shallow).
+    ``method="star"``: alternating large-star/small-star (Kiveris et
+    al., "Connected Components in MapReduce and Beyond") — round count
+    bounded by O(log n) REGARDLESS of topology and each round touches
+    only the shrinking edge list, the safer choice when component
+    shape is adversarial/unknown at 100-TB scale.
+
     Raises RuntimeError if the fixpoint is not reached within
-    ``max_rounds`` (a component with diameter > max_rounds) — never
-    silently returns half-merged clusters."""
+    ``max_rounds`` — never silently returns half-merged clusters."""
+    if method == "star":
+        return _star_clusters(pairs, id_a, id_b, max_rounds)
+    if method != "jump":
+        raise ValueError(f"unknown method {method!r} (use 'jump' or 'star')")
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -103,6 +116,98 @@ def duplicate_clusters(
         f"duplicate_clusters did not converge in {max_rounds} rounds "
         "(with pointer jumping that means component diameter > "
         f"~2^{max_rounds}); raise max_rounds"
+    )
+
+
+def _star_clusters(
+    pairs: DataFrame, id_a: str, id_b: str, max_rounds: int
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.):
+
+    * large-star: every node links its LARGER neighbours to the min of
+      its neighbourhood (incl. itself) — long chains contract toward
+      small ids without growing any neighbourhood beyond its component.
+    * small-star: every node links its smaller-or-equal neighbours and
+      itself to that min — stars flatten.
+
+    Alternating the two converges to one star per component rooted at
+    the component minimum in O(log n) rounds for ANY topology.  Both
+    steps are a window-min + projection over the edge list (no joins);
+    each round localCheckpoints, and convergence is detected by an
+    (edge-count, xxhash64-sum) signature that rides the checkpoint's
+    own action via observe() — no extra jobs."""
+    from pyspark.sql import Observation
+
+    e = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("src")
+    prev_sig = None
+    for rnd in range(max_rounds):
+        # ---- large star: group the SYMMETRIC edge list by node
+        sym = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        m = F.least(F.min("dst").over(w), F.col("src"))
+        big = (
+            sym.withColumn("m", m)
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # ---- small star: orient edges large -> small, link the small
+        # neighbours and the node itself to the neighbourhood min
+        d = big.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        ).withColumn("m", F.least(F.min("dst").over(w), F.col("src")))
+        nbrs = d.filter(F.col("dst") != F.col("m")).select(
+            F.col("dst").alias("src"), F.col("m").alias("dst")
+        )
+        selfe = d.select("src", F.col("m").alias("dst"))
+        obs = Observation()
+        e = (
+            nbrs.union(selfe)
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                # xor never overflows (ANSI mode) and is order-free —
+                # a sound set signature over the distinct edge list
+                F.bit_xor(F.xxhash64("src", "dst")).alias("sig"),
+            )
+            .localCheckpoint()
+        )
+        sig = (obs.get["n"], obs.get["sig"])
+        if sig == prev_sig:
+            # star edges: (node, component-min); roots label themselves
+            labels = (
+                e.select(F.col("src").alias("id"), F.col("dst").alias("cluster_id"))
+                .union(
+                    e.select(F.col("dst").alias("id"), F.col("dst").alias("cluster_id"))
+                )
+                .distinct()
+            )
+            # nodes isolated by the self-pair filter label themselves
+            nodes = (
+                pairs.select(F.col(id_a).alias("id"))
+                .union(pairs.select(F.col(id_b).alias("id")))
+                .distinct()
+            )
+            return nodes.join(labels, "id", "left").select(
+                "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")
+            )
+        prev_sig = sig
+    raise RuntimeError(
+        f"duplicate_clusters(method='star') did not converge in "
+        f"{max_rounds} rounds; raise max_rounds"
     )
 
 
