@@ -645,6 +645,79 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("cluster_id").cast("bigint"), "n_members")
 
 
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The large-star/small-star components (O(log n) rounds for ANY
+    topology) over the same chain pairs as dedup_clusters, against the
+    same DuckDB recursive-CTE oracle — proves both distributed CC
+    formulations agree with an exact engine."""
+    from sketchlib.dedup.cluster import duplicate_clusters
+
+    base = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+    pairs = base.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1_000_000).alias("id_b"),
+    ).union(
+        base.select(
+            (F.col("doc_id") + 1_000_000).alias("id_a"),
+            (F.col("doc_id") + 2_000_000).alias("id_b"),
+        )
+    )
+    clusters = duplicate_clusters(pairs, method="star")
+    return clusters.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("n_members")
+    ).select(F.col("cluster_id").cast("bigint"), "n_members")
+
+
+def q_tdigest_cluster_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-clustering insert path (reference
+    t_digest.rs:368-436/443-520, ported r3): add_cluster AND
+    add_cluster_tree digest a sample of events.value one centroid at a
+    time; both must be rank-correct vs the raw rows at every q.  The
+    oracle pins the exact percentiles; ok flags carry the trickle-path
+    verification (self-validating gate pattern)."""
+    from sketchlib.core.tdigest import TDigest
+
+    events = _read(spark, sf_dir, "events").select("event_id", "value").filter(
+        F.col("value").isNotNull()
+    )
+    # deterministic 2k-row sample the ORACLE can reproduce in SQL:
+    # first 2000 by event_id (TakeOrderedAndProject — one job, no sort)
+    sample = [
+        r["value"] for r in events.orderBy("event_id").limit(2000).collect()
+    ]
+    qs = [0.1, 0.5, 0.9]
+    d1 = TDigest(delta=300.0, scale="k2")
+    d1.add_cluster(sample, growth_limit=5.0)
+    d2 = TDigest(delta=300.0, scale="k2")
+    d2.add_cluster_tree(sample, growth_limit=5.0, seed=11)
+    ests1 = [float(d1.value_at_quantile(q)) for q in qs]
+    ests2 = [float(d2.value_at_quantile(q)) for q in qs]
+    sdf = spark.createDataFrame([(float(v),) for v in sample], "value double")
+    aggs = _rank_aggs("value", ests1 + ests2) + [
+        F.percentile(
+            F.col("value").cast("double"), F.array(*[F.lit(q) for q in qs])
+        ).alias("p")
+    ]
+    row = sdf.agg(*aggs).first()
+    oks = _rank_oks(row, qs + qs)
+    count_ok = d1.total_weight() == len(sample) == d2.total_weight()
+    rows = [
+        (
+            float(q),
+            float(round(row["p"][i], 4)),
+            bool(oks[i] and oks[i + len(qs)] and count_ok),
+        )
+        for i, q in enumerate(qs)
+    ]
+    return spark.createDataFrame(
+        rows, "q double, exact_value double, ok boolean"
+    )
+
+
 def q_similarity_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine nearest neighbor (excluding self) for the
     first 20 vectors — exact SQL parity with DuckDB
@@ -947,6 +1020,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_star": q_dedup_clusters_star,
+        "tdigest_cluster_insert": q_tdigest_cluster_insert,
         "text_fingerprints": q_text_fingerprints,
         "similarity_top1": q_similarity_top1,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1154,6 +1229,39 @@ def oracle_sql() -> dict[str, str]:
             "WHERE doc_id > (SELECT max(doc_id) FROM "
             "  (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 100)) "
             "GROUP BY lang"
+        ),
+        "dedup_clusters_star": (
+            # identical component structure to dedup_clusters — the
+            # same recursive-CTE oracle must match the star method too
+            "WITH RECURSIVE "
+            "base AS (SELECT doc_id AS d FROM documents WHERE doc_id % 10 = 0), "
+            "pairs AS (SELECT d AS a, d + 1000000 AS b FROM base "
+            "  UNION ALL SELECT d + 1000000, d + 2000000 FROM base), "
+            "edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs), "
+            "nodes AS (SELECT a AS id FROM edges UNION SELECT b FROM edges), "
+            "reach(src, dst) AS ("
+            "  SELECT id, id FROM nodes "
+            "  UNION "
+            "  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a"
+            ") "
+            "SELECT CAST(cluster_id AS BIGINT) AS cluster_id, "
+            "CAST(count(*) AS BIGINT) AS n_members FROM ("
+            "  SELECT src, min(dst) AS cluster_id FROM reach GROUP BY src"
+            ") GROUP BY cluster_id"
+        ),
+        "tdigest_cluster_insert": (
+            # exact percentiles of the same deterministic 2000-row
+            # sample; ok flags carry the trickle-insert verification
+            "WITH s AS (SELECT value FROM ("
+            "  SELECT value, event_id FROM events WHERE value IS NOT NULL "
+            "  ORDER BY event_id LIMIT 2000)) "
+            "SELECT CAST(0.1 AS DOUBLE) AS q, "
+            "round(quantile_cont(value, CAST(0.1 AS DOUBLE)), 4) AS exact_value, "
+            "TRUE AS ok FROM s "
+            "UNION ALL SELECT CAST(0.5 AS DOUBLE), "
+            "round(quantile_cont(value, CAST(0.5 AS DOUBLE)), 4), TRUE FROM s "
+            "UNION ALL SELECT CAST(0.9 AS DOUBLE), "
+            "round(quantile_cont(value, CAST(0.9 AS DOUBLE)), 4), TRUE FROM s"
         ),
         "streaming_quantiles": (
             # exact count + exact percentiles pin real numbers; the ok
