@@ -718,6 +718,68 @@ def q_tdigest_cluster_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source token-budget mixing ("take B chars per
+    language, doc_id order"): exact row parity with the DuckDB window
+    oracle — the selected set is fully determined by the prefix rule,
+    no sketch tolerance involved."""
+    from sketchlib.spark.api import sample_by_token_budget
+
+    docs = _read(spark, sf_dir, "documents")
+    picked = sample_by_token_budget(
+        docs, {"en": 8_000, "fr": 5_000, "zh": 4_000},
+        source_col="lang", size_col="n_chars", order_col="doc_id",
+    )
+    return picked.select(
+        F.col("doc_id").cast("bigint"), "lang",
+        F.col("n_chars").cast("bigint"),
+    )
+
+
+def q_grouped_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event_type top-3 user_ids via per-group SpaceSaving
+    sketches: the exact per-group top-3 (Spark groupBy) must be
+    contained in the sketch's found set and no estimate may undercount
+    its true in-group count (constant-shape oracle)."""
+    from sketchlib.spark.api import grouped_heavy_hitters
+
+    events = _read(spark, sf_dir, "events")
+    got = grouped_heavy_hitters(
+        events, ["event_type"], "user_id", k=6, capacity=4096
+    ).collect()
+    by_grp: dict = {}
+    for r in got:
+        by_grp.setdefault(r["event_type"], {})[r["user_id"]] = r["est_count"]
+    exact = events.groupBy("event_type", "user_id").count()
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("count"), F.asc("user_id")
+    )
+    top3 = exact.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 3
+    ).collect()
+    # true counts for every (group, found user) — one filtered job
+    found_users = sorted({r["user_id"] for r in got})
+    true_counts = {
+        (r["event_type"], r["user_id"]): r["count"]
+        for r in exact.filter(F.col("user_id").isin(found_users)).collect()
+    }
+    rows = []
+    for et in sorted(by_grp):
+        contained = all(
+            t["user_id"] in by_grp[et]
+            for t in top3
+            if t["event_type"] == et
+        )
+        no_under = all(
+            est >= true_counts.get((et, uid), 0)
+            for uid, est in by_grp[et].items()
+        )
+        rows.append((et, bool(contained and no_under)))
+    return spark.createDataFrame(rows, "event_type string, ok boolean")
+
+
 def q_similarity_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine nearest neighbor (excluding self) for the
     first 20 vectors — exact SQL parity with DuckDB
@@ -1022,6 +1084,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_star": q_dedup_clusters_star,
         "tdigest_cluster_insert": q_tdigest_cluster_insert,
+        "sample_token_budget": q_sample_token_budget,
+        "grouped_heavy_hitters": q_grouped_heavy_hitters,
         "text_fingerprints": q_text_fingerprints,
         "similarity_top1": q_similarity_top1,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1262,6 +1326,24 @@ def oracle_sql() -> dict[str, str]:
             "round(quantile_cont(value, CAST(0.5 AS DOUBLE)), 4), TRUE FROM s "
             "UNION ALL SELECT CAST(0.9 AS DOUBLE), "
             "round(quantile_cont(value, CAST(0.9 AS DOUBLE)), 4), TRUE FROM s"
+        ),
+        "sample_token_budget": (
+            # the prefix rule is pure SQL: take docs per lang in doc_id
+            # order while the PRIOR cumulative n_chars < budget
+            "WITH ranked AS ("
+            "  SELECT doc_id, lang, n_chars, "
+            "  COALESCE(SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id "
+            "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior "
+            "  FROM documents WHERE lang IN ('en', 'fr', 'zh')) "
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, "
+            "CAST(n_chars AS BIGINT) AS n_chars FROM ranked "
+            "WHERE prior < (CASE lang WHEN 'en' THEN 8000 "
+            "WHEN 'fr' THEN 5000 ELSE 4000 END)"
+        ),
+        "grouped_heavy_hitters": (
+            "SELECT * FROM (VALUES ('click', TRUE), ('error', TRUE), "
+            "('purchase', TRUE), ('signup', TRUE), ('view', TRUE)) "
+            "AS t(event_type, ok)"
         ),
         "streaming_quantiles": (
             # exact count + exact percentiles pin real numbers; the ok

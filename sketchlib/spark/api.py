@@ -393,6 +393,127 @@ def grouped_distinct(
     )
 
 
+def grouped_heavy_hitters(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    k: int = 5,
+    capacity: int = 1024,
+    salt_buckets: int = 0,
+) -> DataFrame:
+    """Per-group top-k frequent values:
+    DataFrame[*keys, col, est_count, max_err].
+
+    Stage 1 builds one SpaceSaving sketch per group over
+    ``xxhash64(col)`` through the grouped map-side-combine staging (raw
+    rows never shuffle; one KB-sized state per partition x group
+    moves).  Stage 2 recovers the <= groups*k winning hashes to values
+    in ONE filtered scan (predicate-pushdown ``isin`` — never a
+    full-column distinct shuffle) and broadcast-joins them back.
+
+    Per-group guarantee (SpaceSaving): every value whose in-group count
+    exceeds N_group/capacity is tracked, and est_count never
+    undercounts (est - max_err <= true <= est)."""
+    from sketchlib.core.spacesaving import SpaceSaving
+
+    states = grouped_sketch(
+        df, keys, col, lambda: SpaceSaving(capacity=capacity), KIND_HASH64,
+        salt_buckets=salt_buckets,
+    )
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(*keys).schema.fields
+    )
+
+    def extract(pdf):
+        import pandas as pd
+
+        sk = serde.from_bytes(pdf["state"].iloc[0])
+        top = sk.top_k(k)
+        out = {kk: [pdf[kk].iloc[0]] * len(top) for kk in keys}
+        out["__h"] = [int(np.uint64(h).astype(np.int64)) for h, _c, _e in top]
+        out["est_count"] = [int(c) for _h, c, _e in top]
+        out["max_err"] = [int(e) for _h, _c, e in top]
+        return pd.DataFrame(out)
+
+    tops = states.groupBy(*keys).applyInPandas(
+        extract, f"{key_schema}, __h long, est_count long, max_err long"
+    )
+    spark = df.sparkSession
+    top_rows = tops.collect()  # <= groups*k rows — KBs
+    if not top_rows:
+        f = df.schema[col]
+        return spark.createDataFrame(
+            [],
+            f"{key_schema}, {f.name} {f.dataType.simpleString()}, "
+            "est_count long, max_err long",
+        )
+    hashes = sorted({r["__h"] for r in top_rows})
+    values = (
+        df.select(col, F.xxhash64(F.col(col)).alias("__h"))
+        .filter(F.col("__h").isin(hashes))
+        .distinct()
+    )
+    tops_df = spark.createDataFrame(
+        top_rows, f"{key_schema}, __h long, est_count long, max_err long"
+    )
+    return (
+        values.join(F.broadcast(tops_df), "__h")
+        .select(*keys, col, "est_count", "max_err")
+        .orderBy(*keys, F.desc("est_count"), F.asc(col))
+    )
+
+
+def sample_by_token_budget(
+    df: DataFrame,
+    budgets: dict,
+    source_col: str = "source",
+    size_col: str = "n_tok",
+    order_col: str | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic per-source token-budget mixing — the standard
+    training-data recipe "take B_s tokens from each source": within
+    every source, documents are taken in a deterministic order until
+    the running token sum reaches the source's budget (the document
+    crossing the budget is included, so every budget makes progress
+    even when one doc exceeds it).
+
+    Order: ``order_col`` (e.g. a curriculum or id order — exactly
+    reproducible by any engine) or, when None, a seeded xxhash64 of the
+    whole row's source+size (an unbiased pseudo-random draw that is
+    reproducible across Spark runs).
+
+    ONE window pass over the pre-filtered sources: rows from sources
+    without a budget are dropped AT THE SCAN (pushdown-able isin), the
+    cumulative sum shuffles only budgeted rows by source.  Returns the
+    selected rows of ``df`` unchanged."""
+    from pyspark.sql.window import Window
+
+    if not budgets:
+        return df.limit(0)
+    budget_map = F.create_map(
+        *[F.lit(x) for kv in budgets.items() for x in kv]
+    )
+    filtered = df.filter(F.col(source_col).isin(list(budgets)))
+    order = (
+        F.col(order_col)
+        if order_col is not None
+        else F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
+    )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum(F.col(size_col)).over(w), F.lit(0))
+    return (
+        filtered.withColumn("__prior", prior)
+        .filter(F.col("__prior") < budget_map[F.col(source_col)])
+        .drop("__prior")
+    )
+
+
 def grouped_quantiles(
     df: DataFrame,
     keys: list[str],
