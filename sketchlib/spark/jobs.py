@@ -151,6 +151,63 @@ def job_datagen(args) -> None:
     spark.stop()
 
 
+def job_mix(args) -> None:
+    """Token-budget mixing: select per-source document prefixes and
+    write the curated table (the production shape of
+    ``sample_by_token_budget``)."""
+    from sketchlib.spark.api import sample_by_token_budget
+    from sketchlib.spark.io import read_table
+    from sketchlib.spark.session import get_spark
+
+    budgets = {}
+    for part in args.budgets.split(","):
+        src, amount = part.split("=", 1)
+        budgets[src] = float(amount)
+    spark = get_spark(master=args.master)
+    df = read_table(spark, args.input, args.format)
+    picked = sample_by_token_budget(
+        df, budgets, source_col=args.source_col, size_col=args.size_col,
+        order_col=args.order_col, seed=args.seed,
+    )
+    from pyspark.sql import Observation, functions as F
+
+    obs = Observation()
+    picked = picked.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col(args.size_col)).alias("tokens"),
+    )
+    picked.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({
+        "output": args.output, "budgets": budgets,
+        "rows": int(obs.get["rows"]), "tokens": float(obs.get["tokens"] or 0),
+    }))
+    spark.stop()
+
+
+def job_hh(args) -> None:
+    """Heavy hitters (global or per-group) as one JSON line."""
+    from sketchlib.spark.api import grouped_heavy_hitters, heavy_hitters
+    from sketchlib.spark.io import read_table
+    from sketchlib.spark.session import get_spark
+
+    spark = get_spark(master=args.master)
+    df = read_table(spark, args.input, args.format)
+    if args.group_by:
+        rows = grouped_heavy_hitters(
+            df, args.group_by.split(","), args.col, k=args.topk,
+            capacity=args.capacity,
+        ).collect()
+        out = [r.asDict() for r in rows]
+    else:
+        rows = heavy_hitters(
+            df, args.col, k=args.topk, capacity=args.capacity
+        ).collect()
+        out = [r.asDict() for r in rows]
+    print(json.dumps({"col": args.col, "top": out}, default=str))
+    spark.stop()
+
+
 def job_package(args) -> None:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     repo = os.path.dirname(root)
@@ -212,6 +269,29 @@ def main(argv=None) -> None:
     d.add_argument("--seed", type=int, default=42)
     d.add_argument("--master", default=None)
     d.set_defaults(fn=job_datagen)
+
+    m = sub.add_parser("mix")
+    m.add_argument("--input", required=True)
+    m.add_argument("--format", default="auto", choices=["auto", "parquet", "iceberg"])
+    m.add_argument("--output", required=True)
+    m.add_argument("--budgets", required=True,
+                   help="src=tokens[,src=tokens...]")
+    m.add_argument("--source-col", default="source")
+    m.add_argument("--size-col", default="n_tok")
+    m.add_argument("--order-col", default=None)
+    m.add_argument("--seed", type=int, default=42)
+    m.add_argument("--master", default=None)
+    m.set_defaults(fn=job_mix)
+
+    h = sub.add_parser("hh")
+    h.add_argument("--input", required=True)
+    h.add_argument("--format", default="auto", choices=["auto", "parquet", "iceberg"])
+    h.add_argument("--col", required=True)
+    h.add_argument("--group-by", default=None)
+    h.add_argument("--topk", type=int, default=10)
+    h.add_argument("--capacity", type=int, default=4096)
+    h.add_argument("--master", default=None)
+    h.set_defaults(fn=job_hh)
 
     p = sub.add_parser("package")
     p.add_argument("--output", default=None)
