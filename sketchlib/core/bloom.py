@@ -109,10 +109,17 @@ class BloomFilter:
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "BloomFilter":
-        hdr = struct.calcsize("<4s B q i q")
-        magic, domain, m, k, n_added = struct.unpack("<4s B q i q", data[:hdr])
-        if magic != _MAGIC:
-            raise ValueError("not a BloomFilter blob")
+        if bytes(data[:4]) == b"BF01":  # legacy: no domain byte
+            hdr = struct.calcsize("<4s q i q")
+            _m, m, k, n_added = struct.unpack("<4s q i q", data[:hdr])
+            domain = 0
+        else:
+            hdr = struct.calcsize("<4s B q i q")
+            magic, domain, m, k, n_added = struct.unpack(
+                "<4s B q i q", data[:hdr]
+            )
+            if magic != _MAGIC:
+                raise ValueError("not a BloomFilter blob")
         sk = cls(m_bits=m, k=k)
         sk.hash_domain = int(domain)
         sk.words = np.frombuffer(

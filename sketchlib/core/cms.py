@@ -114,12 +114,17 @@ class CountMinSketch:
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "CountMinSketch":
-        hdr = struct.calcsize("<4s B i i q")
-        magic, domain, depth, width, total = struct.unpack(
-            "<4s B i i q", data[:hdr]
-        )
-        if magic != _MAGIC:
-            raise ValueError("not a CountMinSketch blob")
+        if bytes(data[:4]) == b"CM01":  # legacy: no domain byte
+            hdr = struct.calcsize("<4s i i q")
+            _m, depth, width, total = struct.unpack("<4s i i q", data[:hdr])
+            domain = 0
+        else:
+            hdr = struct.calcsize("<4s B i i q")
+            magic, domain, depth, width, total = struct.unpack(
+                "<4s B i i q", data[:hdr]
+            )
+            if magic != _MAGIC:
+                raise ValueError("not a CountMinSketch blob")
         sk = cls(depth=depth, width=width)
         sk.hash_domain = int(domain)
         sk.table = (

@@ -111,6 +111,14 @@ class HyperLogLog:
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "HyperLogLog":
+        magic = bytes(data[:4])
+        if magic == b"HL01":  # legacy (pre hash-domain): domain unset
+            p = data[4]
+            sk = cls(p=p)
+            sk.registers = np.frombuffer(
+                data, dtype=np.uint8, count=sk.m, offset=5
+            ).copy()
+            return sk
         magic, p, domain = struct.unpack("<4sBB", data[:6])
         if magic != _MAGIC:
             raise ValueError("not a HyperLogLog blob")

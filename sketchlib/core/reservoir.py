@@ -26,39 +26,27 @@ from sketchlib.core.hashing import mix_seed
 _MAGIC = b"RS03"
 
 
-def _partition_salt() -> int:
-    """Partition-unique salt for the key stream.
-
-    Keys are splitmix64(seed ^ index ^ value bits); without a salt, two
-    same-seed builders holding the SAME value at the SAME local
-    position emit identical keys, so on replicated/duplicated shards
-    the merged bottom-k includes such copies jointly (correlated
-    inclusion) instead of independently.  Inside a Spark task the
-    partition id de-correlates them; on the driver (tests, single
-    stream) the salt is 0 and builds stay reproducible."""
-    try:
-        from pyspark import TaskContext
-
-        ctx = TaskContext.get()
-        if ctx is not None:
-            return ctx.partitionId() + 1
-    except Exception:
-        pass
-    return 0
-
-
 class ReservoirSample:
-    """Uniform sample of a float64 stream (bottom-k construction)."""
+    """Uniform sample of a float64 stream (bottom-k construction).
+
+    ``salt`` de-correlates same-seed builders over replicated shards:
+    keys are splitmix64(seed ^ salt ^ index ^ value bits), so two
+    builders holding the SAME value at the SAME local position with
+    different salts draw independent keys (with salt 0 such copies
+    would be included/excluded jointly by the merged bottom-k).
+    Construction is PURE — same args, same state, anywhere; the Spark
+    layer injects a partition-unique salt through the factory
+    (``sketchlib.spark.aggregate.task_partition_salt``), keeping this
+    module free of pyspark."""
 
     __slots__ = ("capacity", "seed", "salt", "keys", "values", "count")
 
-    def __init__(self, capacity: int = 1024, seed: int = 42,
-                 salt: int | None = None):
+    def __init__(self, capacity: int = 1024, seed: int = 42, salt: int = 0):
         if capacity < 1:
             raise ValueError("capacity must be >= 1")
         self.capacity = int(capacity)
         self.seed = int(seed)
-        self.salt = _partition_salt() if salt is None else int(salt)
+        self.salt = int(salt)
         self.keys = np.empty(0, dtype=np.uint64)
         self.values = np.empty(0, dtype=np.float64)
         self.count = 0
@@ -125,12 +113,17 @@ class ReservoirSample:
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "ReservoirSample":
-        hdr = struct.calcsize("<4s i q q q q")
-        magic, cap, seed, salt, count, n = struct.unpack(
-            "<4s i q q q q", data[:hdr]
-        )
-        if magic != _MAGIC:
-            raise ValueError("not a ReservoirSample blob")
+        if bytes(data[:4]) == b"RS02":  # legacy: no salt field
+            hdr = struct.calcsize("<4s i q q q")
+            _m, cap, seed, count, n = struct.unpack("<4s i q q q", data[:hdr])
+            salt = 0
+        else:
+            hdr = struct.calcsize("<4s i q q q q")
+            magic, cap, seed, salt, count, n = struct.unpack(
+                "<4s i q q q q", data[:hdr]
+            )
+            if magic != _MAGIC:
+                raise ValueError("not a ReservoirSample blob")
         sk = cls(capacity=cap, seed=seed, salt=salt)
         off = hdr
         sk.keys = np.frombuffer(data, np.uint64, n, off).copy()

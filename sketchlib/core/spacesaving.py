@@ -25,11 +25,11 @@ import struct
 
 import numpy as np
 
-_MAGIC = b"SS01"
+_MAGIC = b"SS02"
 
 
 class SpaceSaving:
-    __slots__ = ("capacity", "counts", "errors", "total")
+    __slots__ = ("capacity", "counts", "errors", "total", "hash_domain")
 
     def __init__(self, capacity: int = 256):
         if capacity < 1:
@@ -38,6 +38,7 @@ class SpaceSaving:
         self.counts: dict[int, int] = {}
         self.errors: dict[int, int] = {}
         self.total = 0
+        self.hash_domain = 0
 
     # ------------------------------------------------------------------- build
 
@@ -81,6 +82,11 @@ class SpaceSaving:
     def merge(self, other: "SpaceSaving") -> "SpaceSaving":
         if other.capacity != self.capacity:
             raise ValueError("cannot merge SpaceSaving of different capacity")
+        from sketchlib.core.hashing import combine_domains
+
+        self.hash_domain = combine_domains(
+            self.hash_domain, other.hash_domain, "SpaceSaving"
+        )
         s_min = min(self.counts.values()) if len(self.counts) == self.capacity else 0
         o_min = min(other.counts.values()) if len(other.counts) == other.capacity else 0
         keys = set(self.counts) | set(other.counts)
@@ -142,7 +148,10 @@ class SpaceSaving:
             (self.errors.get(int(k), 0) for k in keys), dtype=np.int64, count=n
         )
         return (
-            struct.pack("<4s i q i", _MAGIC, self.capacity, self.total, n)
+            struct.pack(
+                "<4s B i q i", _MAGIC, self.hash_domain, self.capacity,
+                self.total, n,
+            )
             + keys.tobytes()
             + cnts.tobytes()
             + errs.tobytes()
@@ -150,11 +159,19 @@ class SpaceSaving:
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "SpaceSaving":
-        hdr = struct.calcsize("<4s i q i")
-        magic, cap, total, n = struct.unpack("<4s i q i", data[:hdr])
-        if magic != _MAGIC:
-            raise ValueError("not a SpaceSaving blob")
+        if bytes(data[:4]) == b"SS01":  # legacy: no domain byte
+            hdr = struct.calcsize("<4s i q i")
+            _m, cap, total, n = struct.unpack("<4s i q i", data[:hdr])
+            domain = 0
+        else:
+            hdr = struct.calcsize("<4s B i q i")
+            magic, domain, cap, total, n = struct.unpack(
+                "<4s B i q i", data[:hdr]
+            )
+            if magic != _MAGIC:
+                raise ValueError("not a SpaceSaving blob")
         sk = cls(capacity=cap)
+        sk.hash_domain = int(domain)
         off = hdr
         keys = np.frombuffer(data, np.uint64, n, off); off += 8 * n
         cnts = np.frombuffer(data, np.int64, n, off); off += 8 * n

@@ -145,10 +145,15 @@ class ThetaSketch:
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "ThetaSketch":
-        hdr = struct.calcsize("<4s B i q")
-        magic, domain, k, n = struct.unpack("<4s B i q", data[:hdr])
-        if magic != _MAGIC:
-            raise ValueError("not a ThetaSketch blob")
+        if bytes(data[:4]) == b"TH01":  # legacy: no domain byte
+            hdr = struct.calcsize("<4s i q")
+            _m, k, n = struct.unpack("<4s i q", data[:hdr])
+            domain = 0
+        else:
+            hdr = struct.calcsize("<4s B i q")
+            magic, domain, k, n = struct.unpack("<4s B i q", data[:hdr])
+            if magic != _MAGIC:
+                raise ValueError("not a ThetaSketch blob")
         sk = cls(k=k)
         sk.hash_domain = int(domain)
         sk.hashes = np.frombuffer(data, np.uint64, n, hdr).copy()

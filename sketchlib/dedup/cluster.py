@@ -108,7 +108,9 @@ def duplicate_clusters(
             .localCheckpoint()  # truncate lineage: O(1) plan depth
         )
         labels = new_labels
-        if obs.get["changed"] == 0:
+        # F.sum over ZERO rows is NULL -> None: empty pair input must
+        # converge immediately, not exhaust max_rounds
+        if (obs.get["changed"] or 0) == 0:
             edges.unpersist()
             return labels
     edges.unpersist()

@@ -250,10 +250,8 @@ def lsh_candidate_pairs(
 
     Pass a ``pyspark.sql.Observation`` as ``observation`` to receive
     ``overflow_rows`` (bucket memberships beyond the first chunk, i.e.
-    rows the old cap would have dropped) and ``max_bucket_rows`` with
-    the returned DataFrame's first action."""
-    from pyspark.sql.window import Window
-
+    rows the old cap would have dropped) and ``bucket_rows`` with
+    the observation (filled exactly once)."""
     if num_perm is not None and bands * rows_per_band > num_perm:
         # F.slice past the end of the signature silently yields
         # truncated/empty band slices: trailing bands would hash a
@@ -270,23 +268,14 @@ def lsh_candidate_pairs(
         ]
     )
     exploded = sig_df.select("id", F.posexplode(band_hashes).alias("band", "bh"))
-    # per-band shuffled order => per-band independent chunkings
-    w = Window.partitionBy("band", "bh").orderBy(
-        F.xxhash64(F.col("id"), F.col("band")), F.col("id")
+    # shared skew guard: chunk hot buckets, never truncate; persist so
+    # the self-join's two sides never recompute the signature UDF
+    # (chunk order hashes (id, band) => per-band independent chunkings)
+    from sketchlib.spark.skew import sub_split_buckets
+
+    split = sub_split_buckets(
+        exploded, ["band", "bh"], "id", max_bucket, observation=observation
     )
-    split = exploded.withColumn(
-        "sub", ((F.row_number().over(w) - F.lit(1)) / F.lit(max_bucket)).cast("int")
-    )
-    if observation is not None:
-        split = split.observe(
-            observation,
-            F.sum((F.col("sub") > 0).cast("long")).alias("overflow_rows"),
-            F.count(F.lit(1)).alias("bucket_rows"),
-        )
-    # persist: the self-join below reads this twice, and its upstream
-    # includes the Python signature UDF — without a cache every join
-    # side would recompute all signatures
-    split = split.select("band", "bh", "sub", "id").persist()
     a = split.alias("a")
     b = split.alias("b")
     return (

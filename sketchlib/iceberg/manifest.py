@@ -96,24 +96,27 @@ def _remap(table_dir: str, location: str, path: str) -> str:
     return path
 
 
-def schema_field_types(meta: dict) -> dict[int, str]:
-    """field-id -> Iceberg type name from the table metadata schema.
-
-    v1 carries a top-level ``schema``; v2 carries ``schemas`` +
-    ``current-schema-id``.  Only primitive type names are kept (struct /
-    list / map bounds are not single-value decodable anyway)."""
+def _current_schema(meta: dict) -> dict:
+    """The table's current schema object: v1 carries a top-level
+    ``schema``; v2 carries ``schemas`` + ``current-schema-id`` (falls
+    back to the last listed schema when the id is absent)."""
     schema = meta.get("schema")
     if schema is None:
         cur = meta.get("current-schema-id")
         for s in meta.get("schemas", []):
             if s.get("schema-id") == cur:
-                schema = s
-                break
-        else:
-            schemas = meta.get("schemas", [])
-            schema = schemas[-1] if schemas else {}
+                return s
+        schemas = meta.get("schemas", [])
+        schema = schemas[-1] if schemas else {}
+    return schema
+
+
+def schema_field_types(meta: dict) -> dict[int, str]:
+    """field-id -> Iceberg type name from the table metadata schema.
+    Only primitive type names are kept (struct / list / map bounds are
+    not single-value decodable anyway)."""
     out: dict[int, str] = {}
-    for f in schema.get("fields", []):
+    for f in _current_schema(meta).get("fields", []):
         t = f.get("type")
         if isinstance(t, str):
             out[int(f["id"])] = t
@@ -121,19 +124,11 @@ def schema_field_types(meta: dict) -> dict[int, str]:
 
 
 def schema_field_names(meta: dict) -> dict[int, str]:
-    """field-id -> column name from the table metadata schema (same
-    resolution rules as ``schema_field_types``)."""
-    schema = meta.get("schema")
-    if schema is None:
-        cur = meta.get("current-schema-id")
-        for s in meta.get("schemas", []):
-            if s.get("schema-id") == cur:
-                schema = s
-                break
-        else:
-            schemas = meta.get("schemas", [])
-            schema = schemas[-1] if schemas else {}
-    return {int(f["id"]): f["name"] for f in schema.get("fields", [])}
+    """field-id -> column name from the table metadata schema."""
+    return {
+        int(f["id"]): f["name"]
+        for f in _current_schema(meta).get("fields", [])
+    }
 
 
 def _decode_bound(raw: bytes, typ: str | None):

@@ -26,9 +26,18 @@ _BY_MAGIC = {
     b"HL02": HyperLogLog,
     b"CM02": CountMinSketch,
     b"BF02": BloomFilter,
-    b"SS01": SpaceSaving,
+    b"SS02": SpaceSaving,
     b"RS03": ReservoirSample,
     b"TH02": ThetaSketch,
+    # legacy (pre hash-domain / pre salt) formats: still DECODABLE —
+    # a persisted checkpoint ledger must survive a library upgrade.
+    # Each class's from_bytes parses its old layout (domain/salt = 0).
+    b"HL01": HyperLogLog,
+    b"CM01": CountMinSketch,
+    b"BF01": BloomFilter,
+    b"SS01": SpaceSaving,
+    b"RS02": ReservoirSample,
+    b"TH01": ThetaSketch,
 }
 
 KINDS = {

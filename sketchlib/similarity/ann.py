@@ -340,22 +340,15 @@ def ivf_near_duplicates(
     assigned = df.select(id_col, vec_col).mapInArrow(
         assign_fn, f"{id_col} long, {vec_col} {vt}, buckets array<int>"
     )
-    from pyspark.sql.window import Window
-
     exploded = assigned.select(id_col, vec_col, F.explode("buckets").alias("bucket"))
-    w = Window.partitionBy("bucket").orderBy(
-        F.xxhash64(F.col(id_col), F.col("bucket")), F.col(id_col)
+    # shared skew guard (see sketchlib/spark/skew.py): chunk hot
+    # buckets, never truncate; persist for the self-join
+    from sketchlib.spark.skew import sub_split_buckets
+
+    split = sub_split_buckets(
+        exploded, ["bucket"], id_col, max_bucket,
+        observation=observation, keep_cols=[vec_col],
     )
-    split = exploded.withColumn(
-        "sub", ((F.row_number().over(w) - F.lit(1)) / F.lit(max_bucket)).cast("int")
-    )
-    if observation is not None:
-        split = split.observe(
-            observation,
-            F.sum((F.col("sub") > 0).cast("long")).alias("overflow_rows"),
-            F.count(F.lit(1)).alias("bucket_rows"),
-        )
-    split = split.select("bucket", "sub", id_col, vec_col).persist()
     a = split.alias("a")
     b = split.alias("b")
     pairs = (

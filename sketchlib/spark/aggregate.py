@@ -52,6 +52,18 @@ _PARTIAL_SCHEMA = "state binary, items long, build_secs double"
 # --------------------------------------------------------------------- feeding
 
 
+def task_partition_salt() -> int:
+    """Partition-unique salt for sketches whose key streams must be
+    independent across same-seed partition builders (e.g.
+    ``ReservoirSample``).  Returns partitionId+1 inside a Spark task, 0
+    on the driver — call this INSIDE a sketch factory, which executes
+    in the worker."""
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    return ctx.partitionId() + 1 if ctx is not None else 0
+
+
 def _kind_domain(kind: str) -> int:
     """Hash domain implied by the input kind (0 for value streams)."""
     from sketchlib.core import hashing

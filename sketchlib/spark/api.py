@@ -257,11 +257,17 @@ def sample_column(
     df: DataFrame, col: str, capacity: int = 1024, seed: int = 42
 ):
     """Mergeable uniform sample (bottom-k) of a numeric column in one
-    scan; returns the ReservoirSample sketch."""
+    scan; returns the ReservoirSample sketch.  Each partition builder
+    gets a partition-unique salt (evaluated inside the worker) so
+    replicated shards draw independent keys."""
     from sketchlib.core.reservoir import ReservoirSample
+    from sketchlib.spark.aggregate import task_partition_salt
 
     return sketch_column(
-        df, col, lambda: ReservoirSample(capacity=capacity, seed=seed),
+        df, col,
+        lambda: ReservoirSample(
+            capacity=capacity, seed=seed, salt=task_partition_salt()
+        ),
         KIND_DOUBLE,
     )
 
@@ -480,9 +486,13 @@ def sample_by_token_budget(
     even when one doc exceeds it).
 
     Order: ``order_col`` (e.g. a curriculum or id order — exactly
-    reproducible by any engine) or, when None, a seeded xxhash64 of the
-    whole row's source+size (an unbiased pseudo-random draw that is
-    reproducible across Spark runs).
+    reproducible by any engine) or, when None, a seeded xxhash64 over
+    ALL columns of the row — an unbiased pseudo-random draw,
+    reproducible across Spark runs, in which fully-identical rows are
+    the only possible ties (and identical rows are interchangeable, so
+    the selected CONTENT is still deterministic).  On tables with wide
+    payload columns prefer ``order_col`` over an id: the default hashes
+    every byte of every row just to order.
 
     ONE window pass over the pre-filtered sources: rows from sources
     without a budget are dropped AT THE SCAN (pushdown-able isin), the

@@ -94,16 +94,36 @@ def _prune_row_groups(md, column: str, min_value=None, max_value=None):
                 break
     if leaf is None:  # nested/absent column: no stats addressable
         return list(range(md.num_row_groups)), 0
+
+    def _coerce(v):
+        # pyarrow surfaces timestamp/date statistics as datetime
+        # objects while Iceberg bounds (and user predicates) are the
+        # int micros/days domain — compare in the int domain
+        import datetime as _dt
+
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is None:
+                v = v.replace(tzinfo=_dt.timezone.utc)
+            return int(v.timestamp() * 1_000_000)
+        if isinstance(v, _dt.date):
+            return (v - _dt.date(1970, 1, 1)).days
+        return v
+
     kept = []
     for g in range(md.num_row_groups):
         st = md.row_group(g).column(leaf).statistics
         if st is None or not st.has_min_max:
             kept.append(g)
             continue
-        if max_value is not None and st.min > max_value:
-            continue
-        if min_value is not None and st.max < min_value:
-            continue
+        try:
+            if max_value is not None and _coerce(st.min) > max_value:
+                continue
+            if min_value is not None and _coerce(st.max) < min_value:
+                continue
+        except TypeError:
+            # incomparable stat/predicate types: keep conservatively —
+            # pruning is an optimization, never a correctness gamble
+            pass
         kept.append(g)
     return kept, md.num_row_groups - len(kept)
 

@@ -298,6 +298,19 @@ def test_star_clusters_adversarial_topologies(spark):
         duplicate_clusters(path, method="star", max_rounds=2)
 
 
+def test_duplicate_clusters_empty_pairs(spark):
+    # Regression: sum() over zero rows is NULL; the observe-based
+    # convergence check must treat None as converged instead of
+    # burning max_rounds and raising (a clean corpus has no pairs)
+    from sketchlib.dedup.cluster import duplicate_clusters, keep_representatives
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    for method in ("jump", "star"):
+        assert duplicate_clusters(empty, method=method).count() == 0
+    docs = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    assert keep_representatives(docs, empty).count() == 2
+
+
 def test_minhash_token_mode_degenerate_docs(spark):
     # NULL token arrays arrive as None from Arrow — the combined UDF
     # must treat them like empty docs, not crash (regression)

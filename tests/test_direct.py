@@ -88,6 +88,20 @@ def test_cross_hash_domain_merge_refused(spark, token_path):
     direct.merge(direct2)
     rt = serde.from_bytes(direct.to_bytes())
     assert rt.hash_domain == DOMAIN_SPLITMIX64
+    # SpaceSaving (the heavy-hitter state) is guarded too
+    from sketchlib.core.spacesaving import SpaceSaving
+
+    ss_d = sketch_parquet(
+        spark, token_path, "n_tok", lambda: SpaceSaving(capacity=64),
+        KIND_HASH64,
+    )
+    ss_j = sketch_column(
+        df, "n_tok", lambda: SpaceSaving(capacity=64), KIND_HASH64
+    )
+    assert ss_d.hash_domain == DOMAIN_SPLITMIX64
+    assert ss_j.hash_domain == DOMAIN_XXHASH64
+    with pytest.raises(ValueError, match="hash domain"):
+        ss_d.merge(ss_j)
 
 
 def test_row_group_predicate_pushdown(spark, tmp_path):
@@ -129,6 +143,40 @@ def test_row_group_predicate_pushdown(spark, tmp_path):
         spark, path, "v", lambda: TDigest(delta=500), KIND_DOUBLE,
         prune=("v", 50_000, None),
     ) is None
+
+
+def test_row_group_pruning_temporal_stats(tmp_path):
+    """pyarrow surfaces timestamp/date statistics as datetime objects
+    while Iceberg bounds are int micros/days — the row-group pruner
+    must compare in the int domain instead of raising TypeError."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sketchlib.spark.direct import _prune_row_groups
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    ts = [base + dt.timedelta(hours=i) for i in range(40)]
+    days = [dt.date(2024, 1, 1) + dt.timedelta(days=i) for i in range(40)]
+    tbl = pa.table({
+        "ts": pa.array(ts, pa.timestamp("us", tz="UTC")),
+        "d": pa.array(days, pa.date32()),
+    })
+    path = str(tmp_path / "t.parquet")
+    pq.write_table(tbl, path, row_group_size=10)
+    md = pq.ParquetFile(path).metadata
+    # micros bound at hour 25 -> groups 0-1 dropped... group2 contains it
+    cut = int((base + dt.timedelta(hours=25)).timestamp() * 1_000_000)
+    kept, skipped = _prune_row_groups(md, "ts", cut, None)
+    assert kept == [2, 3] and skipped == 2
+    # days since epoch bound at day 15 -> keep groups 1..3
+    epoch_days = (dt.date(2024, 1, 1) - dt.date(1970, 1, 1)).days + 15
+    kept, skipped = _prune_row_groups(md, "d", epoch_days, None)
+    assert kept == [1, 2, 3] and skipped == 1
+    # incomparable predicate type: conservatively keep everything
+    kept, skipped = _prune_row_groups(md, "ts", "not-a-time", None)
+    assert skipped == 0 and len(kept) == 4
 
 
 def test_iceberg_row_group_pruning(spark, tmp_path):

@@ -196,6 +196,71 @@ def test_bloom_serde():
     assert bf2.contains_hashes(hash_str(["x", "y"])).all()
 
 
+def test_legacy_blob_decode():
+    """Pre-upgrade serialized states (no hash-domain byte / no salt)
+    must still load — a streaming job's exactly-once ledger or a saved
+    report written before the r3 format bump resumes after upgrade.
+    Legacy states carry DOMAIN_UNSET, so they merge with anything."""
+    import struct
+
+    from sketchlib import serde
+    from sketchlib.core.spacesaving import SpaceSaving
+    from sketchlib.core.theta import ThetaSketch
+
+    # hand-craft the old layouts byte-for-byte
+    h = HyperLogLog(p=8)
+    h.add_hashes(hash_i64(np.arange(100)))
+    legacy_hll = struct.pack("<4sB", b"HL01", 8) + h.registers.tobytes()
+    rt = serde.from_bytes(legacy_hll)
+    assert isinstance(rt, HyperLogLog) and rt.hash_domain == 0
+    np.testing.assert_array_equal(rt.registers, h.registers)
+    rt.merge(h)  # unset domain merges with anything
+
+    c = CountMinSketch(depth=3, width=64)
+    c.add_hashes(hash_i64(np.arange(50)))
+    legacy_cms = struct.pack("<4s i i q", b"CM01", 3, 64, c.total) + c.table.tobytes()
+    rt = serde.from_bytes(legacy_cms)
+    assert isinstance(rt, CountMinSketch) and rt.total == c.total
+
+    b = BloomFilter(m_bits=1 << 10, k=3)
+    b.add_hashes(hash_i64(np.arange(20)))
+    legacy_bloom = struct.pack("<4s q i q", b"BF01", b.m, b.k, b.n_added) + b.words.tobytes()
+    rt = serde.from_bytes(legacy_bloom)
+    assert isinstance(rt, BloomFilter) and rt.n_added == 20
+
+    t = ThetaSketch(k=16)
+    t.add_hashes(hash_i64(np.arange(40)))
+    legacy_theta = struct.pack("<4s i q", b"TH01", 16, t.hashes.size) + t.hashes.tobytes()
+    rt = serde.from_bytes(legacy_theta)
+    assert isinstance(rt, ThetaSketch) and rt.hashes.size == t.hashes.size
+
+    s = SpaceSaving(capacity=8)
+    s.add_hashes(hash_i64(np.arange(30)))
+    n = len(s.counts)
+    keys = np.fromiter(s.counts.keys(), dtype=np.uint64, count=n)
+    cnts = np.fromiter(s.counts.values(), dtype=np.int64, count=n)
+    errs = np.fromiter((s.errors.get(int(k), 0) for k in keys), dtype=np.int64, count=n)
+    legacy_ss = (
+        struct.pack("<4s i q i", b"SS01", 8, s.total, n)
+        + keys.tobytes() + cnts.tobytes() + errs.tobytes()
+    )
+    rt = serde.from_bytes(legacy_ss)
+    assert isinstance(rt, SpaceSaving) and rt.total == s.total
+
+    from sketchlib.core.reservoir import ReservoirSample
+
+    r = ReservoirSample(capacity=16, seed=3)
+    r.add_buffer(np.arange(100, dtype=float))
+    order = np.argsort(r.keys, kind="stable")
+    legacy_rs = (
+        struct.pack("<4s i q q q", b"RS02", 16, 3, r.count, r.values.size)
+        + r.keys[order].tobytes() + r.values[order].tobytes()
+    )
+    rt = serde.from_bytes(legacy_rs)
+    assert isinstance(rt, ReservoirSample) and rt.salt == 0
+    np.testing.assert_array_equal(np.sort(rt.sample()), np.sort(r.sample()))
+
+
 def test_serde_dispatch():
     from sketchlib import serde
 
