@@ -284,6 +284,18 @@ class TDigest:
         import bisect
 
         for xm, xw in zip(m_in.tolist(), w_in.tolist()):
+            # exact-equal mean: absorbing the weight is LOSSLESS (a
+            # centroid is (mean, weight); two equal means are one
+            # centroid) and prevents duplicate-heavy streams (plateau
+            # distributions) from piling up thousands of equal-mean
+            # entries that the tie expansion then scans quadratically —
+            # deviation from the reference, which only merges under the
+            # k-size test and hits that quadratic wall
+            pos = bisect.bisect_left(ms, xm)
+            if pos < len(ms) and ms[pos] == xm:
+                ws[pos] += xw
+                total += xw
+                continue
             idx_range = _find_closest(ms, xm)
             chosen = None
             if idx_range is not None:

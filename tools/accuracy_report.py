@@ -210,6 +210,63 @@ def section_param_search(out):
     out.append("")
 
 
+def section_cluster_insert(out):
+    """The r3-ported trickle paths (add_cluster / add_cluster_tree,
+    t_digest.rs:368-520) vs the batch path on the same streams."""
+    out.append("## 5. Incremental-clustering insert path (r3 port)\n")
+    out.append(
+        "add_cluster / add_cluster_tree digest the stream ONE centroid "
+        "at a time (growth_limit=5); rank error compared against the "
+        "batch add_buffer path and the exact oracle at n=20k "
+        "(the trickle path is an API-parity / streaming-insert surface, "
+        "not the Spark bulk path).\n"
+    )
+    out.append(
+        "| distribution | path | max rank err | centroids | k vals/s |"
+    )
+    out.append("|---|---|---|---|---|")
+    n = 20_000
+    for dist in DISTS:
+        values = make_values(dist, n)
+        oracle = LinearOracle(values)
+        paths = {
+            "add_buffer (batch)": lambda v: _fill(
+                TDigest(delta=500, scale="k2"), "add_buffer", v
+            ),
+            "add_cluster": lambda v: _fill(
+                TDigest(delta=500, scale="k2"), "add_cluster", v
+            ),
+            "add_cluster_tree": lambda v: _fill(
+                TDigest(delta=500, scale="k2"), "add_cluster_tree", v
+            ),
+        }
+        for name, build in paths.items():
+            t0 = time.monotonic()
+            sk = build(values)
+            dt = time.monotonic() - t0
+            est = np.atleast_1d(sk.value_at_quantile(QS))
+            rerr = max(
+                abs(oracle.quantile_at_value(float(e)) - q)
+                for e, q in zip(est, QS)
+            )
+            out.append(
+                f"| {dist} | {name} | {rerr:.2e} | {sk.n_centroids} | "
+                f"{n / dt / 1e3:.0f} |"
+            )
+    out.append("")
+
+
+def _fill(sk, path, values):
+    if path == "add_buffer":
+        sk.add_buffer(values)
+    elif path == "add_cluster":
+        sk.add_cluster(values, growth_limit=5.0)
+    else:
+        sk.add_cluster_tree(values, growth_limit=5.0, seed=3)
+    _ = sk.value_at_quantile(0.5)
+    return sk
+
+
 def main():
     out = [
         "# ACCURACY — reference experiment suite re-run",
@@ -223,6 +280,7 @@ def main():
     section_memory(out)
     section_merge(out)
     section_param_search(out)
+    section_cluster_insert(out)
     with open("/root/repo/ACCURACY.md", "w") as f:
         f.write("\n".join(out) + "\n")
     print("wrote ACCURACY.md")
