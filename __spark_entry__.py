@@ -921,6 +921,116 @@ def q_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_windowed_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window sketches (applyInPandasWithState +
+    watermark finalization) over the events table streamed as
+    time-ordered files: every 1-day window must finalize EXACTLY once
+    with the exact row count and a rank-correct median.  The oracle
+    recomputes per-day counts and exact medians in SQL; the ok flag
+    carries the streaming-side verification (count match + rank check
+    + single finalization)."""
+    import tempfile
+    import time as _time
+    import uuid
+
+    from sketchlib.core.tdigest import TDigest
+    from sketchlib.streaming.stream import streaming_windowed_quantiles
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        events = _read(spark, sf_dir, "events").select("ts", "value").filter(
+            F.col("value").isNotNull()
+        )
+        work = tempfile.mkdtemp(prefix="stream_win_gate_")
+        src = f"{work}/src"
+        # 3 time-ordered segments so the watermark advances across
+        # triggers, plus a far-future sentinel that pushes the
+        # watermark past every real window (its own window never
+        # finalizes and is excluded below)
+        day = F.dayofmonth("ts")
+        for i, cond in enumerate([day < 11, (day >= 11) & (day < 21), day >= 21]):
+            events.filter(cond).coalesce(1).write.mode("overwrite").parquet(
+                f"{src}/f{i}"
+            )
+        spark.createDataFrame(
+            [("2024-03-01 00:00:00", 0.0)], "ts_s string, value double"
+        ).select(F.to_timestamp("ts_s").alias("ts"), "value").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{src}/f3")
+        stream = (
+            spark.readStream.schema("ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/f*")
+        )
+        out = streaming_windowed_quantiles(
+            stream, "ts", "value", lambda: TDigest(delta=1000.0),
+            window_duration="1 day", watermark_delay="1 second",
+            quantiles=(0.5,),
+        )
+        qname = f"win_gate_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .start()
+        )
+        try:
+            deadline = _time.monotonic() + 180
+            while _time.monotonic() < deadline:
+                q.processAllAvailable()
+                if not q.status["isDataAvailable"]:
+                    break
+                _time.sleep(0.2)
+        finally:
+            q.stop()
+        got = (
+            spark.table(qname)
+            .filter(F.col("window_start") < F.lit("2024-02-15").cast("timestamp"))
+            .select(
+                F.date_format("window_start", "yyyy-MM-dd").alias("day"),
+                "items", F.col("q0").alias("est"),
+            )
+            .collect()
+        )
+        # exactly-once finalization: no day may appear twice
+        days = [r["day"] for r in got]
+        single = len(days) == len(set(days))
+        est_map = {r["day"]: float(r["est"]) for r in got}
+        items_map = {r["day"]: int(r["items"]) for r in got}
+        # ONE fused aggregation: per-day exact count, exact median, and
+        # the rank interval of the streamed estimate
+        keyed = events.withColumn(
+            "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+        )
+        oks = _grouped_rank_ok(
+            keyed, "day", "value", {(d, 0.5): est_map[d] for d in est_map}
+        ) if est_map else {}
+        exact = keyed.groupBy("day").agg(
+            F.count("value").alias("n"),
+            F.round(F.percentile(F.col("value"), F.lit(0.5)), 4).alias("p50"),
+        ).collect()
+        rows = sorted(
+            (
+                r["day"],
+                int(r["n"]),
+                float(r["p50"]),
+                bool(
+                    single
+                    and items_map.get(r["day"]) == r["n"]
+                    and oks.get((r["day"], 0.5), False)
+                ),
+            )
+            for r in exact
+        )
+        return spark.createDataFrame(
+            rows, "day string, n bigint, exact_p50 double, ok boolean"
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
 def q_sampling_and_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable bottom-k uniform sample + sketch-driven range-partition
     bounds over lineitem.l_extendedprice, verified Spark-side:
@@ -1086,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_cluster_insert": q_tdigest_cluster_insert,
         "sample_token_budget": q_sample_token_budget,
         "grouped_heavy_hitters": q_grouped_heavy_hitters,
+        "streaming_windowed_quantiles": q_streaming_windowed_quantiles,
         "text_fingerprints": q_text_fingerprints,
         "similarity_top1": q_similarity_top1,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1344,6 +1455,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM (VALUES ('click', TRUE), ('error', TRUE), "
             "('purchase', TRUE), ('signup', TRUE), ('view', TRUE)) "
             "AS t(event_type, ok)"
+        ),
+        "streaming_windowed_quantiles": (
+            # per-day exact counts + exact medians pin real numbers;
+            # ok carries exactly-once finalization + count match +
+            # rank-correctness of the streamed window estimates
+            "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, "
+            "count(value) AS n, "
+            "round(quantile_cont(value, CAST(0.5 AS DOUBLE)), 4) AS exact_p50, "
+            "TRUE AS ok FROM events WHERE value IS NOT NULL "
+            "GROUP BY 1 ORDER BY 1"
         ),
         "streaming_quantiles": (
             # exact count + exact percentiles pin real numbers; the ok
