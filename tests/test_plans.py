@@ -93,6 +93,27 @@ def test_heavy_hitters_value_recovery_pushes_isin(spark, tokens_path):
     assert "ReadSchema: struct<source:string>" in plan
 
 
+def test_budget_sampling_source_filter_pushed(spark, tokens_path):
+    """sample_by_token_budget must push the budgeted-source isin filter
+    into the parquet scan — at 100 TB the unbudgeted sources never
+    leave the data source, and only budgeted rows enter the window
+    shuffle."""
+    from sketchlib.spark.api import sample_by_token_budget
+
+    df = spark.read.parquet(tokens_path)
+    picked = sample_by_token_budget(
+        df, {"web": 1000.0, "code": 500.0}, source_col="source",
+        size_col="n_tok", order_col="doc_id",
+    )
+    plan = _formatted(picked)
+    assert "In(source, [code,web])" in plan.split("PushedFilters:")[1].split("\n")[0], plan
+    # exactly one shuffle (the per-source window), keyed by source
+    import re
+
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 1, plan
+
+
 def test_range_bounds_single_scan(spark, tokens_path):
     """range_partition_bounds is one pruned sketch scan (no join, no
     extra shuffle in the partials plan)."""
