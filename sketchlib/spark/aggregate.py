@@ -75,6 +75,65 @@ def _kind_domain(kind: str) -> int:
     return 0
 
 
+class _BincountAcc:
+    """Per-task pre-reduction for low-cardinality integer streams
+    (token ids): accumulate ONE bincount across every batch of the
+    task and feed the sketch once at the end, instead of pushing each
+    batch's (value, count) pairs through the digest buffer (which
+    triggered a merge-compression pass roughly per batch — ~40% of the
+    token-path feed time).  Falls back (returns False) for
+    non-integer values or ranges beyond MAX_RANGE (32 MB of counts),
+    in which case the caller routes the batch through ``_feed``."""
+
+    __slots__ = ("offset", "counts", "items")
+    MAX_RANGE = 1 << 22
+
+    def __init__(self):
+        self.offset = None
+        self.counts = None
+        self.items = 0
+
+    def try_add(self, vals: np.ndarray) -> bool:
+        if vals.size == 0:
+            return True
+        if not np.issubdtype(vals.dtype, np.integer):
+            return False
+        vmin = int(vals.min())
+        vmax = int(vals.max())
+        if self.offset is None:
+            if vmax - vmin >= self.MAX_RANGE:
+                return False
+            self.offset = vmin
+            self.counts = np.zeros(vmax - vmin + 1, dtype=np.int64)
+        lo = min(vmin, self.offset)
+        hi = max(vmax + 1, self.offset + self.counts.size)
+        if hi - lo > self.MAX_RANGE:
+            return False  # nothing absorbed; caller feeds directly
+        if lo < self.offset or hi > self.offset + self.counts.size:
+            grown = np.zeros(hi - lo, dtype=np.int64)
+            at = self.offset - lo
+            grown[at : at + self.counts.size] = self.counts
+            self.offset, self.counts = lo, grown
+        c = np.bincount(vals.astype(np.int64, copy=False) - self.offset)
+        self.counts[: c.size] += c
+        self.items += int(vals.size)
+        return True
+
+    def flush_into(self, sk) -> int:
+        """Feed the accumulated (value, count) pairs; returns items."""
+        if self.counts is None:
+            return 0
+        nz = np.flatnonzero(self.counts)
+        sk.add_weighted(
+            (nz + self.offset).astype(np.float64),
+            self.counts[nz].astype(np.float64),
+        )
+        n, self.items = self.items, 0
+        self.offset = None
+        self.counts = None
+        return n
+
+
 def _feed(sk, vals: np.ndarray, domain: int = 0) -> int:
     """Route a numpy batch into a sketch; returns item count."""
     if vals.size == 0:
@@ -161,8 +220,14 @@ def build_partials(
         t0 = time.monotonic()
         sk = factory()
         items = 0
+        acc = _BincountAcc() if hasattr(sk, "add_weighted") else None
         for b in batches:
-            items += _feed(sk, _batch_values(b, 0, kind), dom)
+            vals = _batch_values(b, 0, kind)
+            if acc is not None and acc.try_add(vals):
+                continue
+            items += _feed(sk, vals, dom)
+        if acc is not None:
+            items += acc.flush_into(sk)
         if items == 0:
             return
         yield pa.RecordBatch.from_arrays(

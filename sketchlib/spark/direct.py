@@ -173,6 +173,15 @@ def build_partials_direct(
         t0 = time.monotonic()
         sk = factory()
         items = 0
+        # per-task bincount pre-reduction for integer streams (token
+        # ids): one digest feed per task instead of per batch
+        from sketchlib.spark.aggregate import _BincountAcc
+
+        acc = (
+            _BincountAcc()
+            if hasattr(sk, "add_weighted") and dkind != "hash64_numpy"
+            else None
+        )
         for b in batches:
             for fpath in b.column(0).to_pylist():
                 filesystem, fp = pafs.FileSystem.from_uri(fpath)
@@ -202,11 +211,15 @@ def build_partials_direct(
                             vals = _hash_any(arr)
                         else:
                             vals = _batch_values(rb, 0, dkind)
+                        if acc is not None and acc.try_add(vals):
+                            continue
                         # every hash this path produces is numpy-side:
                         # stamp SPLITMIX so a later merge with a JVM
                         # xxhash64-fed state raises instead of silently
                         # corrupting the estimate
                         items += _feed(sk, vals, hashing.DOMAIN_SPLITMIX64)
+        if acc is not None:
+            items += acc.flush_into(sk)
         if items == 0:
             return
         yield pa.RecordBatch.from_arrays(
