@@ -165,12 +165,16 @@ def main() -> None:
         try:
             _warmup(spark)
             files = D.list_parquet_files(path) * SCALE_REPEAT
-            t0 = time.monotonic()
-            D.sketch_parquet(
-                spark, path, "tokens", lambda: HyperLogLog(p=14),
-                KIND_ARRAY_HASH, tasks=4 * cpus, files=files,
-            )
-            out["tokens_per_sec_hll_full"] = round(total / (time.monotonic() - t0))
+            best = None
+            for _ in range(2):  # best-of-2, like the t-digest legs
+                t0 = time.monotonic()
+                D.sketch_parquet(
+                    spark, path, "tokens", lambda: HyperLogLog(p=14),
+                    KIND_ARRAY_HASH, tasks=4 * cpus, files=files,
+                )
+                dt = time.monotonic() - t0
+                best = dt if best is None else min(best, dt)
+            out["tokens_per_sec_hll_full"] = round(total / best)
         finally:
             spark.stop()
 

@@ -134,6 +134,43 @@ class _BincountAcc:
         return n
 
 
+def _accepts_counts(sk) -> bool:
+    """Does sk.add_hashes take a counts argument (CMS, SpaceSaving)?"""
+    import inspect
+
+    try:
+        return "counts" in inspect.signature(sk.add_hashes).parameters
+    except (TypeError, ValueError):  # pragma: no cover
+        return False
+
+
+def flush_hashed(acc: "_BincountAcc", sk, domain: int = 0) -> int:
+    """Feed an integer-value bincount into a HASH-consuming sketch:
+    hash each DISTINCT value once (splitmix64) and replay its count —
+    token streams repeat heavily (vocab << tokens), so this hashes
+    ~vocab values instead of every token.  Exactly equivalent:
+    duplicates are no-ops for set-semantics sketches (HLL/Bloom/theta)
+    and a (hash, count) pair for counting ones (CMS/SpaceSaving)."""
+    if acc.counts is None:
+        return 0
+    from sketchlib.core.hashing import combine_domains, hash_i64
+
+    nz = np.flatnonzero(acc.counts)
+    h = hash_i64(nz + acc.offset)
+    if domain and hasattr(sk, "hash_domain"):
+        sk.hash_domain = combine_domains(
+            sk.hash_domain, domain, type(sk).__name__
+        )
+    if _accepts_counts(sk):
+        sk.add_hashes(h, acc.counts[nz])
+    else:
+        sk.add_hashes(h)
+    n, acc.items = acc.items, 0
+    acc.offset = None
+    acc.counts = None
+    return n
+
+
 def _feed(sk, vals: np.ndarray, domain: int = 0) -> int:
     """Route a numpy batch into a sketch; returns item count."""
     if vals.size == 0:
@@ -215,19 +252,40 @@ def build_partials(
     vdf = _prepare_value_df(df, col, kind)
 
     dom = _kind_domain(kind)
+    # per-task bincount pre-reduction: weighted feed for quantile
+    # sketches over integer values; distinct-hash feed for hash
+    # sketches over raw integer arrays (hash vocab once, not every
+    # token) — both fall back per batch for floats / wide ranges
+    raw_kind = KIND_ARRAY if kind == KIND_ARRAY_HASH else kind
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         t0 = time.monotonic()
         sk = factory()
         items = 0
-        acc = _BincountAcc() if hasattr(sk, "add_weighted") else None
+        if kind == KIND_ARRAY_HASH and hasattr(sk, "add_hashes"):
+            acc, mode = _BincountAcc(), "hash"
+        elif kind != KIND_ARRAY_HASH and hasattr(sk, "add_weighted"):
+            acc, mode = _BincountAcc(), "weighted"
+        else:
+            acc, mode = None, ""
         for b in batches:
-            vals = _batch_values(b, 0, kind)
-            if acc is not None and acc.try_add(vals):
+            if acc is None:
+                items += _feed(sk, _batch_values(b, 0, kind), dom)
                 continue
-            items += _feed(sk, vals, dom)
+            raw = _batch_values(b, 0, raw_kind)
+            if acc.try_add(raw):
+                continue
+            if mode == "hash":
+                from sketchlib.core.hashing import hash_i64
+
+                raw = hash_i64(raw)
+            items += _feed(sk, raw, dom)
         if acc is not None:
-            items += acc.flush_into(sk)
+            items += (
+                flush_hashed(acc, sk, dom)
+                if mode == "hash"
+                else acc.flush_into(sk)
+            )
         if items == 0:
             return
         yield pa.RecordBatch.from_arrays(

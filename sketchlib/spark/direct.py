@@ -41,6 +41,7 @@ from sketchlib.core import hashing
 from sketchlib.spark.aggregate import (
     _PARTIAL_SCHEMA,
     KIND_ARRAY,
+    KIND_ARRAY_HASH,
     KIND_DOUBLE,
     KIND_HASH64,
     _batch_values,
@@ -173,15 +174,18 @@ def build_partials_direct(
         t0 = time.monotonic()
         sk = factory()
         items = 0
-        # per-task bincount pre-reduction for integer streams (token
-        # ids): one digest feed per task instead of per batch
-        from sketchlib.spark.aggregate import _BincountAcc
+        # per-task bincount pre-reduction (see aggregate._BincountAcc):
+        # weighted feed for quantile sketches over integer values;
+        # distinct-hash feed for hash sketches over raw integers
+        from sketchlib.spark.aggregate import _BincountAcc, flush_hashed
 
-        acc = (
-            _BincountAcc()
-            if hasattr(sk, "add_weighted") and dkind != "hash64_numpy"
-            else None
-        )
+        hash_kind = dkind in ("hash64_numpy", KIND_ARRAY_HASH)
+        if hash_kind and hasattr(sk, "add_hashes"):
+            acc, mode = _BincountAcc(), "hash"
+        elif not hash_kind and hasattr(sk, "add_weighted"):
+            acc, mode = _BincountAcc(), "weighted"
+        else:
+            acc, mode = None, ""
         for b in batches:
             for fpath in b.column(0).to_pylist():
                 filesystem, fp = pafs.FileSystem.from_uri(fpath)
@@ -204,22 +208,41 @@ def build_partials_direct(
                         batch_size=bs, columns=[col], use_threads=False,
                         row_groups=row_groups,
                     ):
-                        if dkind == "hash64_numpy":
+                        if mode == "hash":
+                            if dkind == "hash64_numpy":
+                                arr = rb.column(0)
+                                if arr.null_count:
+                                    arr = arr.drop_null()
+                                if pa.types.is_integer(arr.type):
+                                    raw = arr.to_numpy(zero_copy_only=False)
+                                    if acc.try_add(raw):
+                                        continue
+                                vals = _hash_any(arr)
+                            else:  # KIND_ARRAY_HASH: raw token ints
+                                raw = _batch_values(rb, 0, KIND_ARRAY)
+                                if acc.try_add(raw):
+                                    continue
+                                vals = hashing.hash_i64(raw)
+                        elif dkind == "hash64_numpy":
                             arr = rb.column(0)
                             if arr.null_count:
                                 arr = arr.drop_null()
                             vals = _hash_any(arr)
                         else:
                             vals = _batch_values(rb, 0, dkind)
-                        if acc is not None and acc.try_add(vals):
-                            continue
+                            if acc is not None and acc.try_add(vals):
+                                continue
                         # every hash this path produces is numpy-side:
                         # stamp SPLITMIX so a later merge with a JVM
                         # xxhash64-fed state raises instead of silently
                         # corrupting the estimate
                         items += _feed(sk, vals, hashing.DOMAIN_SPLITMIX64)
         if acc is not None:
-            items += acc.flush_into(sk)
+            items += (
+                flush_hashed(acc, sk, hashing.DOMAIN_SPLITMIX64)
+                if mode == "hash"
+                else acc.flush_into(sk)
+            )
         if items == 0:
             return
         yield pa.RecordBatch.from_arrays(
