@@ -507,7 +507,23 @@ def grouped_sketch(
     nk = len(keys)
     key_fields = [vdf.schema[k] for k in keys]
 
+    # per-key bincount pre-reduction (see _BincountAcc): bounded to the
+    # first _ACC_KEYS groups per partition — beyond that (true
+    # high-cardinality keys) new groups feed per batch, so acc memory
+    # stays O(_ACC_KEYS * MAX_RANGE) regardless of key cardinality
+    _ACC_KEYS = 256
+    hash_mode = kind == KIND_ARRAY_HASH
+
+    def _drain(ent) -> None:
+        if ent[2] is not None and ent[2].counts is not None:
+            if hash_mode:
+                ent[1] += flush_hashed(ent[2], ent[0], _kind_domain(kind))
+            else:
+                ent[1] += ent[2].flush_into(ent[0])
+
     def _emit(sketches: dict, elapsed: float) -> pa.RecordBatch:
+        for ent in sketches.values():
+            _drain(ent)
         names = keys + ["state", "items", "build_secs"]
         key_arrays = [pa.array([kt[i] for kt in sketches]) for i in range(nk)]
         return pa.RecordBatch.from_arrays(
@@ -526,7 +542,7 @@ def grouped_sketch(
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         t0 = time.monotonic()
-        sketches: dict[tuple, list] = {}  # key -> [sketch, items]
+        sketches: dict[tuple, list] = {}  # key -> [sketch, items, acc]
         for b in batches:
             import pandas as pd
 
@@ -558,10 +574,6 @@ def grouped_sketch(
                     continue
                 if kind in (KIND_ARRAY, KIND_ARRAY_HASH):
                     vals = _gather_list_slices(flat, offsets, rows)
-                    if kind == KIND_ARRAY_HASH:
-                        from sketchlib.core.hashing import hash_i64
-
-                        vals = hash_i64(vals)
                 else:
                     vals = vals_all[rows]
                     if kind == KIND_HASH64:
@@ -569,7 +581,25 @@ def grouped_sketch(
                 kt = key if nk > 1 else (key,)
                 ent = sketches.get(kt)
                 if ent is None:
-                    ent = sketches[kt] = [factory(), 0]
+                    sk = factory()
+                    use_acc = (
+                        len(sketches) < _ACC_KEYS
+                        and (
+                            hasattr(sk, "add_hashes")
+                            if hash_mode
+                            else hasattr(sk, "add_weighted")
+                        )
+                        and kind != KIND_HASH64
+                    )
+                    ent = sketches[kt] = [
+                        sk, 0, _BincountAcc() if use_acc else None
+                    ]
+                if ent[2] is not None and ent[2].try_add(vals):
+                    continue
+                if hash_mode:
+                    from sketchlib.core.hashing import hash_i64
+
+                    vals = hash_i64(vals)
                 ent[1] += _feed(ent[0], vals, _kind_domain(kind))
             if len(sketches) >= max_groups_per_partition:
                 # flush-on-threshold: bound worker memory under
