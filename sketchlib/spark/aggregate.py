@@ -85,13 +85,26 @@ class _BincountAcc:
     non-integer values or ranges beyond MAX_RANGE (32 MB of counts),
     in which case the caller routes the batch through ``_feed``."""
 
-    __slots__ = ("offset", "counts", "items")
+    __slots__ = ("offset", "counts", "items", "budget")
     MAX_RANGE = 1 << 22
 
-    def __init__(self):
+    def __init__(self, budget: list | None = None):
         self.offset = None
         self.counts = None
         self.items = 0
+        # shared mutable [remaining_bytes] so MANY accs (grouped build:
+        # one per key) stay bounded in TOTAL, not just per-acc — 256
+        # near-MAX_RANGE accs would otherwise be 8 GB per task
+        self.budget = budget
+
+    def _charge(self, new_size: int) -> bool:
+        if self.budget is None:
+            return True
+        need = 8 * (new_size - (self.counts.size if self.counts is not None else 0))
+        if need > self.budget[0]:
+            return False
+        self.budget[0] -= need
+        return True
 
     def try_add(self, vals: np.ndarray) -> bool:
         if vals.size == 0:
@@ -103,6 +116,8 @@ class _BincountAcc:
         if self.offset is None:
             if vmax - vmin >= self.MAX_RANGE:
                 return False
+            if not self._charge(vmax - vmin + 1):
+                return False
             self.offset = vmin
             self.counts = np.zeros(vmax - vmin + 1, dtype=np.int64)
         lo = min(vmin, self.offset)
@@ -110,27 +125,44 @@ class _BincountAcc:
         if hi - lo > self.MAX_RANGE:
             return False  # nothing absorbed; caller feeds directly
         if lo < self.offset or hi > self.offset + self.counts.size:
+            if not self._charge(hi - lo):
+                return False
             grown = np.zeros(hi - lo, dtype=np.int64)
             at = self.offset - lo
             grown[at : at + self.counts.size] = self.counts
             self.offset, self.counts = lo, grown
-        c = np.bincount(vals.astype(np.int64, copy=False) - self.offset)
+        if vals.dtype == np.uint64:
+            # values above 2^63 don't fit int64; subtract in uint64
+            # space first (range < MAX_RANGE so the diff fits)
+            shifted = (vals - np.uint64(self.offset)).astype(
+                np.int64, copy=False
+            )
+        else:
+            shifted = vals.astype(np.int64, copy=False) - self.offset
+        c = np.bincount(shifted)
         self.counts[: c.size] += c
         self.items += int(vals.size)
         return True
+
+    def _release(self) -> None:
+        if self.budget is not None and self.counts is not None:
+            self.budget[0] += 8 * self.counts.size
+        self.offset = None
+        self.counts = None
 
     def flush_into(self, sk) -> int:
         """Feed the accumulated (value, count) pairs; returns items."""
         if self.counts is None:
             return 0
         nz = np.flatnonzero(self.counts)
+        # float-domain reconstruction: value sketches consume float64
+        # anyway, and float addition cannot overflow for huge offsets
         sk.add_weighted(
-            (nz + self.offset).astype(np.float64),
+            nz.astype(np.float64) + float(self.offset),
             self.counts[nz].astype(np.float64),
         )
         n, self.items = self.items, 0
-        self.offset = None
-        self.counts = None
+        self._release()
         return n
 
 
@@ -156,7 +188,13 @@ def flush_hashed(acc: "_BincountAcc", sk, domain: int = 0) -> int:
     from sketchlib.core.hashing import combine_domains, hash_i64
 
     nz = np.flatnonzero(acc.counts)
-    h = hash_i64(nz + acc.offset)
+    if acc.offset >= 0 and acc.offset + acc.counts.size > np.iinfo(np.int64).max:
+        # uint64 values above 2^63: reconstruct in uint64 space
+        # (int64 addition would overflow / promote)
+        orig = nz.astype(np.uint64) + np.uint64(acc.offset)
+    else:
+        orig = nz + acc.offset
+    h = hash_i64(orig)
     if domain and hasattr(sk, "hash_domain"):
         sk.hash_domain = combine_domains(
             sk.hash_domain, domain, type(sk).__name__
@@ -166,9 +204,56 @@ def flush_hashed(acc: "_BincountAcc", sk, domain: int = 0) -> int:
     else:
         sk.add_hashes(h)
     n, acc.items = acc.items, 0
-    acc.offset = None
-    acc.counts = None
+    acc._release()
     return n
+
+
+class AccFeeder:
+    """THE shared routing for the bincount pre-reduction (ungrouped,
+    grouped, and direct builds all use this — the invariants live in
+    one place): pick hash vs weighted mode from the sketch's
+    capabilities, try the accumulator per batch, fall back to the
+    per-batch ``_feed`` (hashing first in hash mode), and flush at the
+    end of the task.  ``feed_raw`` takes RAW values — integers still
+    unhashed in hash mode."""
+
+    __slots__ = ("sk", "hash_mode", "domain", "acc", "items")
+
+    def __init__(self, sk, hash_mode: bool, domain: int,
+                 budget: list | None = None):
+        use = (
+            hasattr(sk, "add_hashes")
+            if hash_mode
+            else hasattr(sk, "add_weighted")
+        )
+        self.sk = sk
+        self.hash_mode = hash_mode
+        self.domain = domain
+        self.acc = _BincountAcc(budget) if use else None
+        self.items = 0
+
+    def feed_raw(self, vals: np.ndarray) -> None:
+        if self.acc is not None and self.acc.try_add(vals):
+            return
+        if self.hash_mode:
+            from sketchlib.core.hashing import hash_i64
+
+            vals = hash_i64(vals)
+        self.items += _feed(self.sk, vals, self.domain)
+
+    def feed_hashed(self, hashes: np.ndarray) -> None:
+        """Pre-hashed stream (never accumulated)."""
+        self.items += _feed(self.sk, hashes, self.domain)
+
+    def finish(self) -> int:
+        """Flush the accumulator; returns TOTAL items fed."""
+        if self.acc is not None:
+            self.items += (
+                flush_hashed(self.acc, self.sk, self.domain)
+                if self.hash_mode
+                else self.acc.flush_into(self.sk)
+            )
+        return self.items
 
 
 def _feed(sk, vals: np.ndarray, domain: int = 0) -> int:
@@ -261,31 +346,10 @@ def build_partials(
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         t0 = time.monotonic()
         sk = factory()
-        items = 0
-        if kind == KIND_ARRAY_HASH and hasattr(sk, "add_hashes"):
-            acc, mode = _BincountAcc(), "hash"
-        elif kind != KIND_ARRAY_HASH and hasattr(sk, "add_weighted"):
-            acc, mode = _BincountAcc(), "weighted"
-        else:
-            acc, mode = None, ""
+        feeder = AccFeeder(sk, hash_mode=kind == KIND_ARRAY_HASH, domain=dom)
         for b in batches:
-            if acc is None:
-                items += _feed(sk, _batch_values(b, 0, kind), dom)
-                continue
-            raw = _batch_values(b, 0, raw_kind)
-            if acc.try_add(raw):
-                continue
-            if mode == "hash":
-                from sketchlib.core.hashing import hash_i64
-
-                raw = hash_i64(raw)
-            items += _feed(sk, raw, dom)
-        if acc is not None:
-            items += (
-                flush_hashed(acc, sk, dom)
-                if mode == "hash"
-                else acc.flush_into(sk)
-            )
+            feeder.feed_raw(_batch_values(b, 0, raw_kind))
+        items = feeder.finish()
         if items == 0:
             return
         yield pa.RecordBatch.from_arrays(
@@ -507,32 +571,27 @@ def grouped_sketch(
     nk = len(keys)
     key_fields = [vdf.schema[k] for k in keys]
 
-    # per-key bincount pre-reduction (see _BincountAcc): bounded to the
-    # first _ACC_KEYS groups per partition — beyond that (true
-    # high-cardinality keys) new groups feed per batch, so acc memory
-    # stays O(_ACC_KEYS * MAX_RANGE) regardless of key cardinality
-    _ACC_KEYS = 256
+    # per-key bincount pre-reduction via AccFeeder, with a SHARED
+    # per-task byte budget: many keys' accumulators together may hold
+    # at most _ACC_BUDGET_BYTES of counts — beyond it (or for true
+    # high-cardinality keys) feeders fall back to per-batch feeding,
+    # so worker memory stays bounded regardless of key cardinality or
+    # per-key value ranges
+    _ACC_BUDGET_BYTES = 256 << 20
     hash_mode = kind == KIND_ARRAY_HASH
 
-    def _drain(ent) -> None:
-        if ent[2] is not None and ent[2].counts is not None:
-            if hash_mode:
-                ent[1] += flush_hashed(ent[2], ent[0], _kind_domain(kind))
-            else:
-                ent[1] += ent[2].flush_into(ent[0])
-
     def _emit(sketches: dict, elapsed: float) -> pa.RecordBatch:
-        for ent in sketches.values():
-            _drain(ent)
         names = keys + ["state", "items", "build_secs"]
         key_arrays = [pa.array([kt[i] for kt in sketches]) for i in range(nk)]
+        items = [f.finish() for f in sketches.values()]
         return pa.RecordBatch.from_arrays(
             key_arrays
             + [
                 pa.array(
-                    [e[0].to_bytes() for e in sketches.values()], type=pa.binary()
+                    [f.sk.to_bytes() for f in sketches.values()],
+                    type=pa.binary(),
                 ),
-                pa.array([e[1] for e in sketches.values()], type=pa.int64()),
+                pa.array(items, type=pa.int64()),
                 pa.array(
                     [elapsed / len(sketches)] * len(sketches), type=pa.float64()
                 ),
@@ -542,7 +601,8 @@ def grouped_sketch(
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         t0 = time.monotonic()
-        sketches: dict[tuple, list] = {}  # key -> [sketch, items, acc]
+        budget = [_ACC_BUDGET_BYTES]
+        sketches: dict[tuple, AccFeeder] = {}
         for b in batches:
             import pandas as pd
 
@@ -579,28 +639,16 @@ def grouped_sketch(
                     if kind == KIND_HASH64:
                         vals = vals.astype(np.int64).view(np.uint64)
                 kt = key if nk > 1 else (key,)
-                ent = sketches.get(kt)
-                if ent is None:
-                    sk = factory()
-                    use_acc = (
-                        len(sketches) < _ACC_KEYS
-                        and (
-                            hasattr(sk, "add_hashes")
-                            if hash_mode
-                            else hasattr(sk, "add_weighted")
-                        )
-                        and kind != KIND_HASH64
+                feeder = sketches.get(kt)
+                if feeder is None:
+                    feeder = sketches[kt] = AccFeeder(
+                        factory(), hash_mode=hash_mode,
+                        domain=_kind_domain(kind), budget=budget,
                     )
-                    ent = sketches[kt] = [
-                        sk, 0, _BincountAcc() if use_acc else None
-                    ]
-                if ent[2] is not None and ent[2].try_add(vals):
-                    continue
-                if hash_mode:
-                    from sketchlib.core.hashing import hash_i64
-
-                    vals = hash_i64(vals)
-                ent[1] += _feed(ent[0], vals, _kind_domain(kind))
+                if kind == KIND_HASH64:
+                    feeder.feed_hashed(vals)  # pre-hashed JVM stream
+                else:
+                    feeder.feed_raw(vals)
             if len(sketches) >= max_groups_per_partition:
                 # flush-on-threshold: bound worker memory under
                 # high-cardinality keys; stage 2 merges duplicates

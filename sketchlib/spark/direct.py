@@ -172,20 +172,19 @@ def build_partials_direct(
         from pyarrow import fs as pafs
 
         t0 = time.monotonic()
-        sk = factory()
-        items = 0
-        # per-task bincount pre-reduction (see aggregate._BincountAcc):
+        # per-task bincount pre-reduction (see aggregate.AccFeeder):
         # weighted feed for quantile sketches over integer values;
         # distinct-hash feed for hash sketches over raw integers
-        from sketchlib.spark.aggregate import _BincountAcc, flush_hashed
+        from sketchlib.spark.aggregate import AccFeeder
 
         hash_kind = dkind in ("hash64_numpy", KIND_ARRAY_HASH)
-        if hash_kind and hasattr(sk, "add_hashes"):
-            acc, mode = _BincountAcc(), "hash"
-        elif not hash_kind and hasattr(sk, "add_weighted"):
-            acc, mode = _BincountAcc(), "weighted"
-        else:
-            acc, mode = None, ""
+        # every hash this path produces is numpy-side: stamp SPLITMIX
+        # so a later merge with a JVM xxhash64-fed state raises instead
+        # of silently corrupting the estimate
+        feeder = AccFeeder(
+            factory(), hash_mode=hash_kind,
+            domain=hashing.DOMAIN_SPLITMIX64,
+        )
         for b in batches:
             for fpath in b.column(0).to_pylist():
                 filesystem, fp = pafs.FileSystem.from_uri(fpath)
@@ -208,41 +207,22 @@ def build_partials_direct(
                         batch_size=bs, columns=[col], use_threads=False,
                         row_groups=row_groups,
                     ):
-                        if mode == "hash":
-                            if dkind == "hash64_numpy":
-                                arr = rb.column(0)
-                                if arr.null_count:
-                                    arr = arr.drop_null()
-                                if pa.types.is_integer(arr.type):
-                                    raw = arr.to_numpy(zero_copy_only=False)
-                                    if acc.try_add(raw):
-                                        continue
-                                vals = _hash_any(arr)
-                            else:  # KIND_ARRAY_HASH: raw token ints
-                                raw = _batch_values(rb, 0, KIND_ARRAY)
-                                if acc.try_add(raw):
-                                    continue
-                                vals = hashing.hash_i64(raw)
-                        elif dkind == "hash64_numpy":
+                        if dkind == "hash64_numpy":
                             arr = rb.column(0)
                             if arr.null_count:
                                 arr = arr.drop_null()
-                            vals = _hash_any(arr)
+                            if pa.types.is_integer(arr.type):
+                                feeder.feed_raw(
+                                    arr.to_numpy(zero_copy_only=False)
+                                )
+                            else:  # floats/strings: hash directly
+                                feeder.feed_hashed(_hash_any(arr))
+                        elif dkind == KIND_ARRAY_HASH:
+                            feeder.feed_raw(_batch_values(rb, 0, KIND_ARRAY))
                         else:
-                            vals = _batch_values(rb, 0, dkind)
-                            if acc is not None and acc.try_add(vals):
-                                continue
-                        # every hash this path produces is numpy-side:
-                        # stamp SPLITMIX so a later merge with a JVM
-                        # xxhash64-fed state raises instead of silently
-                        # corrupting the estimate
-                        items += _feed(sk, vals, hashing.DOMAIN_SPLITMIX64)
-        if acc is not None:
-            items += (
-                flush_hashed(acc, sk, hashing.DOMAIN_SPLITMIX64)
-                if mode == "hash"
-                else acc.flush_into(sk)
-            )
+                            feeder.feed_raw(_batch_values(rb, 0, dkind))
+        items = feeder.finish()
+        sk = feeder.sk
         if items == 0:
             return
         yield pa.RecordBatch.from_arrays(

@@ -214,6 +214,43 @@ def test_iceberg_row_group_pruning(spark, tmp_path):
     assert sk.min == 1750.0 and sk.max == 1999.0
 
 
+def test_bincount_acc_uint64_band_and_budget():
+    """Regression (self-review r3): uint64 values above 2^63 in a
+    narrow band must accumulate (uint64-space subtraction), not crash
+    the bincount cast; and a shared byte budget bounds TOTAL
+    accumulator memory across many accs."""
+    from sketchlib.spark.aggregate import _BincountAcc
+
+    hi = np.uint64(2**63 + 10_000)
+    vals = (hi + np.arange(1000, dtype=np.uint64) % np.uint64(64))
+    acc = _BincountAcc()
+    assert acc.try_add(vals)
+    assert acc.items == 1000
+    assert acc.counts.sum() == 1000
+    # and the distinct-hash flush hashes the true uint64 values
+    from sketchlib.core.hll import HyperLogLog
+    from sketchlib.spark.aggregate import flush_hashed
+
+    sk = HyperLogLog(p=10)
+    n = flush_hashed(acc, sk, 2)
+    assert n == 1000
+    assert 40 <= sk.estimate() <= 90  # 64 distinct values
+
+    # shared budget: second acc is denied once the budget is spent
+    budget = [8 * 100]  # room for 100 int64 counts total
+    a = _BincountAcc(budget)
+    b = _BincountAcc(budget)
+    assert a.try_add(np.arange(80, dtype=np.int64))
+    assert not b.try_add(np.arange(1000, 1200, dtype=np.int64))  # needs 200
+    assert b.try_add(np.arange(5, dtype=np.int64))  # 5 fits the remainder
+    # flushing releases the budget for later accs
+    from sketchlib.core.tdigest import TDigest
+
+    a.flush_into(TDigest(delta=100))
+    c = _BincountAcc(budget)
+    assert c.try_add(np.arange(60, dtype=np.int64))
+
+
 def test_direct_missing_path(spark):
     with pytest.raises(FileNotFoundError):
         sketch_parquet(
