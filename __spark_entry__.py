@@ -846,6 +846,8 @@ def q_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sketchlib.streaming.stream import current_sketch, run_streaming_sketch
 
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")  # restored below
     events = _read(spark, sf_dir, "events").select("value").filter(
         F.col("value").isNotNull()
     )
@@ -876,6 +878,7 @@ def q_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             _time.sleep(0.2)
     finally:
         q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     sk = current_sketch(spark, f"{work}/ledger")
     qs = [0.1, 0.5, 0.9]
     ests_stream = [
@@ -937,7 +940,12 @@ def q_streaming_windowed_quantiles(spark: SparkSession, sf_dir: str) -> DataFram
     from sketchlib.streaming.stream import streaming_windowed_quantiles
 
     prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # 9 window groups need nowhere near the session's shuffle width;
+    # the state store pays per (partition x trigger), so 8 partitions
+    # cut the fixed stateful overhead ~3x (restored below)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         # first 9 days only: 9 windows exercise the full semantics
         # (exactly-once finalization, counts, rank checks) at a third
@@ -1056,6 +1064,7 @@ def q_streaming_windowed_quantiles(spark: SparkSession, sf_dir: str) -> DataFram
         )
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
 
 
 def q_sampling_and_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:

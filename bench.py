@@ -136,10 +136,16 @@ def main() -> None:
         # legs lets each find a clean window
         t_high, _ = _throughput_run(f"local[{high}]", path, SCALE_REPEAT, tasks=64)
         t_low, total = _throughput_run(f"local[{low}]", path, SCALE_REPEAT, tasks=64)
-        t_high2, _ = _throughput_run(f"local[{high}]", path, SCALE_REPEAT, tasks=64)
-        t_low2, _ = _throughput_run(f"local[{low}]", path, SCALE_REPEAT, tasks=64)
-        t_high = min(t_high, t_high2)
-        t_low = min(t_low, t_low2)
+        # three temporally-spread pairs: this VM's shared-tenant noise
+        # arrives in multi-minute bursts, so a leg's best-of-N inside
+        # one burst still reads slow — more pairs across time let each
+        # leg find a clean window (the per-core feed is now fast enough
+        # that a noisy high leg alone can swing the efficiency ratio)
+        for _ in range(2):
+            t_high2, _ = _throughput_run(f"local[{high}]", path, SCALE_REPEAT, tasks=64)
+            t_low2, _ = _throughput_run(f"local[{low}]", path, SCALE_REPEAT, tasks=64)
+            t_high = min(t_high, t_high2)
+            t_low = min(t_low, t_low2)
         t_full, _ = _throughput_run(f"local[{cpus}]", path, SCALE_REPEAT, tasks=4 * cpus)
         tput_low = total / t_low
         tput_high = total / t_high
