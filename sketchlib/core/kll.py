@@ -131,6 +131,58 @@ class KLL:
     def add(self, value: float) -> None:
         self.add_buffer(np.array([value]))
 
+    def add_weighted(self, values, weights) -> None:
+        """Bulk insert pre-aggregated (value, integer-weight) pairs.
+
+        A level-h item carries weight 2^h, so a weight w decomposes
+        LOSSLESSLY over the levels of its binary expansion: inserting
+        v at every level ℓ with bit ℓ set in w adds exactly weight w
+        of v — identical rank mass to w raw copies, without
+        materializing them.  (Not in the reference; the standard
+        weighted-KLL construction.)  This is the fast path for
+        low-cardinality integer streams pre-reduced via bincount —
+        ~vocab items per task instead of every token."""
+        v = np.asarray(values, dtype=np.float64).ravel()
+        w = np.asarray(weights).ravel()
+        if v.size == 0:
+            return
+        if v.shape != w.shape:
+            raise ValueError("values/weights length mismatch")
+        if not np.issubdtype(w.dtype, np.integer):
+            wi = w.astype(np.int64)
+            if not np.array_equal(wi, w):
+                raise ValueError("KLL weights must be integers")
+            w = wi
+        if (w < 0).any():
+            raise ValueError("KLL weights must be >= 0")
+        keep = w > 0
+        v, w = v[keep], w[keep]
+        if v.size == 0:
+            return
+        self.min = min(self.min, float(v.min()))
+        self.max = max(self.max, float(v.max()))
+        self.count += int(w.sum())
+        order = np.argsort(v, kind="stable")
+        v, w = v[order], w[order]  # masked slices stay sorted runs
+        max_bit = int(w.max()).bit_length()
+        for lvl in range(max_bit):
+            sel = (w >> lvl) & 1 == 1
+            if not sel.any():
+                continue
+            while lvl >= len(self.levels):
+                self._grow()
+            self.levels[lvl] = np.concatenate([self.levels[lvl], v[sel]])
+        # restore capacity invariants (same loop as merge)
+        guard = 0
+        while any(
+            self.levels[h].size >= self._buffer_cap(h) and self.levels[h].size > 1
+            for h in range(len(self.levels))
+        ):
+            self._compress()
+            guard += 1
+            if guard > 64:  # pragma: no cover
+                break
+
     # -------------------------------------------------------------- compaction
 
     def _compact_index(self, h: int) -> int:

@@ -169,3 +169,49 @@ def test_serde_roundtrip():
     assert sk2.to_bytes() == blob
     qs = np.array([0.1, 0.5, 0.9])
     np.testing.assert_array_equal(sk.value_at_quantile(qs), sk2.value_at_quantile(qs))
+
+
+def test_add_weighted_matches_expanded_stream():
+    """Weighted insert decomposes each count over the binary levels
+    (level h = weight 2^h) — exactly the rank mass of the expanded
+    stream. Estimates must satisfy the same rank-error bound as the
+    raw build, the count must be exact, and huge weights must not
+    materialize copies."""
+    import numpy as np
+
+    from sketchlib.core.kll import KLL
+
+    rng = np.random.default_rng(8)
+    vals = np.sort(rng.uniform(0, 1000, 3000))
+    counts = rng.integers(1, 50, 3000)
+    expanded = np.repeat(vals, counts)
+
+    wk = KLL(k=200, seed=1)
+    wk.add_weighted(vals, counts)
+    assert wk.count == expanded.size
+
+    s = np.sort(expanded)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        est = wk.value_at_quantile(q)
+        rank = np.searchsorted(s, est) / s.size
+        assert abs(rank - q) <= 0.015, (q, rank)
+    assert wk.min == expanded.min() and wk.max == expanded.max()
+
+    # gigantic weights: no expansion, rank still correct (3 values
+    # with weights 1e9 / 2e9 / 1e9 -> median is the middle value)
+    big = KLL(k=64)
+    big.add_weighted([1.0, 2.0, 3.0], [1_000_000_000, 2_000_000_000, 1_000_000_000])
+    assert big.count == 4_000_000_000
+    assert big.value_at_quantile(0.5) == 2.0
+    assert big.owned_size() < 100_000  # state stays KB-sized
+
+    # validation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="integers"):
+        KLL().add_weighted([1.0], [1.5])
+    with _pytest.raises(ValueError, match=">= 0"):
+        KLL().add_weighted([1.0], [-1])
+    z = KLL()
+    z.add_weighted([1.0], [0])  # zero weight = no-op
+    assert z.count == 0
