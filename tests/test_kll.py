@@ -215,3 +215,30 @@ def test_add_weighted_matches_expanded_stream():
     z = KLL()
     z.add_weighted([1.0], [0])  # zero weight = no-op
     assert z.count == 0
+
+
+def test_weighted_and_raw_builds_merge():
+    """A weighted-built KLL merges with a raw-built KLL like any other
+    partial: rank correctness holds over the union (the distributed
+    shape — some partitions pre-reduced via bincount, others raw)."""
+    import numpy as np
+
+    from sketchlib.core.kll import KLL
+
+    rng = np.random.default_rng(12)
+    vals_a = np.arange(1000, dtype=float)
+    counts_a = rng.integers(1, 20, 1000)
+    raw_b = rng.uniform(500, 1500, 30_000)
+
+    a = KLL(k=200, seed=3)
+    a.add_weighted(vals_a, counts_a)
+    b = KLL(k=200, seed=4)
+    b.add_buffer(raw_b)
+    a.merge(b)
+
+    union = np.sort(np.concatenate([np.repeat(vals_a, counts_a), raw_b]))
+    assert a.count == union.size
+    for q in (0.05, 0.5, 0.95):
+        est = a.value_at_quantile(q)
+        rank = np.searchsorted(union, est) / union.size
+        assert abs(rank - q) <= 0.015, (q, rank)
