@@ -87,8 +87,9 @@ def duplicate_clusters(
         # convergence detection rides the SAME materializing action as
         # the checkpoint (observe metric filled by localCheckpoint's
         # job) — the former separate join+limit+count job per round is
-        # gone
-        obs = Observation(f"cc_round_{rnd}")
+        # gone.  Observation is anonymous: session-unique names mean
+        # two concurrent duplicate_clusters calls can't collide.
+        obs = Observation()
         new_labels = (
             propagated.join(lut, "cluster_id", "left")
             .select(
@@ -107,6 +108,10 @@ def duplicate_clusters(
             .select("id", "cluster_id")
             .localCheckpoint()  # truncate lineage: O(1) plan depth
         )
+        # localCheckpoint is eager: new_labels' blocks exist now, so the
+        # superseded round's blocks can be freed — without this, storage
+        # memory grows linearly with round count on large graphs
+        labels.unpersist()
         labels = new_labels
         # F.sum over ZERO rows is NULL -> None: empty pair input must
         # converge immediately, not exhaust max_rounds
@@ -118,6 +123,16 @@ def duplicate_clusters(
         f"duplicate_clusters did not converge in {max_rounds} rounds "
         "(with pointer jumping that means component diameter > "
         f"~2^{max_rounds}); raise max_rounds"
+    )
+
+
+def _with_min(edges: DataFrame) -> DataFrame:
+    """edges[src,dst] -> edges[src,dst,m] where m = min over the src's
+    neighbourhood including itself.  Partial-agg + equi-join, NOT a
+    window — skew-safe for huge-degree hubs (see _star_clusters)."""
+    mins = edges.groupBy("src").agg(F.min("dst").alias("_nm"))
+    return edges.join(mins, "src").withColumn(
+        "m", F.least(F.col("_nm"), F.col("src"))
     )
 
 
@@ -134,10 +149,16 @@ def _star_clusters(
 
     Alternating the two converges to one star per component rooted at
     the component minimum in O(log n) rounds for ANY topology.  Both
-    steps are a window-min + projection over the edge list (no joins);
-    each round localCheckpoints, and convergence is detected by an
-    (edge-count, xxhash64-sum) signature that rides the checkpoint's
-    own action via observe() — no extra jobs."""
+    steps compute each node's neighbourhood-min with a
+    ``groupBy(src).agg(min)`` + equi-join, NOT a window: a hash
+    aggregate gets map-side partial aggregation (a 100M-degree hub
+    collapses to one row per task before the shuffle) and the join back
+    is an equi-join AQE can skew-split — whereas
+    ``Window.partitionBy(src)`` would ship the hub's entire
+    neighbourhood to a single task.  Each round localCheckpoints (and
+    frees the superseded round's blocks), and convergence is detected
+    by an (edge-count, xxhash64-xor) signature that rides the
+    checkpoint's own action via observe() — no extra jobs."""
     from pyspark.sql import Observation
 
     e = (
@@ -146,18 +167,14 @@ def _star_clusters(
         .distinct()
         .localCheckpoint()
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("src")
     prev_sig = None
     for rnd in range(max_rounds):
         # ---- large star: group the SYMMETRIC edge list by node
         sym = e.union(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        m = F.least(F.min("dst").over(w), F.col("src"))
         big = (
-            sym.withColumn("m", m)
+            _with_min(sym)
             .filter(F.col("dst") > F.col("src"))
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
             .filter(F.col("src") != F.col("dst"))
@@ -165,15 +182,18 @@ def _star_clusters(
         )
         # ---- small star: orient edges large -> small, link the small
         # neighbours and the node itself to the neighbourhood min
-        d = big.select(
-            F.greatest("src", "dst").alias("src"),
-            F.least("src", "dst").alias("dst"),
-        ).withColumn("m", F.least(F.min("dst").over(w), F.col("src")))
+        d = _with_min(
+            big.select(
+                F.greatest("src", "dst").alias("src"),
+                F.least("src", "dst").alias("dst"),
+            )
+        )
         nbrs = d.filter(F.col("dst") != F.col("m")).select(
             F.col("dst").alias("src"), F.col("m").alias("dst")
         )
         selfe = d.select("src", F.col("m").alias("dst"))
         obs = Observation()
+        prev_e = e
         e = (
             nbrs.union(selfe)
             .filter(F.col("src") != F.col("dst"))
@@ -187,6 +207,9 @@ def _star_clusters(
             )
             .localCheckpoint()
         )
+        # the new round's blocks are materialized (eager checkpoint);
+        # free the superseded round's so storage stays O(1) in rounds
+        prev_e.unpersist()
         sig = (obs.get["n"], obs.get["sig"])
         if sig == prev_sig:
             # star edges: (node, component-min); roots label themselves
