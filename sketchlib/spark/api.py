@@ -155,13 +155,18 @@ def heavy_hitters(
     recovers the values of the <= k winning hashes (predicate-pushdown
     ``isin`` — never a full-column distinct shuffle).
 
-    ``backend="cms"`` keeps the two-scan count-min + per-partition
-    local-top-C candidate path as a cross-check.  That candidate set
-    is a BEST-EFFORT heuristic: an item can sit below top-C in every
-    partition yet be globally top-k (and local_top's memory-bound
-    truncation drops partial counts mid-stream), so containment is
-    empirical, not guaranteed — use the default backend when the
-    guarantee matters."""
+    ``backend="cms"`` keeps the two-scan count-min path as a
+    cross-check.  Its candidate pass runs a per-partition SpaceSaving
+    (capacity C = ``candidates_per_partition``) over the raw values:
+    within partition p the tracked set provably contains every item
+    with count > N_p/C, and summing that bound over partitions means
+    the UNION of tracked sets is a guaranteed superset of every item
+    with global count > N/C — the same formal guarantee as the default
+    backend (the former dict-based local-top heuristic could drop a
+    globally-hot item's partial counts mid-stream).  All candidates
+    are then probed against the broadcast CMS (distributed, never
+    collected, no arbitrary pre-cut) and the top-k by estimate
+    returned; CMS estimates never undercount."""
     import pandas as pd
 
     if backend == "spacesaving":
@@ -194,27 +199,34 @@ def heavy_hitters(
     f = df.schema[col]
     out_schema = f"{f.name} {f.dataType.simpleString()}, cnt long"
 
-    def local_top(it):
-        acc: dict = {}
+    def local_ss(it):
+        # Per-partition SpaceSaving over raw VALUES (capacity C, O(C)
+        # memory): admission-by-min-eviction preserves the published
+        # guarantee that every item with partition count > N_p/C is in
+        # the final tracked set.  Batched value_counts updates are
+        # equivalent to the sequential algorithm (a new key admitted
+        # with batch-count c gets min+c exactly as c single updates
+        # would).  The tracked set is emitted WHOLE — no top-C cut —
+        # so the union over partitions is the guaranteed superset.
+        counts: dict = {}
         for pdf in it:
-            vc = pdf[col].value_counts()
-            for v, c in vc.items():
-                acc[v] = acc.get(v, 0) + int(c)
-            if len(acc) > 8 * C:  # bound memory: keep the current top
-                acc = dict(sorted(acc.items(), key=lambda kv: -kv[1])[: 4 * C])
-        top = sorted(acc.items(), key=lambda kv: -kv[1])[:C]
-        if not top:
-            return
-        yield pd.DataFrame({col: [t[0] for t in top], "cnt": [t[1] for t in top]})
+            for v, c in pdf[col].value_counts().items():
+                c = int(c)
+                cur = counts.get(v)
+                if cur is not None:
+                    counts[v] = cur + c
+                elif len(counts) < C:
+                    counts[v] = c
+                else:
+                    mk = min(counts, key=counts.__getitem__)
+                    mv = counts.pop(mk)
+                    counts[v] = mv + c
+        if counts:
+            yield pd.DataFrame(
+                {col: list(counts.keys()), "cnt": list(counts.values())}
+            )
 
-    candidates = (
-        df.select(col)
-        .mapInPandas(local_top, out_schema)
-        .groupBy(col)
-        .agg(F.sum("cnt").alias("cnt"))
-        .orderBy(F.desc("cnt"))
-        .limit(4 * k)
-    )
+    candidates = df.select(col).mapInPandas(local_ss, out_schema).select(col)
     est = cms_frequencies(cms, candidates, col)
     return est.orderBy(F.desc("est_count"), F.asc(col)).limit(k)
 
