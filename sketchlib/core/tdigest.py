@@ -265,7 +265,14 @@ class TDigest:
         reference selects), else inserts at its sort position; a merge-
         compression pass runs whenever the digest exceeds
         growth_limit * delta centroids.  No final compression (the
-        reference skips it; size stays bounded by the growth limit)."""
+        reference skips it; size stays bounded by the growth limit).
+
+        NOTE: each insert recomputes weight-left over all centroids
+        (vectorized here, but still O(n) per candidate — the reference
+        does the same scan in t_digest.rs:581-601), so a long trickle
+        stream costs O(inserts * growth_limit * delta).  Prefer
+        ``add_cluster_tree`` (same semantics, treap-backed O(log n)
+        weight-left) above ~10^4 inserts."""
         m_in = np.asarray(means, dtype=np.float64).ravel()
         if weights is None:
             w_in = np.ones(m_in.size)
@@ -299,13 +306,18 @@ class TDigest:
             idx_range = _find_closest(ms, xm)
             chosen = None
             if idx_range is not None:
+                # weight strictly left of each candidate's merged mean:
+                # one vectorized masked sum per candidate (in-place
+                # merges can leave ms locally unsorted, so a
+                # bisect+prefix-sum shortcut would be unsound — the
+                # full masked scan is the correct form; numpy makes it
+                # memcpy-speed instead of a Python loop per element)
+                ms_np = np.asarray(ms)
+                ws_np = np.asarray(ws)
                 for index in idx_range:
                     nw = xw + ws[index]
                     nm = (xm * xw + ms[index] * ws[index]) / nw
-                    wl = 0.0
-                    for j in range(len(ms)):  # weight strictly left
-                        if ms[j] < nm:
-                            wl += ws[j]
+                    wl = float(ws_np[ms_np < nm].sum())
                     if abs(self.k_size_from_weights(nw, wl, total + nw)) < 1.0:
                         if chosen is None or (
                             ms[chosen] * ws[chosen] > ms[index] * ws[index]
