@@ -120,6 +120,17 @@ class _BincountAcc:
                 return False
             self.offset = vmin
             self.counts = np.zeros(vmax - vmin + 1, dtype=np.int64)
+        # mixed-signedness guard (advisor r3): a uint64 batch against a
+        # negative offset would hit np.uint64(negative) OverflowError,
+        # and an int64 batch against an offset above int64 max (set by
+        # an earlier huge-uint64 batch) would overflow the int64
+        # subtraction — degrade those batches to the per-batch _feed
+        # path instead of crashing the task
+        if vals.dtype == np.uint64:
+            if self.offset < 0:
+                return False
+        elif self.offset > np.iinfo(np.int64).max:
+            return False
         lo = min(vmin, self.offset)
         hi = max(vmax + 1, self.offset + self.counts.size)
         if hi - lo > self.MAX_RANGE:

@@ -251,6 +251,30 @@ def test_bincount_acc_uint64_band_and_budget():
     assert c.try_add(np.arange(60, dtype=np.int64))
 
 
+def test_bincount_acc_mixed_signedness_degrades():
+    """Advisor r3: one accumulator, batches of MIXED signedness — a
+    uint64 batch after a negative-offset int64 batch (np.uint64(neg)
+    raises OverflowError raw) and an int64 batch after a >2^63 uint64
+    batch (int64 minus huge python int overflows) must return False
+    (degrade to the per-batch feed) instead of crashing the task, and
+    leave the already-accumulated counts intact."""
+    from sketchlib.spark.aggregate import _BincountAcc
+
+    # negative int64 offset, then a uint64 batch
+    acc = _BincountAcc()
+    assert acc.try_add(np.arange(-50, 50, dtype=np.int64))
+    assert not acc.try_add(np.arange(10, 20, dtype=np.uint64))
+    assert acc.items == 100 and acc.counts.sum() == 100
+    assert acc.offset == -50
+
+    # >2^63 uint64 offset, then an int64 batch whose range would fit
+    hi = np.uint64(2**63 + 100)
+    acc2 = _BincountAcc()
+    assert acc2.try_add(hi + np.arange(10, dtype=np.uint64))
+    assert not acc2.try_add(np.full(5, 2**63 - 1, dtype=np.int64))
+    assert acc2.items == 10 and acc2.counts.sum() == 10
+
+
 def test_direct_missing_path(spark):
     with pytest.raises(FileNotFoundError):
         sketch_parquet(
