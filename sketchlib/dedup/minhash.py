@@ -248,10 +248,22 @@ def lsh_candidate_pairs(
     clustering.  (The previous row_number cap silently DROPPED the
     overflow — a recall hole with no signal.)
 
+    PAIR-LEVEL RECALL CAVEAT: sub-splitting preserves MEMBERSHIP (every
+    doc keeps participating) but pairs are only emitted within a
+    sub-chunk — a true pair that co-occurs in exactly ONE band's hot
+    bucket and lands in different chunks of it is missed at the pair
+    level.  The cross-band re-chaining argument restores it only for
+    callers who run connected components over the pairs afterward
+    (duplicate_clusters / keep_representatives).  When no
+    ``observation`` is passed, a default one is created and a
+    ``UserWarning`` is emitted if any bucket actually overflowed, so
+    pair-consuming callers can detect when the caveat is live.
+
     Pass a ``pyspark.sql.Observation`` as ``observation`` to receive
     ``overflow_rows`` (bucket memberships beyond the first chunk, i.e.
     rows the old cap would have dropped) and ``bucket_rows`` with
-    the observation (filled exactly once)."""
+    the observation (filled exactly once); passing one suppresses the
+    default warning (the caller owns the metric)."""
     if num_perm is not None and bands * rows_per_band > num_perm:
         # F.slice past the end of the signature silently yields
         # truncated/empty band slices: trailing bands would hash a
@@ -273,9 +285,32 @@ def lsh_candidate_pairs(
     # (chunk order hashes (id, band) => per-band independent chunkings)
     from sketchlib.spark.skew import sub_split_buckets
 
+    own_obs = observation is None
+    if own_obs:
+        from pyspark.sql import Observation
+
+        observation = Observation()
     split = sub_split_buckets(
         exploded, ["band", "bh"], "id", max_bucket, observation=observation
     )
+    if own_obs:
+        # sub_split_buckets materialized eagerly, so the metric is
+        # final here; surface overflow by default (advisor r3) — raw
+        # pair consumers need a signal that pair-level recall may be
+        # reduced (membership recall is unaffected; CC re-chains)
+        overflow = observation.get.get("overflow_rows") or 0
+        if overflow:
+            import warnings
+
+            warnings.warn(
+                f"LSH sub-split active: {overflow} hot-bucket "
+                "memberships beyond the first chunk. Pairs split "
+                "across chunks of a single hot bucket are only "
+                "recovered by connected-components chaining — see "
+                "lsh_candidate_pairs docstring.",
+                UserWarning,
+                stacklevel=2,
+            )
     a = split.alias("a")
     b = split.alias("b")
     return (
@@ -425,7 +460,18 @@ def minhash_near_duplicates(
     """End-to-end: DataFrame[id_a, id_b, jaccard] with
     jaccard >= threshold.  ``observation`` (optional
     ``pyspark.sql.Observation``) surfaces LSH hot-bucket sub-split
-    counts — see ``lsh_candidate_pairs``."""
+    counts — see ``lsh_candidate_pairs``.
+
+    PAIR-LEVEL RECALL CAVEAT (advisor r3): when hot buckets overflow
+    ``max_bucket``, sub-splitting keeps every DOC participating but a
+    true near-dup pair that co-occurs only in one band's hot bucket
+    can land in different chunks and be absent from the returned
+    pairs.  Consumers that cluster the pairs (``duplicate_clusters`` /
+    ``keep_representatives``) recover such pairs transitively via the
+    per-band independent chunkings; consumers of the raw pair list
+    should treat the default ``UserWarning`` (or a nonzero
+    ``overflow_rows`` on their own observation) as the signal that
+    pair-level recall may be reduced."""
     # one tokenize+hash pass feeds BOTH the LSH and verify stages
     both = _signatures_and_shingles(
         df, col, id_col, num_perm, shingle_w, seed, tokens=tokens

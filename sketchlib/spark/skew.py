@@ -5,9 +5,20 @@ A self-join inside buckets emits ~B^2/2 pairs from a bucket of B
 members; at 100-TB scale a boilerplate band bucket or a dense embedding
 cluster makes B millions.  ``sub_split_buckets`` chunks each bucket into
 ceil(B / max_bucket) sub-buckets (pair volume ~B * max_bucket) WITHOUT
-dropping anyone — the chunk order is a hash of (id, bucket columns), so
-different buckets/bands chunk the same hot set differently and the
-chunk-split cliques re-chain under connected components.
+dropping anyone — the chunk assignment is a hash of (id, bucket
+columns) mod the chunk count, so different buckets/bands chunk the same
+hot set differently and the chunk-split cliques re-chain under
+connected components.
+
+The chunk assignment deliberately avoids a per-bucket window: a
+``row_number over Window.partitionBy(bucket)`` would ship a 100M-member
+hot bucket to ONE task (windows cannot be skew-split).  Instead bucket
+sizes come from a ``groupBy(bucket).count`` — map-side partial
+aggregation collapses the hot bucket to one row per task — and the
+join back is an equi-join AQE can skew-split.  Chunk sizes are
+therefore multinomial around ``max_bucket`` (hash-uniform) rather than
+exactly ``max_bucket``; the pair-volume bound holds in expectation with
+tight concentration.
 """
 
 from __future__ import annotations
@@ -37,15 +48,14 @@ def sub_split_buckets(
     materialized with one action so the metric fires EXACTLY once — a
     lazily-cached frame read by both self-join sides can compute the
     same partition twice on different executors and double-count."""
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy(*bucket_cols).orderBy(
-        F.xxhash64(F.col(id_col), *[F.col(c) for c in bucket_cols]),
-        F.col(id_col),
-    )
-    split = df.withColumn(
+    sizes = df.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("_bsz"))
+    nchunks = F.ceil(F.col("_bsz") / F.lit(max_bucket)).cast("int")
+    split = df.join(sizes, list(bucket_cols)).withColumn(
         "sub",
-        ((F.row_number().over(w) - F.lit(1)) / F.lit(max_bucket)).cast("int"),
+        F.pmod(
+            F.xxhash64(F.col(id_col), *[F.col(c) for c in bucket_cols]),
+            F.greatest(nchunks, F.lit(1)),
+        ).cast("int"),
     )
     if observation is not None:
         split = split.observe(

@@ -180,6 +180,44 @@ def test_lsh_hot_bucket_subsplit_no_silent_drop(spark):
     pairs.unpersist()
 
 
+def test_lsh_overflow_warns_by_default(spark):
+    """Advisor r3: raw-pair consumers need a default signal that
+    sub-splitting was active (pair-level recall caveat).  No explicit
+    observation + overflowing bucket => UserWarning; an explicit
+    observation suppresses it (caller owns the metric); no overflow =>
+    silent."""
+    import warnings
+
+    n, cap = 60, 8
+    hot = spark.createDataFrame(
+        [(i, "same words every time for all") for i in range(n)],
+        "doc_id long, text string",
+    )
+    with pytest.warns(UserWarning, match="sub-split active"):
+        lsh_candidate_pairs(minhash_signatures(hot), max_bucket=cap)
+
+    from pyspark.sql import Observation
+
+    def assert_silent(fn):
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            fn()
+        assert not [w for w in rec if "sub-split" in str(w.message)], rec
+
+    assert_silent(
+        lambda: lsh_candidate_pairs(
+            minhash_signatures(hot), max_bucket=cap, observation=Observation()
+        )
+    )
+    cold = spark.createDataFrame(
+        [(i, f"totally unique words {i} {i * 7} {i * 13} here") for i in range(20)],
+        "doc_id long, text string",
+    )
+    assert_silent(
+        lambda: lsh_candidate_pairs(minhash_signatures(cold), max_bucket=cap)
+    )
+
+
 def test_lsh_rejects_short_signature(spark):
     # bands*rows_per_band beyond the signature length would make the
     # trailing F.slice bands hash a constant (one giant bucket)
