@@ -106,13 +106,23 @@ class _BincountAcc:
         self.budget[0] -= need
         return True
 
-    def try_add(self, vals: np.ndarray) -> bool:
+    def try_add(self, vals: np.ndarray, vmin=None, vmax=None) -> bool:
+        """``vmin``/``vmax`` are optional CONSERVATIVE bounds (e.g.
+        parquet row-group footer statistics): when supplied, the two
+        per-batch min/max passes — as expensive as the bincount itself
+        — are skipped.  Loose bounds only make the counts array grow
+        to the stated range early; the accumulated counts are
+        bit-identical either way."""
         if vals.size == 0:
             return True
         if not np.issubdtype(vals.dtype, np.integer):
             return False
-        vmin = int(vals.min())
-        vmax = int(vals.max())
+        if vmin is None or vmax is None:
+            vmin = int(vals.min())
+            vmax = int(vals.max())
+        else:
+            vmin = int(vmin)
+            vmax = int(vmax)
         if self.offset is None:
             if vmax - vmin >= self.MAX_RANGE:
                 return False
@@ -148,9 +158,29 @@ class _BincountAcc:
             shifted = (vals - np.uint64(self.offset)).astype(
                 np.int64, copy=False
             )
+        elif self.offset == 0 and vmin >= 0:
+            # token-id shape (dense non-negative ids): np.bincount
+            # accepts any integer dtype, so skip the int64 widening
+            # copy AND the subtraction pass entirely — on the direct
+            # scan path this is ~4 memory passes per token saved
+            shifted = vals
         else:
-            shifted = vals.astype(np.int64, copy=False) - self.offset
-        c = np.bincount(shifted)
+            info = np.iinfo(vals.dtype)
+            if info.min <= self.offset and vmax - self.offset <= info.max:
+                # offset and shifted range fit the native dtype:
+                # one single-pass same-width subtract, no widening
+                shifted = vals - vals.dtype.type(self.offset)
+            else:
+                shifted = vals.astype(np.int64, copy=False) - self.offset
+        try:
+            c = np.bincount(shifted)
+        except ValueError:
+            # a supplied bounds hint understated the minimum (corrupt
+            # footer stats): nothing absorbed, caller feeds directly
+            return False
+        if c.size > self.counts.size:
+            # a supplied bounds hint understated the maximum: ditto
+            return False
         self.counts[: c.size] += c
         self.items += int(vals.size)
         return True
@@ -243,8 +273,8 @@ class AccFeeder:
         self.acc = _BincountAcc(budget) if use else None
         self.items = 0
 
-    def feed_raw(self, vals: np.ndarray) -> None:
-        if self.acc is not None and self.acc.try_add(vals):
+    def feed_raw(self, vals: np.ndarray, vmin=None, vmax=None) -> None:
+        if self.acc is not None and self.acc.try_add(vals, vmin, vmax):
             return
         if self.hash_mode:
             from sketchlib.core.hashing import hash_i64
@@ -286,6 +316,13 @@ def _feed(sk, vals: np.ndarray, domain: int = 0) -> int:
         # into O(n) counting per batch
         vmin = int(vals.min())
         vmax = int(vals.max())
+        if 0 <= vmin and vmax < (1 << 22):
+            # dense non-negative ids: bincount in the native dtype —
+            # no widening copy, no subtraction pass
+            counts = np.bincount(vals)
+            nz = np.flatnonzero(counts)
+            sk.add_weighted(nz.astype(np.float64), counts[nz].astype(np.float64))
+            return int(vals.size)
         if vmax - vmin < (1 << 22):
             counts = np.bincount(vals.astype(np.int64) - vmin)
             nz = np.flatnonzero(counts)

@@ -251,6 +251,65 @@ def test_bincount_acc_uint64_band_and_budget():
     assert c.try_add(np.arange(60, dtype=np.int64))
 
 
+def test_direct_overlap_and_bounds_bit_identical(spark, tmp_path):
+    """Round-4 decode-path work must not change results: the threaded
+    decode/feed overlap and the footer-stat bounds hints both produce
+    BIT-IDENTICAL serialized sketch states vs the inline loop, for the
+    quantile path (t-digest over list<int32>) and the hash path (HLL)."""
+    from sketchlib.core.hll import HyperLogLog
+    from sketchlib.spark.aggregate import KIND_ARRAY, KIND_ARRAY_HASH
+    from sketchlib.spark.direct import sketch_parquet
+
+    path = str(tmp_path / "tok")
+    rows = [
+        (i, [int(x) for x in np.random.default_rng(i).integers(0, 999, 40)])
+        for i in range(400)
+    ]
+    spark.createDataFrame(rows, "id long, tokens array<int>").repartition(
+        4
+    ).write.parquet(path)
+
+    td = [
+        sketch_parquet(
+            spark, path, "tokens", lambda: TDigest(delta=500), KIND_ARRAY,
+            overlap=ov,
+        ).to_bytes()
+        for ov in (True, False)
+    ]
+    assert td[0] == td[1]
+    hll = [
+        sketch_parquet(
+            spark, path, "tokens", lambda: HyperLogLog(p=12),
+            KIND_ARRAY_HASH, overlap=ov,
+        ).to_bytes()
+        for ov in (True, False)
+    ]
+    assert hll[0] == hll[1]
+
+    # bounds hints vs per-batch min/max: same accumulated counts
+    from sketchlib.spark.aggregate import _BincountAcc
+
+    rng = np.random.default_rng(7)
+    batches = [rng.integers(0, 999, 5000).astype(np.int32) for _ in range(5)]
+    a, b = _BincountAcc(), _BincountAcc()
+    for v in batches:
+        assert a.try_add(v)
+        assert b.try_add(v, 0, 998)  # conservative file bounds
+    assert a.offset == b.offset == 0
+    np.testing.assert_array_equal(
+        a.counts, b.counts[: a.counts.size]
+    )
+    assert b.counts[a.counts.size:].sum() == 0
+
+    # lying bounds degrade instead of corrupting: value above stated
+    # max -> False, value below stated min (0-fast-path) -> False
+    c = _BincountAcc()
+    assert c.try_add(np.arange(10, dtype=np.int32), 0, 50)
+    assert not c.try_add(np.array([60], dtype=np.int32), 0, 50)
+    assert not c.try_add(np.array([-5], dtype=np.int32), 0, 50)
+    assert c.counts.sum() == 10
+
+
 def test_bincount_acc_mixed_signedness_degrades():
     """Advisor r3: one accumulator, batches of MIXED signedness — a
     uint64 batch after a negative-offset int64 batch (np.uint64(neg)
