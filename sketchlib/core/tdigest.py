@@ -352,7 +352,8 @@ class TDigest:
         """``add_cluster`` with a KeyedSumTree carrying the
         weight-to-the-left queries (t_digest.rs:443-520): existing
         centroids are shuffled (seeded here — the reference uses
-        thread_rng, t_digest.rs:447-449) into an unbalanced BST with
+        thread_rng, t_digest.rs:447-449) into a treap (see
+        keyed_sum_tree.py — the reference's unbalanced BST) with
         subtree sums, so closest-centroid and weight_left queries run
         in O(depth) instead of a scan.  Deviation: the reference passes
         the merged MEAN where k_size_from_weights expects the merged

@@ -91,11 +91,16 @@ def simhash_near_duplicates(
     """DataFrame[id_a, id_b, hamming] for pairs within max_hamming.
 
     4x16-bit banding guarantees recall for max_hamming <= 3.  After
-    the Python signature UDF everything is JVM-side: window-capped
-    bucket membership, equi-self-join on (band, 16-bit chunk), and the
-    exact Hamming verify via ``bit_count(sim_a ^ sim_b)`` in
-    whole-stage codegen."""
-    from pyspark.sql.window import Window
+    the Python signature UDF everything is JVM-side: hot band buckets
+    are SUB-SPLIT via the shared skew guard (round 4 — previously a
+    row_number window both truncated the overflow, a silent recall
+    hole, and shipped a hot bucket to one task), equi-self-join on
+    (band, 16-bit chunk, sub), and the exact Hamming verify via
+    ``bit_count(sim_a ^ sim_b)`` in whole-stage codegen.  As with LSH,
+    sub-splitting preserves membership; a pair split across chunks of
+    one hot bucket in EVERY shared band is recovered only via
+    connected-components chaining (per-band independent chunkings)."""
+    from sketchlib.spark.skew import sub_split_buckets
 
     sigs = simhash_signatures(df, col, id_col, seed=seed, tokens=tokens)
     bands = F.array(
@@ -105,18 +110,15 @@ def simhash_near_duplicates(
         ]
     )
     exploded = sigs.select("id", "sim", F.posexplode(bands).alias("band", "bh"))
-    w = Window.partitionBy("band", "bh").orderBy("id")
-    # persist: self-joined twice below, upstream is the signature UDF
-    capped = (
-        exploded.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= max_bucket)
-        .select("band", "bh", "id", "sim")
-        .persist()
+    # persist (inside sub_split_buckets): self-joined twice below,
+    # upstream is the signature UDF
+    split = sub_split_buckets(
+        exploded, ["band", "bh"], "id", max_bucket, keep_cols=["sim"]
     )
-    a = capped.alias("a")
-    b = capped.alias("b")
+    a = split.alias("a")
+    b = split.alias("b")
     return (
-        a.join(b, ["band", "bh"])
+        a.join(b, ["band", "bh", "sub"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),

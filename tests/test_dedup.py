@@ -129,6 +129,33 @@ def test_simhash_pairs(spark, base_docs):
         assert 0 <= hd <= 6
 
 
+def test_simhash_hot_bucket_no_silent_drop(spark):
+    """Round 4: simhash's former row_number cap silently DROPPED bucket
+    overflow (participation capped at max_bucket docs).  With the
+    shared sub-split guard, every one of N identical docs (all four
+    band buckets identical = worst case) participates in at least one
+    pair and the group chains into one cluster."""
+    from sketchlib.dedup.cluster import duplicate_clusters
+    from sketchlib.dedup.simhash import simhash_near_duplicates
+
+    n, cap = 150, 16
+    df = spark.createDataFrame(
+        [(i, "the very same words in every document here") for i in range(n)],
+        "doc_id long, text string",
+    )
+    pairs = simhash_near_duplicates(df, max_bucket=cap).persist()
+    ids = {
+        r[0]
+        for r in pairs.select(F.col("id_a").alias("i"))
+        .union(pairs.select("id_b"))
+        .distinct()
+        .collect()
+    }
+    assert ids == set(range(n))  # the old cap stopped at `cap` docs
+    assert duplicate_clusters(pairs).select("cluster_id").distinct().count() == 1
+    pairs.unpersist()
+
+
 def test_simhash_identical_is_zero(spark):
     df = spark.createDataFrame(
         [(1, "a b c d e f g h"), (2, "a b c d e f g h")],
