@@ -195,7 +195,13 @@ def heavy_hitters(
         raise ValueError(f"unknown heavy-hitters backend {backend!r}")
 
     cms = build_cms(df, col, depth=depth, width=width)
-    C = candidates_per_partition or max(4 * k, 64)
+    # capacity picks the guarantee threshold N/C: heavy hitters only a
+    # few x above the mean (high-cardinality near-uniform keys) need C
+    # comfortably above the distinct-count/partition ratio — 64 was
+    # enough for skewed streams but lost barely-hot keys to eviction
+    # churn when cardinality >> C (caught by the sf0.01 gate); 1024
+    # entries is still O(KB) per partition
+    C = candidates_per_partition or max(32 * k, 1024)
     f = df.schema[col]
     out_schema = f"{f.name} {f.dataType.simpleString()}, cnt long"
 
@@ -206,21 +212,35 @@ def heavy_hitters(
         # the final tracked set.  Batched value_counts updates are
         # equivalent to the sequential algorithm (a new key admitted
         # with batch-count c gets min+c exactly as c single updates
-        # would).  The tracked set is emitted WHOLE — no top-C cut —
-        # so the union over partitions is the guaranteed superset.
+        # would).  Min-eviction uses the standard lazy heap (stale
+        # entries skipped on pop) — O(log C) amortized instead of an
+        # O(C) scan per eviction.  The tracked set is emitted WHOLE —
+        # no top-C cut — so the union over partitions is the
+        # guaranteed superset.
+        import heapq
+
         counts: dict = {}
+        heap: list = []  # (count, key), possibly stale
         for pdf in it:
             for v, c in pdf[col].value_counts().items():
                 c = int(c)
                 cur = counts.get(v)
                 if cur is not None:
                     counts[v] = cur + c
+                    heapq.heappush(heap, (cur + c, v))
                 elif len(counts) < C:
                     counts[v] = c
+                    heapq.heappush(heap, (c, v))
                 else:
-                    mk = min(counts, key=counts.__getitem__)
-                    mv = counts.pop(mk)
+                    while True:
+                        mv, mk = heap[0]
+                        if counts.get(mk) == mv:
+                            break
+                        heapq.heappop(heap)  # stale entry
+                    heapq.heappop(heap)
+                    del counts[mk]
                     counts[v] = mv + c
+                    heapq.heappush(heap, (mv + c, v))
         if counts:
             yield pd.DataFrame(
                 {col: list(counts.keys()), "cnt": list(counts.values())}
