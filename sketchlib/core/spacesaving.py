@@ -61,21 +61,40 @@ class SpaceSaving:
             uniq = hs[edge]
             cnt = np.bincount(ids, weights=cs).astype(np.int64)
         self.total += int(cnt.sum())
-        # batch update: existing keys first, then admit new keys by
-        # evicting current minima (SpaceSaving admission rule)
+        # batch update: existing keys accumulate, new keys admit by
+        # evicting the current minimum (SpaceSaving admission rule).
+        # Min-eviction uses a lazy heap (stale entries skipped on pop)
+        # — O(log C) amortized per admit instead of an O(C) dict scan,
+        # which at 10^12-token scale (vocab >> capacity) was ~O(C x
+        # distinct) per task.  Ties on the minimum count may evict a
+        # different key than the old linear scan did (both choices are
+        # valid SpaceSaving; the published guarantee is unaffected).
+        import heapq
+
+        heap = [(v, k) for k, v in self.counts.items()]
+        heapq.heapify(heap)
+        counts, errors = self.counts, self.errors
         for k, c in zip(uniq.tolist(), cnt.tolist()):
-            cur = self.counts.get(k)
+            cur = counts.get(k)
             if cur is not None:
-                self.counts[k] = cur + c
-            elif len(self.counts) < self.capacity:
-                self.counts[k] = c
-                self.errors[k] = 0
+                counts[k] = cur + c
+                heapq.heappush(heap, (cur + c, k))
+            elif len(counts) < self.capacity:
+                counts[k] = c
+                errors[k] = 0
+                heapq.heappush(heap, (c, k))
             else:
-                mk = min(self.counts, key=self.counts.__getitem__)
-                mv = self.counts.pop(mk)
-                self.errors.pop(mk, None)
-                self.counts[k] = mv + c
-                self.errors[k] = mv
+                while True:
+                    mv, mk = heap[0]
+                    if counts.get(mk) == mv:
+                        break
+                    heapq.heappop(heap)  # stale entry
+                heapq.heappop(heap)
+                del counts[mk]
+                errors.pop(mk, None)
+                counts[k] = mv + c
+                errors[k] = mv
+                heapq.heappush(heap, (mv + c, k))
 
     # ------------------------------------------------------------------- merge
 
