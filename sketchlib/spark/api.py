@@ -509,6 +509,7 @@ def sample_by_token_budget(
     size_col: str = "n_tok",
     order_col: str | None = None,
     seed: int = 42,
+    order_buckets: int = 1024,
 ) -> DataFrame:
     """Deterministic per-source token-budget mixing — the standard
     training-data recipe "take B_s tokens from each source": within
@@ -526,9 +527,29 @@ def sample_by_token_budget(
     payload columns prefer ``order_col`` over an id: the default hashes
     every byte of every row just to order.
 
-    ONE window pass over the pre-filtered sources: rows from sources
-    without a budget are dropped AT THE SCAN (pushdown-able isin), the
-    cumulative sum shuffles only budgeted rows by source.  Returns the
+    Scale shape (round 4): the naive plan — ONE window partitioned by
+    source — ships a source's ENTIRE row set to a single task's sort
+    (a 10^10-doc source at 100 TB is one straggler).  The running sum
+    is instead computed as an EXACT two-phase distributed prefix sum:
+
+    1. each row gets an order-domain bucket that is MONOTONIC in the
+       order key (hash order: the hash's high bits; numeric
+       ``order_col``: ``range_partition_bounds`` split points from one
+       sketch scan — our own operator, composed);
+    2. per-(source, bucket) token sums (map-side partial agg, tiny
+       result) get per-bucket starting offsets via a window over at
+       most ``order_buckets`` rows per source — bounded;
+    3. the within-bucket running sum is a window over (source, bucket)
+       — each partition holds ~rows/order_buckets rows, and the global
+       prior is offset + within-bucket prior, EXACTLY the single-window
+       result (bucketing is monotonic, and equal order keys share a
+       bucket so tie semantics are unchanged).
+
+    A non-numeric ``order_col`` falls back to the single-window plan
+    (range bounds need a sketchable domain) — fine at gate scale, but
+    prefer the default hash order or a numeric order column for bulk
+    runs.  Rows from sources without a budget are dropped AT THE SCAN
+    (pushdown-able isin); only budgeted rows shuffle.  Returns the
     selected rows of ``df`` unchanged."""
     from pyspark.sql.window import Window
 
@@ -538,21 +559,82 @@ def sample_by_token_budget(
         *[F.lit(x) for kv in budgets.items() for x in kv]
     )
     filtered = df.filter(F.col(source_col).isin(list(budgets)))
-    order = (
-        F.col(order_col)
-        if order_col is not None
-        else F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
-    )
-    w = (
+    if order_col is not None:
+        order = F.col(order_col)
+        dt = df.schema[order_col].dataType.simpleString()
+        if dt in ("tinyint", "smallint", "int", "bigint", "float", "double"):
+            # monotonic bucket id from sketch split points: count how
+            # many bounds the value is >= (codegen'd O(order_buckets)
+            # per row, no shuffle); NULLs sort first and compare false
+            # everywhere => bucket 0, matching nulls-first window order
+            bounds = range_partition_bounds(
+                filtered, order_col, order_buckets, sketch="tdigest"
+            )
+            if bounds:
+                bucket = F.aggregate(
+                    F.array(*[F.lit(float(b)) for b in bounds]),
+                    F.lit(0),
+                    lambda acc, b: acc
+                    + F.when(
+                        F.col(order_col).cast("double") >= b, 1
+                    ).otherwise(0),
+                )
+            else:  # order_buckets == 1: one bucket == single window
+                bucket = F.lit(0)
+        else:
+            bucket = None  # non-numeric custom order: single window
+    else:
+        import math
+
+        order = F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
+        # signed arithmetic shift keeps ordering: the hash's high bits
+        # are a monotonic, ~uniform partition of the order domain
+        shift = min(max(64 - math.ceil(math.log2(max(order_buckets, 2))), 1), 63)
+        bucket = F.shiftright(order, shift)
+
+    if bucket is None:
+        w = (
+            Window.partitionBy(source_col)
+            .orderBy(order)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        prior = F.coalesce(F.sum(F.col(size_col)).over(w), F.lit(0))
+        return (
+            filtered.withColumn("__prior", prior)
+            .filter(F.col("__prior") < budget_map[F.col(source_col)])
+            .drop("__prior")
+        )
+
+    bucketed = filtered.withColumn("__ob", bucket)
+    # per-(source, bucket) sums: partial agg => at most sources x
+    # order_buckets rows; the offset window is bounded by order_buckets
+    # rows per source
+    woff = (
         Window.partitionBy(source_col)
+        .orderBy("__ob")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        bucketed.groupBy(source_col, "__ob")
+        .agg(F.sum(size_col).alias("__bsum"))
+        .withColumn(
+            "__off", F.coalesce(F.sum("__bsum").over(woff), F.lit(0))
+        )
+        .drop("__bsum")
+    )
+    win = (
+        Window.partitionBy(source_col, "__ob")
         .orderBy(order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    prior = F.coalesce(F.sum(F.col(size_col)).over(w), F.lit(0))
+    prior = F.col("__off") + F.coalesce(
+        F.sum(F.col(size_col)).over(win), F.lit(0)
+    )
     return (
-        filtered.withColumn("__prior", prior)
+        bucketed.join(F.broadcast(offsets), [source_col, "__ob"])
+        .withColumn("__prior", prior)
         .filter(F.col("__prior") < budget_map[F.col(source_col)])
-        .drop("__prior")
+        .drop("__prior", "__ob", "__off")
     )
 
 

@@ -112,6 +112,27 @@ def test_budget_sampling_hash_order_deterministic(spark, docs_df):
     assert a != prefix
 
 
+def test_budget_sampling_bucketed_prefix_sum_invariant(spark, docs_df):
+    """Round 4: the running sum is a two-phase distributed prefix sum
+    (order-domain buckets + per-bucket offsets) so no source's whole
+    row set lands in one window task.  Exactness: the selection must be
+    IDENTICAL for any bucket count, on both the hash order and a
+    numeric order_col (bucketing is monotonic in the order key)."""
+    budgets = {"web": 5_000, "code": 2_000}
+    for kwargs in ({}, {"order_col": "doc_id"}):
+        base = None
+        for nb in (1, 7, 64, 1024):
+            got = frozenset(
+                r["doc_id"]
+                for r in sample_by_token_budget(
+                    docs_df, budgets, order_buckets=nb, **kwargs
+                ).collect()
+            )
+            if base is None:
+                base = got
+            assert got == base, (kwargs, nb)
+
+
 def test_budget_sampling_huge_doc_progress(spark):
     # first doc alone exceeds the budget: it must still be taken
     df = spark.createDataFrame(
