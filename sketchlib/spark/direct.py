@@ -318,25 +318,48 @@ def build_partials_direct(
             # the inline loop, so sketch states stay bit-identical;
             # maxsize bounds buffered batches (~MBs) per task.
             q: _queue.Queue = _queue.Queue(maxsize=8)
+            # if the CONSUMER dies (feed error), the producer must not
+            # block forever on a full queue — a leaked thread in a
+            # reused python worker; emit checks the stop flag while
+            # waiting for space
+            stop = threading.Event()
+
+            class _Abort(BaseException):
+                pass
+
+            def _emit(item):
+                while True:
+                    try:
+                        q.put(item, timeout=0.1)
+                        return
+                    except _queue.Full:
+                        if stop.is_set():
+                            raise _Abort()
 
             def _producer():
                 try:
-                    produce(paths, q.put)
-                except BaseException as exc:  # propagate to the task
-                    q.put(("exc", exc, None, None))
-                    return
-                q.put(("done", None, None, None))
+                    try:
+                        produce(paths, _emit)
+                    except BaseException as exc:  # propagate to task
+                        _emit(("exc", exc, None, None))
+                        return
+                    _emit(("done", None, None, None))
+                except _Abort:
+                    return  # consumer gone: exit quietly
 
             th = threading.Thread(target=_producer, daemon=True)
             th.start()
-            while True:
-                item = q.get()
-                if item[0] == "done":
-                    break
-                if item[0] == "exc":
-                    raise item[1]
-                consume(item)
-            th.join()
+            try:
+                while True:
+                    item = q.get()
+                    if item[0] == "done":
+                        break
+                    if item[0] == "exc":
+                        raise item[1]
+                    consume(item)
+            finally:
+                stop.set()
+                th.join()
         else:
             produce(paths, consume)
         items = feeder.finish()
