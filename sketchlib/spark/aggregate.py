@@ -332,6 +332,66 @@ def _feed(sk, vals: np.ndarray, domain: int = 0) -> int:
     return int(vals.size)
 
 
+def _prefetch(it, depth: int = 4):
+    """Yield ``it``'s items in order, reading ahead on a producer
+    thread.
+
+    The mapInArrow input iterator blocks on worker-socket reads +
+    Arrow IPC deserialization (both release the GIL); reading ahead
+    overlaps that with the numpy feed work — the DataFrame-path twin
+    of the direct path's decode thread.  Order is preserved (single
+    producer, FIFO queue) so sketch states are bit-identical.  A
+    consumer-side failure sets a stop flag the producer polls, so it
+    can never block forever on a full queue (no leaked thread in a
+    reused worker).  ``SKETCHLIB_DECODE_THREAD=0`` disables."""
+    import os
+    import queue as _queue
+    import threading
+
+    if os.environ.get("SKETCHLIB_DECODE_THREAD", "1") == "0":
+        yield from it
+        return
+    q: _queue.Queue = _queue.Queue(maxsize=depth)
+    stop = threading.Event()
+    DONE = object()
+
+    def _put(item) -> bool:
+        while True:
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except _queue.Full:
+                if stop.is_set():
+                    return False
+
+    def run():
+        try:
+            for item in it:
+                if not _put(item):
+                    return
+            _put(DONE)
+        except BaseException as exc:
+            _put(("__prefetch_exc__", exc))
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    try:
+        while True:
+            item = q.get()
+            if item is DONE:
+                break
+            if (
+                isinstance(item, tuple)
+                and len(item) == 2
+                and item[0] == "__prefetch_exc__"
+            ):
+                raise item[1]
+            yield item
+    finally:
+        stop.set()
+        th.join()
+
+
 def _batch_values(batch: pa.RecordBatch, col_idx: int, kind: str) -> np.ndarray:
     """Extract a numpy value stream from one Arrow batch (no Python rows)."""
     arr = batch.column(col_idx)
@@ -395,7 +455,7 @@ def build_partials(
         t0 = time.monotonic()
         sk = factory()
         feeder = AccFeeder(sk, hash_mode=kind == KIND_ARRAY_HASH, domain=dom)
-        for b in batches:
+        for b in _prefetch(batches):
             feeder.feed_raw(_batch_values(b, 0, raw_kind))
         items = feeder.finish()
         if items == 0:
@@ -529,7 +589,7 @@ def sketch_columns(
         t0 = time.monotonic()
         sks = {c: specs[c][0]() for c in cols}
         items = {c: 0 for c in cols}
-        for b in batches:
+        for b in _prefetch(batches):
             for i, c in enumerate(cols):
                 items[c] += _feed(
                     sks[c], _batch_values(b, i, specs[c][1]),
@@ -651,7 +711,7 @@ def grouped_sketch(
         t0 = time.monotonic()
         budget = [_ACC_BUDGET_BYTES]
         sketches: dict[tuple, AccFeeder] = {}
-        for b in batches:
+        for b in _prefetch(batches):
             import pandas as pd
 
             kcols = [b.column(i) for i in range(nk)]
