@@ -48,6 +48,37 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def _global_topk(partial: DataFrame, k: int, pre_salt: int = 64) -> DataFrame:
+    """Exact global top-k per query over per-task candidate rows.
+
+    Two window levels: level 1 partitions by (query_id, task-salt) —
+    partitions bounded at ~tasks/pre_salt * k rows — and keeps its
+    local top-k; the final window then ranks at most pre_salt * k rows
+    per query.  Top-k of per-group top-k is exact, and duplicate
+    candidate rows (IVF multi-assign) survive both plans identically,
+    so the output matches the former single per-query window — which
+    would have held tasks * k rows in ONE task at 10^5-task scale."""
+    from pyspark.sql.window import Window
+
+    salted = partial.withColumn(
+        "__s", F.spark_partition_id() % F.lit(pre_salt)
+    )
+    w1 = Window.partitionBy("query_id", "__s").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    pre = (
+        salted.withColumn("__r", F.row_number().over(w1))
+        .filter(F.col("__r") <= k)
+        .drop("__r", "__s")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        pre.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", F.round("cos", 4).alias("cos"))
+    )
+
+
 def brute_topk(
     df: DataFrame,
     queries: np.ndarray,
@@ -105,15 +136,7 @@ def brute_topk(
     partial = df.select(id_col, vec_col).mapInArrow(
         fn, "query_id long, vec_id long, cos double"
     )
-    # global top-k: tiny (partitions * Q * k rows) -> window rank
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    return (
-        partial.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "vec_id", F.round("cos", 4).alias("cos"))
-    )
+    return _global_topk(partial, k)
 
 
 def train_centroids(
@@ -278,14 +301,7 @@ def ivf_topk(
         )
 
     partial = bucketed.mapInArrow(fn, "query_id long, vec_id long, cos double")
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    return (
-        partial.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "vec_id", F.round("cos", 4).alias("cos"))
-    )
+    return _global_topk(partial, k)
 
 
 def ivf_near_duplicates(
