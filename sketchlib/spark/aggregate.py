@@ -48,6 +48,11 @@ KIND_ARRAY_HASH = "array_hash"  # array<int> column -> flattened, hashed in nump
 
 _PARTIAL_SCHEMA = "state binary, items long, build_secs double"
 
+# shared per-task byte cap for bincount accumulators (many keys/columns
+# in one task share it, so worker memory stays bounded regardless of
+# key cardinality or per-column value ranges)
+_ACC_BUDGET_BYTES = 256 << 20
+
 
 # --------------------------------------------------------------------- feeding
 
@@ -588,13 +593,29 @@ def sketch_columns(
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         t0 = time.monotonic()
         sks = {c: specs[c][0]() for c in cols}
-        items = {c: 0 for c in cols}
+        # per-column AccFeeder: the same bincount pre-reduction /
+        # distinct-hash feed the single-column paths use (a shared
+        # byte budget keeps many columns' accumulators bounded in
+        # total); KIND_HASH64 streams arrive pre-hashed JVM-side
+        budget = [_ACC_BUDGET_BYTES]
+        feeders = {
+            c: AccFeeder(
+                sks[c],
+                hash_mode=specs[c][1] == KIND_ARRAY_HASH,
+                domain=_kind_domain(specs[c][1]),
+                budget=budget,
+            )
+            for c in cols
+        }
         for b in _prefetch(batches):
             for i, c in enumerate(cols):
-                items[c] += _feed(
-                    sks[c], _batch_values(b, i, specs[c][1]),
-                    _kind_domain(specs[c][1]),
-                )
+                kind_c = specs[c][1]
+                if kind_c == KIND_HASH64:
+                    feeders[c].feed_hashed(_batch_values(b, i, kind_c))
+                else:
+                    raw = KIND_ARRAY if kind_c == KIND_ARRAY_HASH else kind_c
+                    feeders[c].feed_raw(_batch_values(b, i, raw))
+        items = {c: feeders[c].finish() for c in cols}
         got = [c for c in cols if items[c] > 0]
         if not got:
             return
@@ -685,7 +706,6 @@ def grouped_sketch(
     # high-cardinality keys) feeders fall back to per-batch feeding,
     # so worker memory stays bounded regardless of key cardinality or
     # per-key value ranges
-    _ACC_BUDGET_BYTES = 256 << 20
     hash_mode = kind == KIND_ARRAY_HASH
 
     def _emit(sketches: dict, elapsed: float) -> pa.RecordBatch:
