@@ -48,29 +48,47 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
-def _global_topk(partial: DataFrame, k: int, pre_salt: int = 64) -> DataFrame:
+def _global_topk(
+    partial: DataFrame,
+    k: int,
+    pre_salt: int = 64,
+    two_level_min_partitions: int = 512,
+) -> DataFrame:
     """Exact global top-k per query over per-task candidate rows.
 
-    Two window levels: level 1 partitions by (query_id, task-salt) —
-    partitions bounded at ~tasks/pre_salt * k rows — and keeps its
-    local top-k; the final window then ranks at most pre_salt * k rows
-    per query.  Top-k of per-group top-k is exact, and duplicate
-    candidate rows (IVF multi-assign) survive both plans identically,
-    so the output matches the former single per-query window — which
-    would have held tasks * k rows in ONE task at 10^5-task scale."""
+    Above ``two_level_min_partitions`` input partitions, two window
+    levels: level 1 partitions by (query_id, task-salt) — partitions
+    bounded at ~tasks/pre_salt * k rows — and keeps its local top-k;
+    the final window then ranks at most pre_salt * k rows per query.
+    Top-k of per-group top-k is exact, and duplicate candidate rows
+    (IVF multi-assign) survive both plans identically, so the output
+    matches the single per-query window — which would otherwise hold
+    tasks * k rows in ONE task at 10^5-task scale.  At small partition
+    counts the per-query window is already tiny, so the extra shuffle
+    level would be pure constant overhead — skipped (adaptive, decided
+    driver-side from the plan's partition count, no extra job)."""
     from pyspark.sql.window import Window
 
-    salted = partial.withColumn(
-        "__s", F.spark_partition_id() % F.lit(pre_salt)
-    )
-    w1 = Window.partitionBy("query_id", "__s").orderBy(
-        F.desc("cos"), F.asc("vec_id")
-    )
-    pre = (
-        salted.withColumn("__r", F.row_number().over(w1))
-        .filter(F.col("__r") <= k)
-        .drop("__r", "__s")
-    )
+    pre = partial
+    try:
+        # JVM-side accessor: ~0.2ms and the planned queryExecution is
+        # reused at execution.  (df.rdd would build the Python RDD
+        # wrapper + serializer pipeline: ~160ms per query.)
+        nparts = partial._jdf.rdd().getNumPartitions()
+    except Exception:  # pragma: no cover - internal API drift
+        nparts = two_level_min_partitions + 1  # assume big: safe plan
+    if nparts > two_level_min_partitions:
+        salted = partial.withColumn(
+            "__s", F.spark_partition_id() % F.lit(pre_salt)
+        )
+        w1 = Window.partitionBy("query_id", "__s").orderBy(
+            F.desc("cos"), F.asc("vec_id")
+        )
+        pre = (
+            salted.withColumn("__r", F.row_number().over(w1))
+            .filter(F.col("__r") <= k)
+            .drop("__r", "__s")
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
         pre.withColumn("rank", F.row_number().over(w))

@@ -253,3 +253,28 @@ def test_ivf_auto_sizing_on_clustered_data(spark):
         as_.setdefault(r["query_id"], set()).add(r["vec_id"])
     rec = np.mean([len(bs[i] & as_.get(i, set())) / len(bs[i]) for i in bs])
     assert rec >= 0.9, rec
+
+
+def test_global_topk_adaptive_two_level(spark):
+    """Round 4: the final per-query rank is two-level ONLY above the
+    partition threshold (at small scale the extra shuffle is pure
+    overhead; at 10^5-task scale a single per-query window is a
+    straggler).  Results must be identical either way."""
+    from sketchlib.similarity.ann import _global_topk
+
+    partial = spark.range(0, 2000).select(
+        (F.col("id") % 4).alias("query_id"),
+        F.col("id").alias("vec_id"),
+        (F.pmod(F.xxhash64("id"), F.lit(10_000)) / 10_000.0).alias("cos"),
+    )
+    small = partial.repartition(8)
+    big = partial.repartition(600)
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    assert plan(_global_topk(small, 3)).count("Window [") == 1
+    assert plan(_global_topk(big, 3)).count("Window [") == 2
+    rs = sorted(map(tuple, _global_topk(small, 3).collect()))
+    rb = sorted(map(tuple, _global_topk(big, 3).collect()))
+    assert rs == rb and len(rs) == 4 * 3
