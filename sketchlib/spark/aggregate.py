@@ -90,13 +90,14 @@ class _BincountAcc:
     non-integer values or ranges beyond MAX_RANGE (32 MB of counts),
     in which case the caller routes the batch through ``_feed``."""
 
-    __slots__ = ("offset", "counts", "items", "budget")
+    __slots__ = ("offset", "counts", "items", "budget", "src_dtype")
     MAX_RANGE = 1 << 22
 
     def __init__(self, budget: list | None = None):
         self.offset = None
         self.counts = None
         self.items = 0
+        self.src_dtype = None  # column dtype of the first absorbed batch
         # shared mutable [remaining_bytes] so MANY accs (grouped build:
         # one per key) stay bounded in TOTAL, not just per-acc — 256
         # near-MAX_RANGE accs would otherwise be 8 GB per task
@@ -135,6 +136,7 @@ class _BincountAcc:
                 return False
             self.offset = vmin
             self.counts = np.zeros(vmax - vmin + 1, dtype=np.int64)
+            self.src_dtype = vals.dtype
         # mixed-signedness guard (advisor r3): a uint64 batch against a
         # negative offset would hit np.uint64(negative) OverflowError,
         # and an int64 batch against an offset above int64 max (set by
@@ -222,13 +224,19 @@ def _accepts_counts(sk) -> bool:
         return False
 
 
-def flush_hashed(acc: "_BincountAcc", sk, domain: int = 0) -> int:
+def flush_hashed(acc: "_BincountAcc", sk, domain: int = 0, hash_fn=None) -> int:
     """Feed an integer-value bincount into a HASH-consuming sketch:
-    hash each DISTINCT value once (splitmix64) and replay its count —
-    token streams repeat heavily (vocab << tokens), so this hashes
-    ~vocab values instead of every token.  Exactly equivalent:
-    duplicates are no-ops for set-semantics sketches (HLL/Bloom/theta)
-    and a (hash, count) pair for counting ones (CMS/SpaceSaving)."""
+    hash each DISTINCT value once (splitmix64 by default) and replay
+    its count — token streams repeat heavily (vocab << tokens), so
+    this hashes ~vocab values instead of every token.  Exactly
+    equivalent: duplicates are no-ops for set-semantics sketches
+    (HLL/Bloom/theta) and a (hash, count) pair for counting ones
+    (CMS/SpaceSaving).
+
+    ``hash_fn`` overrides the hash (e.g. Spark-bit-compatible
+    ``xxhash64_ints``); it receives values restored to the SOURCE
+    column dtype, because the JVM's xxhash64 output depends on the
+    column width (hashInt vs hashLong)."""
     if acc.counts is None:
         return 0
     from sketchlib.core.hashing import combine_domains, hash_i64
@@ -240,7 +248,12 @@ def flush_hashed(acc: "_BincountAcc", sk, domain: int = 0) -> int:
         orig = nz.astype(np.uint64) + np.uint64(acc.offset)
     else:
         orig = nz + acc.offset
-    h = hash_i64(orig)
+    if hash_fn is None:
+        h = hash_i64(orig)
+    else:
+        if acc.src_dtype is not None:
+            orig = np.asarray(orig).astype(acc.src_dtype, copy=False)
+        h = hash_fn(orig)
     if domain and hasattr(sk, "hash_domain"):
         sk.hash_domain = combine_domains(
             sk.hash_domain, domain, type(sk).__name__
@@ -263,10 +276,10 @@ class AccFeeder:
     end of the task.  ``feed_raw`` takes RAW values — integers still
     unhashed in hash mode."""
 
-    __slots__ = ("sk", "hash_mode", "domain", "acc", "items")
+    __slots__ = ("sk", "hash_mode", "domain", "acc", "items", "hash_fn")
 
     def __init__(self, sk, hash_mode: bool, domain: int,
-                 budget: list | None = None):
+                 budget: list | None = None, hash_fn=None):
         use = (
             hasattr(sk, "add_hashes")
             if hash_mode
@@ -277,14 +290,18 @@ class AccFeeder:
         self.domain = domain
         self.acc = _BincountAcc(budget) if use else None
         self.items = 0
+        self.hash_fn = hash_fn  # None => splitmix64 hash_i64
 
     def feed_raw(self, vals: np.ndarray, vmin=None, vmax=None) -> None:
         if self.acc is not None and self.acc.try_add(vals, vmin, vmax):
             return
         if self.hash_mode:
-            from sketchlib.core.hashing import hash_i64
+            if self.hash_fn is not None:
+                vals = self.hash_fn(vals)
+            else:
+                from sketchlib.core.hashing import hash_i64
 
-            vals = hash_i64(vals)
+                vals = hash_i64(vals)
         self.items += _feed(self.sk, vals, self.domain)
 
     def feed_hashed(self, hashes: np.ndarray) -> None:
@@ -295,7 +312,7 @@ class AccFeeder:
         """Flush the accumulator; returns TOTAL items fed."""
         if self.acc is not None:
             self.items += (
-                flush_hashed(self.acc, self.sk, self.domain)
+                flush_hashed(self.acc, self.sk, self.domain, self.hash_fn)
                 if self.hash_mode
                 else self.acc.flush_into(self.sk)
             )

@@ -22,11 +22,16 @@ is replaced by numpy splitmix64 for the hash sketches.  Use this path
 for scan-bound bulk builds; use the DataFrame path when the input is
 the output of arbitrary Spark transformations.
 
-WARNING: the two paths hash with different functions (xxhash64 vs
-splitmix64), so hash-based sketches (HLL/CMS/Bloom) built by one path
-must never be merged with sketches built by the other — their hash
-domains differ.  Quantile sketches (t-digest/KLL) operate on raw
-values and interoperate freely.
+WARNING: by default the two paths hash with different functions
+(xxhash64 vs splitmix64), so hash-based sketches (HLL/CMS/Bloom) built
+by one path must never be merged with sketches built by the other —
+their hash domains differ and merge() raises.  Quantile sketches
+(t-digest/KLL) operate on raw values and interoperate freely.  Since
+round 4, ``hash_compat="xxhash64"`` makes the direct path emit numpy
+XXH64 hashes BIT-COMPATIBLE with Spark's ``F.xxhash64`` for integer
+columns (hashInt/hashLong chosen by column width, verified bit-equal
+against the JVM) — sketches built that way carry DOMAIN_XXHASH64 and
+merge freely with DataFrame-path ones over the same keys.
 
 Decode-side design notes (round 4, judge lead "dictionary-aware
 reads"): parquet token columns ARE dictionary-encoded
@@ -194,6 +199,7 @@ def build_partials_direct(
     files: list[str] | None = None,
     prune: tuple | None = None,
     overlap: bool | None = None,
+    hash_compat: str = "splitmix64",
 ):
     """Stage 1 over raw parquet files: returns the usual partials
     DataFrame[state binary, items long, build_secs double].  Pass an
@@ -227,6 +233,8 @@ def build_partials_direct(
 
     if overlap is None:
         overlap = _os.environ.get("SKETCHLIB_DECODE_THREAD", "1") != "0"
+    if hash_compat not in ("splitmix64", "xxhash64"):
+        raise ValueError(f"unknown hash_compat {hash_compat!r}")
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import queue as _queue
@@ -243,12 +251,21 @@ def build_partials_direct(
         from sketchlib.spark.aggregate import AccFeeder
 
         hash_kind = dkind in ("hash64_numpy", KIND_ARRAY_HASH)
-        # every hash this path produces is numpy-side: stamp SPLITMIX
-        # so a later merge with a JVM xxhash64-fed state raises instead
-        # of silently corrupting the estimate
+        # hash_compat="splitmix64" (default): numpy splitmix64, stamped
+        # with its own domain so a merge with a JVM xxhash64-fed state
+        # raises instead of silently corrupting the estimate.
+        # hash_compat="xxhash64": numpy XXH64 BIT-COMPATIBLE with
+        # Spark's F.xxhash64 for integer columns (hashInt/hashLong by
+        # column width) — sketches built here merge freely with
+        # DataFrame-path (KIND_HASH64) sketches over the same keys.
+        if hash_compat == "xxhash64":
+            dom = hashing.DOMAIN_XXHASH64
+            hash_fn = hashing.xxhash64_ints
+        else:
+            dom = hashing.DOMAIN_SPLITMIX64
+            hash_fn = None
         feeder = AccFeeder(
-            factory(), hash_mode=hash_kind,
-            domain=hashing.DOMAIN_SPLITMIX64,
+            factory(), hash_mode=hash_kind, domain=dom, hash_fn=hash_fn,
         )
 
         def produce(paths, emit):
@@ -304,6 +321,15 @@ def build_partials_direct(
             """Feed side: numpy batch -> sketch/accumulator."""
             if item[0] == "raw":
                 feeder.feed_raw(item[1], item[2], item[3])
+            elif hash_compat == "xxhash64":
+                # floats/strings have no numpy XXH64 twin here: refuse
+                # rather than silently emitting a mixed-domain stream
+                raise TypeError(
+                    "hash_compat='xxhash64' supports integer columns "
+                    "only (JVM-compatible string/float hashing is not "
+                    "implemented); use the default splitmix64 mode or "
+                    "the DataFrame path's KIND_HASH64"
+                )
             else:
                 feeder.feed_hashed(_hash_any(item[1]))
 
@@ -406,11 +432,12 @@ def sketch_parquet(
     files: list[str] | None = None,
     prune: tuple | None = None,
     overlap: bool | None = None,
+    hash_compat: str = "splitmix64",
 ):
     """End-to-end direct build: partials over raw files -> tree merge."""
     partials = build_partials_direct(
         spark, path, col, factory, kind, tasks, files, prune=prune,
-        overlap=overlap,
+        overlap=overlap, hash_compat=hash_compat,
     )
     return tree_merge(partials, fanout=fanout, size_hint=tasks)
 

@@ -340,3 +340,91 @@ def test_direct_missing_path(spark):
             spark, "/tmp/definitely-missing-dir-xyz", "c",
             lambda: TDigest(), KIND_DOUBLE,
         )
+
+
+def test_xxhash64_numpy_bit_equal_jvm(spark):
+    """Round 4: numpy XXH64 must be BIT-EQUAL to Spark's F.xxhash64 for
+    integer columns — long columns via hashLong, int columns via
+    hashInt (Spark hashes sub-int integrals through the 4-byte path)."""
+    import random
+
+    from sketchlib.core.hashing import xxhash64_i32, xxhash64_i64
+
+    random.seed(3)
+    longs = [0, 1, -1, 42, -42, 2**63 - 1, -(2**63)] + [
+        random.randint(-(2**63), 2**63 - 1) for _ in range(200)
+    ]
+    jvm = np.array(
+        [
+            r["h"]
+            for r in spark.createDataFrame([(v,) for v in longs], "v long")
+            .select(F.xxhash64("v").alias("h"))
+            .collect()
+        ],
+        dtype=np.int64,
+    ).view(np.uint64)
+    np.testing.assert_array_equal(jvm, xxhash64_i64(np.array(longs, dtype=np.int64)))
+
+    ints = [0, 1, -1, 49_999, -(2**31), 2**31 - 1] + [
+        random.randint(-(2**31), 2**31 - 1) for _ in range(200)
+    ]
+    jvm32 = np.array(
+        [
+            r["h"]
+            for r in spark.createDataFrame([(int(v),) for v in ints], "v int")
+            .select(F.xxhash64("v").alias("h"))
+            .collect()
+        ],
+        dtype=np.int64,
+    ).view(np.uint64)
+    np.testing.assert_array_equal(jvm32, xxhash64_i32(np.array(ints, dtype=np.int32)))
+
+
+def test_direct_xxhash64_mode_merges_with_dataframe_path(spark, tmp_path):
+    """hash_compat='xxhash64': a direct-scan HLL must be REGISTER-
+    IDENTICAL to the DataFrame path's KIND_HASH64 build over the same
+    keys and merge with it; the default splitmix mode must still
+    refuse the cross-domain merge."""
+    from sketchlib.core.hll import HyperLogLog
+    from sketchlib.spark.aggregate import (
+        KIND_ARRAY,
+        KIND_ARRAY_HASH,
+        KIND_HASH64,
+        sketch_column,
+    )
+    from sketchlib.spark.direct import sketch_parquet
+
+    path = str(tmp_path / "tok")
+    rows = [
+        (1000 + i, [int(x) for x in np.random.default_rng(i).integers(0, 500, 30)])
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    df.repartition(4).write.parquet(path)
+    back = spark.read.parquet(path)
+
+    # scalar long column: direct xxhash64 == DataFrame KIND_HASH64
+    jvm_hll = sketch_column(back, "doc_id", lambda: HyperLogLog(p=12), KIND_HASH64)
+    xx_hll = sketch_parquet(
+        spark, path, "doc_id", lambda: HyperLogLog(p=12), KIND_HASH64,
+        hash_compat="xxhash64",
+    )
+    assert jvm_hll.to_bytes() == xx_hll.to_bytes()
+    merged = HyperLogLog.from_bytes(jvm_hll.to_bytes()).merge(xx_hll)
+    assert abs(merged.estimate() - 300) / 300 < 0.1
+
+    # int32 token elements: direct xxhash64 == JVM hash of EXPLODED ints
+    exploded = back.select(F.explode("tokens").alias("t"))
+    jvm_tok = sketch_column(exploded, "t", lambda: HyperLogLog(p=12), KIND_HASH64)
+    xx_tok = sketch_parquet(
+        spark, path, "tokens", lambda: HyperLogLog(p=12), KIND_ARRAY_HASH,
+        hash_compat="xxhash64",
+    )
+    assert jvm_tok.to_bytes() == xx_tok.to_bytes()
+
+    # default splitmix mode still refuses the cross-domain merge
+    sm = sketch_parquet(
+        spark, path, "doc_id", lambda: HyperLogLog(p=12), KIND_HASH64,
+    )
+    with pytest.raises(ValueError, match="hash domains"):
+        sm.merge(jvm_hll)
