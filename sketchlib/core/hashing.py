@@ -127,6 +127,148 @@ def xxhash64_ints(values, seed: int = 42) -> np.ndarray:
     return xxhash64_i64(arr, seed)
 
 
+def xxhash64_f64(values, seed: int = 42) -> np.ndarray:
+    """Spark-bit-compatible XXH64 of a DoubleType column: normalize
+    -0.0 to 0.0 (as Spark's hash expressions do), then hashLong of the
+    IEEE-754 bit pattern."""
+    arr = np.asarray(values, dtype=np.float64)
+    arr = np.where(arr == 0.0, 0.0, arr)  # -0.0 -> 0.0
+    return xxhash64_i64(arr.view(np.int64), seed)
+
+
+def _xxh64_same_len(m: np.ndarray, seed: int) -> np.ndarray:
+    """XXH64 of n equal-length byte rows — (n, L) uint8 matrix in, one
+    uint64 per row out.  Full algorithm: 32-byte 4-lane stripes +
+    merge rounds for L >= 32, then 8-byte / 4-byte / single-byte tail,
+    then the avalanche — all steps vectorized across rows (same L =>
+    same control flow)."""
+    n, L = m.shape
+    with np.errstate(over="ignore"):
+        pos = 0
+        if L >= 32:
+            v1 = np.full(n, _U64(seed) + _XXP1 + _XXP2)
+            v2 = np.full(n, _U64(seed) + _XXP2)
+            v3 = np.full(n, _U64(seed))
+            v4 = np.full(n, _U64(seed) - _XXP1)
+
+            def rnd(acc, x):
+                return _xxh_rotl(acc + x * _XXP2, 31) * _XXP1
+
+            while pos + 32 <= L:
+                lanes = [
+                    np.ascontiguousarray(m[:, pos + 8 * i : pos + 8 * i + 8])
+                    .view(np.uint64)
+                    .ravel()
+                    for i in range(4)
+                ]
+                v1, v2, v3, v4 = (
+                    rnd(v1, lanes[0]),
+                    rnd(v2, lanes[1]),
+                    rnd(v3, lanes[2]),
+                    rnd(v4, lanes[3]),
+                )
+                pos += 32
+            acc = (
+                _xxh_rotl(v1, 1)
+                + _xxh_rotl(v2, 7)
+                + _xxh_rotl(v3, 12)
+                + _xxh_rotl(v4, 18)
+            )
+            zero = np.zeros(n, dtype=np.uint64)
+            for v in (v1, v2, v3, v4):
+                acc = (acc ^ rnd(zero, v)) * _XXP1 + _XXP4
+        else:
+            acc = np.full(n, _U64(seed) + _XXP5)
+        acc = acc + _U64(L)
+        while pos + 8 <= L:
+            k1 = (
+                _xxh_rotl(
+                    np.ascontiguousarray(m[:, pos : pos + 8])
+                    .view(np.uint64)
+                    .ravel()
+                    * _XXP2,
+                    31,
+                )
+                * _XXP1
+            )
+            acc = _xxh_rotl(acc ^ k1, 27) * _XXP1 + _XXP4
+            pos += 8
+        if pos + 4 <= L:
+            u32 = (
+                np.ascontiguousarray(m[:, pos : pos + 4])
+                .view(np.uint32)
+                .ravel()
+                .astype(np.uint64)
+            )
+            acc = _xxh_rotl(acc ^ (u32 * _XXP1), 23) * _XXP2 + _XXP3
+            pos += 4
+        while pos < L:
+            acc = _xxh_rotl(acc ^ (m[:, pos].astype(np.uint64) * _XXP5), 11) * _XXP1
+            pos += 1
+        return _xxh_avalanche(acc)
+
+
+def xxhash64_str(values, seed: int = 42) -> np.ndarray:
+    """Spark-bit-compatible XXH64 of a StringType column (UTF-8 bytes
+    through the full XXH64, as ``F.xxhash64`` computes it).  Accepts a
+    pyarrow StringArray (zero-copy offsets + data buffers) or any
+    sequence of python strings.  Rows are grouped by byte length so
+    each group shares one vectorized control flow — id-like columns
+    typically have very few distinct lengths."""
+    try:
+        import pyarrow as pa
+
+        is_arrow = isinstance(values, (pa.Array, pa.ChunkedArray))
+    except ImportError:  # pragma: no cover
+        is_arrow = False
+    if is_arrow:
+        import pyarrow as pa
+
+        arr = (
+            values.combine_chunks()
+            if isinstance(values, pa.ChunkedArray)
+            else values
+        )
+        if arr.null_count:
+            arr = arr.drop_null()
+        if pa.types.is_large_string(arr.type):
+            arr = arr.cast(pa.string())
+        buf_off, buf_data = arr.buffers()[1], arr.buffers()[2]
+        offs = np.frombuffer(buf_off, dtype=np.int32)[
+            arr.offset : arr.offset + len(arr) + 1
+        ].astype(np.int64)
+        data = np.frombuffer(buf_data, dtype=np.uint8)
+        lens = np.diff(offs)
+        out = np.empty(len(arr), dtype=np.uint64)
+        for L in np.unique(lens):
+            idx = np.flatnonzero(lens == L)
+            if L == 0:
+                with np.errstate(over="ignore"):
+                    out[idx] = _xxh_avalanche(
+                        np.full(idx.size, _U64(seed) + _XXP5) + _U64(0)
+                    )
+                continue
+            gather = offs[idx][:, None] + np.arange(L)
+            out[idx] = _xxh64_same_len(data[gather], seed)
+        return out
+    bs = [s.encode("utf-8") for s in values]
+    lens = np.array([len(b) for b in bs])
+    out = np.empty(len(bs), dtype=np.uint64)
+    for L in np.unique(lens):
+        idx = np.flatnonzero(lens == L)
+        if L == 0:
+            with np.errstate(over="ignore"):
+                out[idx] = _xxh_avalanche(
+                    np.full(idx.size, _U64(seed) + _XXP5) + _U64(0)
+                )
+            continue
+        m = np.frombuffer(
+            b"".join(bs[i] for i in idx), dtype=np.uint8
+        ).reshape(idx.size, int(L))
+        out[idx] = _xxh64_same_len(m, seed)
+    return out
+
+
 def hash_f64(values, seed: int = 0) -> np.ndarray:
     """Hash a float64 array by its bit pattern (canonicalizing -0.0 to 0.0)."""
     arr = np.asarray(values, dtype=np.float64)

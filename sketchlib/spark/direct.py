@@ -322,14 +322,22 @@ def build_partials_direct(
             if item[0] == "raw":
                 feeder.feed_raw(item[1], item[2], item[3])
             elif hash_compat == "xxhash64":
-                # floats/strings have no numpy XXH64 twin here: refuse
-                # rather than silently emitting a mixed-domain stream
-                raise TypeError(
-                    "hash_compat='xxhash64' supports integer columns "
-                    "only (JVM-compatible string/float hashing is not "
-                    "implemented); use the default splitmix64 mode or "
-                    "the DataFrame path's KIND_HASH64"
-                )
+                arr = item[1]
+                if pa.types.is_string(arr.type) or pa.types.is_large_string(
+                    arr.type
+                ):
+                    feeder.feed_hashed(hashing.xxhash64_str(arr))
+                elif pa.types.is_floating(arr.type):
+                    feeder.feed_hashed(
+                        hashing.xxhash64_f64(
+                            arr.to_numpy(zero_copy_only=False)
+                        )
+                    )
+                else:
+                    raise TypeError(
+                        f"hash_compat='xxhash64' has no JVM-compatible "
+                        f"hash for arrow type {arr.type}"
+                    )
             else:
                 feeder.feed_hashed(_hash_any(item[1]))
 

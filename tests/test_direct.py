@@ -428,3 +428,61 @@ def test_direct_xxhash64_mode_merges_with_dataframe_path(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="hash domains"):
         sm.merge(jvm_hll)
+
+
+def test_xxhash64_strings_doubles_bit_equal_jvm(spark):
+    """Vectorized XXH64 for StringType (UTF-8, full algorithm incl. the
+    32-byte stripe path) and DoubleType (-0.0 normalized) must be
+    BIT-EQUAL to F.xxhash64, and the direct path's xxhash64 mode must
+    produce a byte-identical HLL to the DataFrame path over a STRING
+    key column."""
+    import random
+
+    from sketchlib.core.hashing import xxhash64_f64, xxhash64_str
+
+    random.seed(11)
+    strs = ["", "a", "doc-000123", "x" * 31, "y" * 32, "z" * 33, "w" * 100,
+            "üñïçødé-строка-日本語", "tab\tnl\n"] + [
+        "".join(random.choice("abcdef012345-_") for _ in range(random.randint(0, 80)))
+        for _ in range(300)
+    ]
+    jvm = np.array(
+        [r["h"] for r in spark.createDataFrame([(s,) for s in strs], "v string")
+         .select(F.xxhash64("v").alias("h")).collect()],
+        dtype=np.int64,
+    ).view(np.uint64)
+    np.testing.assert_array_equal(jvm, xxhash64_str(strs))
+    # arrow-buffer path gives the same answers as the python-list path
+    import pyarrow as pa
+
+    np.testing.assert_array_equal(xxhash64_str(pa.array(strs)), xxhash64_str(strs))
+
+    dbls = [0.0, -0.0, 1.5, -1.5, 1e308, -1e-308, 3.141592653589793] + [
+        random.uniform(-1e6, 1e6) for _ in range(100)
+    ]
+    jvmd = np.array(
+        [r["h"] for r in spark.createDataFrame([(d,) for d in dbls], "v double")
+         .select(F.xxhash64("v").alias("h")).collect()],
+        dtype=np.int64,
+    ).view(np.uint64)
+    np.testing.assert_array_equal(jvmd, xxhash64_f64(np.array(dbls)))
+
+
+def test_direct_xxhash64_string_column_merges(spark, tmp_path):
+    from sketchlib.core.hll import HyperLogLog
+    from sketchlib.spark.aggregate import KIND_HASH64, sketch_column
+    from sketchlib.spark.direct import sketch_parquet
+
+    path = str(tmp_path / "strkeys")
+    rows = [(f"doc-{i:06d}",) for i in range(500)]
+    spark.createDataFrame(rows, "doc_id string").repartition(4).write.parquet(path)
+    jvm_hll = sketch_column(
+        spark.read.parquet(path), "doc_id", lambda: HyperLogLog(p=12), KIND_HASH64
+    )
+    xx_hll = sketch_parquet(
+        spark, path, "doc_id", lambda: HyperLogLog(p=12), KIND_HASH64,
+        hash_compat="xxhash64",
+    )
+    assert jvm_hll.to_bytes() == xx_hll.to_bytes()
+    merged = HyperLogLog.from_bytes(jvm_hll.to_bytes()).merge(xx_hll)
+    assert abs(merged.estimate() - 500) / 500 < 0.1
