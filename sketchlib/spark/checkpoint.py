@@ -88,12 +88,19 @@ def run_checkpointed(
         ledger_rows.write.mode(mode).parquet(checkpoint_dir)
         recomputed = len(remaining)
     build_wall = time.monotonic() - t0
-    t_merge = time.monotonic()
+    return _finalize_ledger(spark, checkpoint_dir, recomputed, build_wall)
 
-    # final merge over the complete ledger.  Keep exactly one row per
-    # lineage (latest wall_ts): a duplicate append — e.g. a transient
-    # read error in _ledger_exists forcing a full recompute — must not
-    # double-count (recomputes are bit-identical, so any copy is valid).
+
+def _finalize_ledger(
+    spark: SparkSession, checkpoint_dir: str, recomputed: int,
+    build_wall: float,
+):
+    """Final merge over the complete ledger (shared by the JVM and
+    direct build paths).  Keep exactly one row per lineage (latest
+    wall_ts): a duplicate append — e.g. a transient read error in
+    _ledger_exists forcing a full recompute — must not double-count
+    (recomputes are bit-identical, so any copy is valid)."""
+    t_merge = time.monotonic()
     from pyspark.sql import Window
 
     newest = Window.partitionBy("lineage_id").orderBy(F.desc("wall_ts"))
@@ -125,3 +132,74 @@ def run_checkpointed(
         "n_final_merges": len(rows) - 1,
     }
     return acc, metrics
+
+
+def run_checkpointed_direct(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    factory: Callable[[], object],
+    checkpoint_dir: str,
+    lineage_col: str,
+    kind: str = KIND_DOUBLE,
+    sketch_kind: str = "sketch",
+    n_lineage: int = 64,
+    resume: bool = True,
+    files: list[str] | None = None,
+):
+    """``run_checkpointed`` over the DIRECT pyarrow scan: lineage ids
+    are ``pmod(xxhash64(key), n)`` computed with the numpy XXH64 that
+    is bit-equal to Spark's, so the ledger is INTERCHANGEABLE with the
+    JVM path's — a job started on either engine resumes on the other,
+    recomputing exactly the same missing lineage ids.  Completed
+    lineages are dropped inside the scan tasks (never re-fed); the
+    ledger write/dedupe/final-merge logic is shared."""
+    from sketchlib.spark.direct import build_lineage_partials_direct
+
+    done = completed_lineages(spark, checkpoint_dir) if resume else set()
+    remaining = sorted(set(range(n_lineage)) - done)
+    t0 = time.monotonic()
+    recomputed = 0
+    if remaining:
+        partials = build_lineage_partials_direct(
+            spark, path, lineage_col, col, factory, kind=kind,
+            n_lineage=n_lineage, files=files,
+            skip_lineages=done or None,
+        )
+        # one ledger row per lineage: merge the per-(task, lineage)
+        # partials first — the ledger dedupe keeps a single row per
+        # lineage, so unmerged partials would silently drop every
+        # other task's contribution.  Fan-in per lineage = task count
+        # (bounded KB-sized states).
+        from sketchlib.spark.aggregate import _sorted_blobs
+
+        def merge_lineage(pdf):
+            import pandas as pd
+
+            return pd.DataFrame(
+                {
+                    "lineage_id": [pdf["lineage_id"].iloc[0]],
+                    "state": [serde.merge_blobs(_sorted_blobs(pdf["state"]))],
+                    "items": [int(pdf["items"].sum())],
+                    "build_secs": [float(pdf["build_secs"].sum())],
+                }
+            )
+
+        states = partials.groupBy("lineage_id").applyInPandas(
+            merge_lineage,
+            "lineage_id bigint, state binary, items long, build_secs double",
+        )
+        ledger_rows = states.select(
+            F.col("lineage_id").cast("bigint"),
+            F.lit(sketch_kind).alias("sketch_kind"),
+            F.col("state"),
+            F.col("items").alias("n_updates"),
+            F.col("build_secs"),
+            F.lit(1).cast("bigint").alias("n_merges"),
+            F.lit(time.time()).alias("wall_ts"),
+        )
+        mode = "append" if resume else "overwrite"
+        ledger_rows.write.mode(mode).parquet(checkpoint_dir)
+        recomputed = len(remaining)
+    build_wall = time.monotonic() - t0
+    return _finalize_ledger(spark, checkpoint_dir, recomputed, build_wall)

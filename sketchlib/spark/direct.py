@@ -499,3 +499,220 @@ def sketch_iceberg(
         prune=rg_prune,
     )
     return tree_merge(partials, fanout=fanout, size_hint=tasks)
+
+def build_lineage_partials_direct(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    col: str,
+    factory: Callable[[], object],
+    kind: str = KIND_DOUBLE,
+    n_lineage: int = 64,
+    tasks: int | None = None,
+    files: list[str] | None = None,
+    overlap: bool | None = None,
+    skip_lineages=None,
+):
+    """Per-LINEAGE stage 1 over raw parquet files: DataFrame[lineage_id
+    bigint, state binary, items long, build_secs double].
+
+    The lineage id is ``pmod(xxhash64(key), n_lineage)`` computed with
+    the numpy XXH64 that is BIT-EQUAL to Spark's ``F.xxhash64`` per
+    column type — so the ledger this feeds is INTERCHANGEABLE with the
+    JVM path's (checkpoint.run_checkpointed): a job started on one
+    engine can be resumed by the other, and both recompute exactly the
+    same missing lineage ids.  Within a task, rows are routed to
+    per-lineage accumulators with the same argsort group-slicing as
+    the grouped DataFrame stage (one sort per batch, cost independent
+    of lineage count).  ``skip_lineages`` (a set of already-completed
+    ids, e.g. from a checkpoint ledger) drops those rows right after
+    the lineage computation — resumed runs never feed them."""
+    import numpy as np
+
+    skip = frozenset(int(x) for x in skip_lineages) if skip_lineages else None
+
+    if files is None:
+        files = list_parquet_files(path)
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path}")
+    cores = spark.sparkContext.defaultParallelism
+    if tasks is None:
+        tasks = max(min(len(files), 2 * cores), 1)
+    rdd = spark.sparkContext.parallelize([(f,) for f in files], tasks)
+    fdf = spark.createDataFrame(rdd, "path string")
+    dkind = _direct_kind(kind)
+    import os as _os
+
+    if overlap is None:
+        overlap = _os.environ.get("SKETCHLIB_DECODE_THREAD", "1") != "0"
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import queue as _queue
+        import threading
+
+        import pyarrow.parquet as pq
+
+        from pyarrow import fs as pafs
+
+        from sketchlib.spark.aggregate import (
+            _ACC_BUDGET_BYTES,
+            AccFeeder,
+            _gather_list_slices,
+        )
+
+        t0 = time.monotonic()
+        budget = [_ACC_BUDGET_BYTES]
+        hash_kind = dkind in ("hash64_numpy", KIND_ARRAY_HASH)
+        feeders: dict[int, AccFeeder] = {}
+
+        def lineage_of(karr: pa.Array) -> "np.ndarray":
+            if karr.null_count:
+                raise ValueError(f"NULL {key_col} cannot carry a lineage")
+            if pa.types.is_string(karr.type) or pa.types.is_large_string(
+                karr.type
+            ):
+                h = hashing.xxhash64_str(karr)
+            elif pa.types.is_integer(karr.type):
+                h = hashing.xxhash64_ints(
+                    karr.to_numpy(zero_copy_only=False)
+                )
+            else:
+                raise TypeError(
+                    f"unsupported lineage key type {karr.type}"
+                )
+            # numpy % with positive divisor is non-negative for
+            # negative int64 inputs — exactly Spark's pmod
+            return h.view(np.int64) % np.int64(n_lineage)
+
+        def consume(item):
+            if item[0] != "rb":
+                raise AssertionError(item[0])
+            rb = item[1]
+            lin = lineage_of(rb.column(0))
+            varr = rb.column(1)
+            if dkind in (KIND_ARRAY, KIND_ARRAY_HASH):
+                offsets = varr.offsets.to_numpy()
+                flat = varr.values.to_numpy(zero_copy_only=False)
+                valid = (
+                    ~np.asarray(varr.is_null())
+                    if varr.null_count
+                    else np.ones(len(varr), dtype=bool)
+                )
+            else:
+                vals_all = varr.to_numpy(zero_copy_only=False)
+                valid = (
+                    ~np.asarray(varr.is_null())
+                    if varr.null_count
+                    else np.ones(len(varr), dtype=bool)
+                )
+            if skip:
+                valid = valid & ~np.isin(lin, list(skip))
+            vrows = np.flatnonzero(valid)
+            order = vrows[np.argsort(lin[vrows], kind="stable")]
+            svc = lin[order]
+            if svc.size == 0:
+                return
+            edges = np.concatenate(
+                ([0], np.flatnonzero(svc[1:] != svc[:-1]) + 1, [svc.size])
+            )
+            for bi in range(edges.size - 1):
+                s0, e0 = int(edges[bi]), int(edges[bi + 1])
+                lid = int(svc[s0])
+                rows = order[s0:e0]
+                if dkind in (KIND_ARRAY, KIND_ARRAY_HASH):
+                    vals = _gather_list_slices(flat, offsets, rows)
+                else:
+                    vals = vals_all[rows]
+                feeder = feeders.get(lid)
+                if feeder is None:
+                    feeder = feeders[lid] = AccFeeder(
+                        factory(), hash_mode=hash_kind,
+                        domain=hashing.DOMAIN_SPLITMIX64, budget=budget,
+                    )
+                feeder.feed_raw(vals)
+
+        def produce(paths, emit):
+            for fpath in paths:
+                filesystem, fp = pafs.FileSystem.from_uri(fpath)
+                with filesystem.open_input_file(fp) as fh:
+                    pf = pq.ParquetFile(fh)
+                    col_type = pf.schema_arrow.field(col).type
+                    bs = (
+                        _READ_BATCH_ROWS_LIST
+                        if pa.types.is_list(col_type)
+                        or pa.types.is_large_list(col_type)
+                        else _READ_BATCH_ROWS
+                    )
+                    for rb in pf.iter_batches(
+                        batch_size=bs, columns=[key_col, col],
+                        use_threads=False,
+                    ):
+                        emit(("rb", rb))
+
+        paths = [p for b in batches for p in b.column(0).to_pylist()]
+        if overlap:
+            q: _queue.Queue = _queue.Queue(maxsize=8)
+            stop = threading.Event()
+
+            class _Abort(BaseException):
+                pass
+
+            def _emit(item):
+                while True:
+                    try:
+                        q.put(item, timeout=0.1)
+                        return
+                    except _queue.Full:
+                        if stop.is_set():
+                            raise _Abort()
+
+            def _producer():
+                try:
+                    try:
+                        produce(paths, _emit)
+                    except BaseException as exc:
+                        _emit(("exc", exc))
+                        return
+                    _emit(("done", None))
+                except _Abort:
+                    return
+
+            th = threading.Thread(target=_producer, daemon=True)
+            th.start()
+            try:
+                while True:
+                    item = q.get()
+                    if item[0] == "done":
+                        break
+                    if item[0] == "exc":
+                        raise item[1]
+                    consume(item)
+            finally:
+                stop.set()
+                th.join()
+        else:
+            produce(paths, consume)
+        if not feeders:
+            return
+        elapsed = time.monotonic() - t0
+        lids = sorted(feeders)
+        items = [feeders[k].finish() for k in lids]
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(lids, type=pa.int64()),
+                pa.array(
+                    [feeders[k].sk.to_bytes() for k in lids],
+                    type=pa.binary(),
+                ),
+                pa.array(items, type=pa.int64()),
+                pa.array(
+                    [elapsed / len(lids)] * len(lids), type=pa.float64()
+                ),
+            ],
+            names=["lineage_id", "state", "items", "build_secs"],
+        )
+
+    return fdf.mapInArrow(
+        fn, f"lineage_id bigint, {_PARTIAL_SCHEMA}"
+    )
+

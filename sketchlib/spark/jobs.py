@@ -67,7 +67,27 @@ def job_build(args) -> None:
     if getattr(args, "direct", False) and args.format in ("auto", "parquet"):
         from sketchlib.spark.io import _is_iceberg_dir
 
-        if os.path.isdir(args.input) and _is_iceberg_dir(args.input):
+        if args.checkpoint and not (
+            os.path.isdir(args.input) and _is_iceberg_dir(args.input)
+        ):
+            # direct scan WITH checkpointing: numpy-XXH64 lineage ids
+            # are bit-equal to the JVM's, so this ledger interoperates
+            # with non-direct runs (cross-engine resume)
+            from sketchlib.spark.checkpoint import run_checkpointed_direct
+
+            sk, metrics = run_checkpointed_direct(
+                spark,
+                args.input,
+                args.col,
+                factory,
+                checkpoint_dir=args.checkpoint,
+                lineage_col=args.lineage_col or args.col,
+                kind=kind,
+                sketch_kind=args.sketch,
+                n_lineage=args.n_lineage,
+                resume=not args.no_resume,
+            )
+        elif os.path.isdir(args.input) and _is_iceberg_dir(args.input):
             # direct scan over the snapshot's live files via the
             # manifest chain (jar-free Iceberg path)
             from sketchlib.spark.direct import sketch_iceberg

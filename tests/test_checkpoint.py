@@ -133,3 +133,69 @@ def test_deterministic_lineage_recompute(spark, tokens_df, tmp_path):
         for r in spark.read.parquet(ck2).collect()
     }
     assert s1 == s2
+
+
+def test_cross_engine_checkpoint_resume(spark, tokens_df, tmp_path):
+    """Round 4: the direct pyarrow path computes lineage ids with the
+    numpy XXH64 that is bit-equal to Spark's pmod(xxhash64(key), n), so
+    (a) a pure-direct ledger's per-lineage item counts are IDENTICAL to
+    a pure-JVM ledger's, and (b) a job STARTED on the JVM path is
+    RESUMED by the direct engine: it recomputes exactly the missing
+    lineage ids and the final count is exact."""
+    from sketchlib.spark.aggregate import KIND_ARRAY
+    from sketchlib.spark.checkpoint import run_checkpointed_direct
+
+    path = str(tmp_path / "tok")
+    tokens_df.write.parquet(path)
+    total_tokens = tokens_df.select(
+        F.sum(F.size("tokens")).alias("s")
+    ).first()["s"]
+
+    # (a) lineage parity: per-lineage n_updates identical across engines
+    jvm_dir = str(tmp_path / "ck_jvm")
+    dir_dir = str(tmp_path / "ck_direct")
+    sk_j, m_j = run_checkpointed(
+        spark, spark.read.parquet(path), "tokens",
+        lambda: KLL(k=128), checkpoint_dir=jvm_dir,
+        lineage_col="doc_id", kind=KIND_ARRAY, n_lineage=N_LINEAGE,
+        sketch_kind="kll",
+    )
+    sk_d, m_d = run_checkpointed_direct(
+        spark, path, "tokens", lambda: KLL(k=128),
+        checkpoint_dir=dir_dir, lineage_col="doc_id",
+        kind=KIND_ARRAY, n_lineage=N_LINEAGE, sketch_kind="kll",
+    )
+    per_lin = lambda d: {  # noqa: E731
+        r["lineage_id"]: r["n"]
+        for r in spark.read.parquet(d)
+        .groupBy("lineage_id").agg(F.sum("n_updates").alias("n"))
+        .collect()
+    }
+    assert per_lin(jvm_dir) == per_lin(dir_dir)
+    assert sk_j.count == sk_d.count == total_tokens
+    np.testing.assert_allclose(
+        sk_j.value_at_quantile(np.array([0.1, 0.5, 0.9])),
+        sk_d.value_at_quantile(np.array([0.1, 0.5, 0.9])),
+        rtol=0.02,
+    )
+
+    # (b) cross-engine resume: JVM builds half the lineages, the
+    # direct engine completes the rest
+    mix_dir = str(tmp_path / "ck_mixed")
+    half = spark.read.parquet(path).filter(
+        F.pmod(F.xxhash64("doc_id"), F.lit(N_LINEAGE)) < N_LINEAGE // 2
+    )
+    _, m_half = run_checkpointed(
+        spark, half, "tokens", lambda: KLL(k=128),
+        checkpoint_dir=mix_dir, lineage_col="doc_id", kind=KIND_ARRAY,
+        n_lineage=N_LINEAGE, sketch_kind="kll",
+    )
+    assert m_half["lineages_total"] == N_LINEAGE // 2
+    sk_m, m_m = run_checkpointed_direct(
+        spark, path, "tokens", lambda: KLL(k=128),
+        checkpoint_dir=mix_dir, lineage_col="doc_id", kind=KIND_ARRAY,
+        n_lineage=N_LINEAGE, sketch_kind="kll",
+    )
+    assert m_m["lineages_resumed"] == N_LINEAGE // 2
+    assert m_m["lineages_recomputed"] == N_LINEAGE // 2
+    assert sk_m.count == total_tokens  # exact: nothing double-fed/missed
