@@ -629,7 +629,19 @@ def build_lineage_partials_direct(
                         factory(), hash_mode=hash_kind,
                         domain=hashing.DOMAIN_SPLITMIX64, budget=budget,
                     )
-                feeder.feed_raw(vals)
+                if (
+                    dkind == "hash64_numpy"
+                    and not np.issubdtype(vals.dtype, np.integer)
+                ):
+                    # non-integer hash streams need the typed hash
+                    # (float bit-pattern / string siphash) — the raw
+                    # feed's integer fallback would mis-hash them
+                    if np.issubdtype(vals.dtype, np.floating):
+                        feeder.feed_hashed(hashing.hash_f64(vals))
+                    else:
+                        feeder.feed_hashed(hashing.hash_str(vals.tolist()))
+                else:
+                    feeder.feed_raw(vals)
 
         def produce(paths, emit):
             for fpath in paths:
