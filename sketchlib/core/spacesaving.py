@@ -95,6 +95,11 @@ class SpaceSaving:
                 counts[k] = mv + c
                 errors[k] = mv
                 heapq.heappush(heap, (mv + c, k))
+            if len(heap) > 8 * self.capacity:
+                # compact stale entries: bound heap memory by O(C),
+                # not by the number of updates in this call
+                heap = [(v, k) for k, v in counts.items()]
+                heapq.heapify(heap)
 
     # ------------------------------------------------------------------- merge
 

@@ -108,9 +108,14 @@ def duplicate_clusters(
             .select("id", "cluster_id")
             .localCheckpoint()  # truncate lineage: O(1) plan depth
         )
-        # localCheckpoint is eager: new_labels' blocks exist now, so the
-        # superseded round's blocks can be freed — without this, storage
-        # memory grows linearly with round count on large graphs
+        # localCheckpoint is eager: new_labels' blocks exist now.
+        # NOTE: unpersist() does NOT deterministically free a
+        # localCheckpointed frame's blocks (they double as the RDD's
+        # checkpoint data and survive the cache-manager call — verified
+        # on Spark 4.1.2); dropping the LAST Python reference below is
+        # what lets the ContextCleaner reclaim the superseded round's
+        # blocks asynchronously.  The unpersist stays as a best-effort
+        # hint for Spark versions that honor it.
         labels.unpersist()
         labels = new_labels
         # F.sum over ZERO rows is NULL -> None: empty pair input must
@@ -208,7 +213,9 @@ def _star_clusters(
             .localCheckpoint()
         )
         # the new round's blocks are materialized (eager checkpoint);
-        # free the superseded round's so storage stays O(1) in rounds
+        # drop the superseded round's reference (see the jump method's
+        # note: unpersist on localCheckpointed frames is best-effort —
+        # the reference drop is what enables ContextCleaner reclaim)
         prev_e.unpersist()
         sig = (obs.get["n"], obs.get["sig"])
         if sig == prev_sig:

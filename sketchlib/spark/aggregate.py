@@ -137,6 +137,12 @@ class _BincountAcc:
             self.offset = vmin
             self.counts = np.zeros(vmax - vmin + 1, dtype=np.int64)
             self.src_dtype = vals.dtype
+        elif vals.dtype != self.src_dtype:
+            # schema drift across files of one column: a different
+            # width must not share this accumulator — the flush hashes
+            # at the SOURCE width (JVM hashInt vs hashLong differ) and
+            # a narrower astype would silently wrap.  Degrade.
+            return False
         # mixed-signedness guard (advisor r3): a uint64 batch against a
         # negative offset would hit np.uint64(negative) OverflowError,
         # and an int64 batch against an offset above int64 max (set by
@@ -173,9 +179,17 @@ class _BincountAcc:
             shifted = vals
         else:
             info = np.iinfo(vals.dtype)
-            if info.min <= self.offset and vmax - self.offset <= info.max:
-                # offset and shifted range fit the native dtype:
-                # one single-pass same-width subtract, no widening
+            if (
+                info.min <= self.offset
+                and vmax - self.offset <= info.max
+                and np.issubdtype(vals.dtype, np.signedinteger)
+            ):
+                # offset and shifted range fit the native SIGNED dtype:
+                # one single-pass same-width subtract, no widening.
+                # (Unsigned dtypes would WRAP below a corrupt
+                # understated vmin hint instead of raising — widen
+                # them so bincount sees the negative and the degrade
+                # path catches it.)
                 shifted = vals - vals.dtype.type(self.offset)
             else:
                 shifted = vals.astype(np.int64, copy=False) - self.offset
@@ -340,7 +354,10 @@ def _feed(sk, vals: np.ndarray, domain: int = 0) -> int:
         vmax = int(vals.max())
         if 0 <= vmin and vmax < (1 << 22):
             # dense non-negative ids: bincount in the native dtype —
-            # no widening copy, no subtraction pass
+            # no widening copy, no subtraction pass.  np.bincount
+            # refuses uint64 (unsafe cast): widen that one case
+            if vals.dtype == np.uint64:
+                vals = vals.astype(np.int64)
             counts = np.bincount(vals)
             nz = np.flatnonzero(counts)
             sk.add_weighted(nz.astype(np.float64), counts[nz].astype(np.float64))

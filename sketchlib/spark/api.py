@@ -241,6 +241,11 @@ def heavy_hitters(
                     del counts[mk]
                     counts[v] = mv + c
                     heapq.heappush(heap, (mv + c, v))
+            if len(heap) > 8 * C:
+                # compact stale entries: without this the heap grows
+                # with total updates, not with C
+                heap = [(cv, kv) for kv, cv in counts.items()]
+                heapq.heapify(heap)
         if counts:
             yield pd.DataFrame(
                 {col: list(counts.keys()), "cnt": list(counts.values())}

@@ -287,8 +287,19 @@ def build_partials_direct(
                         )
                         if not row_groups:
                             continue  # whole file outside the range
-                    # footer-stat bounds: skip per-batch min/max passes
+                    # footer-stat bounds: skip per-batch min/max
+                    # passes.  A file whose GLOBAL range exceeds the
+                    # accumulator's MAX_RANGE may still have narrow
+                    # per-batch ranges (locally clustered ids): drop
+                    # the hint there so try_add falls back to exact
+                    # per-batch min/max instead of rejecting every
+                    # batch outright.
                     bounds = _file_column_bounds(pf.metadata, col)
+                    if bounds is not None:
+                        from sketchlib.spark.aggregate import _BincountAcc
+
+                        if bounds[1] - bounds[0] >= _BincountAcc.MAX_RANGE:
+                            bounds = None
                     blo, bhi = bounds if bounds else (None, None)
                     for rb in pf.iter_batches(
                         batch_size=bs, columns=[col], use_threads=False,
@@ -535,6 +546,23 @@ def build_lineage_partials_direct(
         files = list_parquet_files(path)
     if not files:
         raise FileNotFoundError(f"no parquet files under {path}")
+    # validate the key type DRIVER-side: a clear error beats a per-task
+    # TypeError storm (notably --direct --checkpoint defaulting
+    # lineage_col to an array value column)
+    import pyarrow.parquet as _pq
+
+    ktype = _pq.ParquetFile(files[0]).schema_arrow.field(key_col).type
+    if not (
+        pa.types.is_string(ktype)
+        or pa.types.is_large_string(ktype)
+        or pa.types.is_integer(ktype)
+    ):
+        raise TypeError(
+            f"lineage key column {key_col!r} has type {ktype}; the "
+            "direct engine supports string/integer lineage keys — pass "
+            "an explicit scalar key (e.g. --lineage-col doc_id) or use "
+            "the non-direct checkpoint path"
+        )
     cores = spark.sparkContext.defaultParallelism
     if tasks is None:
         tasks = max(min(len(files), 2 * cores), 1)
@@ -563,6 +591,17 @@ def build_lineage_partials_direct(
         t0 = time.monotonic()
         budget = [_ACC_BUDGET_BYTES]
         hash_kind = dkind in ("hash64_numpy", KIND_ARRAY_HASH)
+        # domain parity with the JVM grouped path (checkpoint ledgers
+        # must merge across engines): KIND_HASH64 hashes JVM-side
+        # there (F.xxhash64 -> DOMAIN_XXHASH64), so this engine uses
+        # the bit-equal numpy XXH64 for it; KIND_ARRAY_HASH hashes
+        # numpy-splitmix on BOTH paths and keeps that domain.
+        if dkind == "hash64_numpy":
+            dom = hashing.DOMAIN_XXHASH64
+            value_hash = hashing.xxhash64_ints
+        else:
+            dom = hashing.DOMAIN_SPLITMIX64
+            value_hash = None
         feeders: dict[int, AccFeeder] = {}
 
         def lineage_of(karr: pa.Array) -> "np.ndarray":
@@ -626,20 +665,23 @@ def build_lineage_partials_direct(
                 feeder = feeders.get(lid)
                 if feeder is None:
                     feeder = feeders[lid] = AccFeeder(
-                        factory(), hash_mode=hash_kind,
-                        domain=hashing.DOMAIN_SPLITMIX64, budget=budget,
+                        factory(), hash_mode=hash_kind, domain=dom,
+                        budget=budget, hash_fn=value_hash,
                     )
                 if (
                     dkind == "hash64_numpy"
                     and not np.issubdtype(vals.dtype, np.integer)
                 ):
-                    # non-integer hash streams need the typed hash
-                    # (float bit-pattern / string siphash) — the raw
-                    # feed's integer fallback would mis-hash them
+                    # non-integer hash streams need the typed
+                    # JVM-compatible hash (float bit-pattern / UTF-8
+                    # string XXH64) — the raw feed's integer fallback
+                    # would mis-hash them
                     if np.issubdtype(vals.dtype, np.floating):
-                        feeder.feed_hashed(hashing.hash_f64(vals))
+                        feeder.feed_hashed(hashing.xxhash64_f64(vals))
                     else:
-                        feeder.feed_hashed(hashing.hash_str(vals.tolist()))
+                        feeder.feed_hashed(
+                            hashing.xxhash64_str([str(x) for x in vals])
+                        )
                 else:
                     feeder.feed_raw(vals)
 

@@ -44,13 +44,30 @@ def sub_split_buckets(
     ``observation`` (optional ``pyspark.sql.Observation``) receives
     ``overflow_rows`` (memberships beyond the first chunk — what a
     truncating cap would have silently dropped) and ``bucket_rows``.
-    When an observation is requested the persisted frame is eagerly
-    materialized with one action so the metric fires EXACTLY once — a
-    lazily-cached frame read by both self-join sides can compute the
-    same partition twice on different executors and double-count."""
-    sizes = df.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("_bsz"))
+    The persisted output is ALWAYS materialized eagerly with one
+    action: the metric fires EXACTLY once (a lazily-cached frame read
+    by both self-join sides can compute the same partition twice on
+    different executors and double-count), and the input's transient
+    cache can be released before returning."""
+    # persist the INPUT first: its upstream usually contains a Python
+    # UDF (signatures), and both the sizes aggregation and the join
+    # back read it — without this the UDF would execute twice
+    src = df.persist()
+    sizes = src.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("_bsz"))
+    # join back with NULL-SAFE equality: a null bucket key must keep
+    # its members (a plain equi-join would silently drop them — the
+    # exact silent-recall-hole class this guard exists to prevent);
+    # rename the size side's keys to avoid ambiguous columns
+    sizes = sizes.select(
+        *[F.col(c).alias(f"__bk_{i}") for i, c in enumerate(bucket_cols)],
+        "_bsz",
+    )
+    cond = None
+    for i, c in enumerate(bucket_cols):
+        eq = src[c].eqNullSafe(sizes[f"__bk_{i}"])
+        cond = eq if cond is None else (cond & eq)
     nchunks = F.ceil(F.col("_bsz") / F.lit(max_bucket)).cast("int")
-    split = df.join(sizes, list(bucket_cols)).withColumn(
+    split = src.join(sizes, cond).withColumn(
         "sub",
         F.pmod(
             F.xxhash64(F.col(id_col), *[F.col(c) for c in bucket_cols]),
@@ -65,6 +82,9 @@ def sub_split_buckets(
         )
     cols = list(bucket_cols) + ["sub", id_col] + list(keep_cols or [])
     split = split.select(*cols).persist()
-    if observation is not None:
-        split.count()  # materialize once: exact metrics, no recompute race
+    # always materialize: fills the observation exactly once AND lets
+    # the input's cache be released before returning (the output is
+    # self-contained; callers self-join it repeatedly)
+    split.count()
+    src.unpersist()
     return split

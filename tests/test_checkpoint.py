@@ -199,3 +199,35 @@ def test_cross_engine_checkpoint_resume(spark, tokens_df, tmp_path):
     assert m_m["lineages_resumed"] == N_LINEAGE // 2
     assert m_m["lineages_recomputed"] == N_LINEAGE // 2
     assert sk_m.count == total_tokens  # exact: nothing double-fed/missed
+
+
+def test_cross_engine_resume_hash_sketch(spark, tokens_df, tmp_path):
+    """Review r4: hash-kind ledgers must also interoperate — the direct
+    engine hashes KIND_HASH64 values with the JVM-bit-equal XXH64 and
+    stamps DOMAIN_XXHASH64, so an HLL job started on the JVM path
+    resumes on the direct engine (the final ledger merge would raise on
+    a domain mismatch)."""
+    from sketchlib.core.hll import HyperLogLog
+    from sketchlib.spark.aggregate import KIND_HASH64
+    from sketchlib.spark.checkpoint import run_checkpointed_direct
+
+    path = str(tmp_path / "tok")
+    tokens_df.write.parquet(path)
+    ck = str(tmp_path / "ck")
+    half = spark.read.parquet(path).filter(
+        F.pmod(F.xxhash64("doc_id"), F.lit(N_LINEAGE)) < N_LINEAGE // 2
+    )
+    run_checkpointed(
+        spark, half, "n_tok", lambda: HyperLogLog(p=12),
+        checkpoint_dir=ck, lineage_col="doc_id", kind=KIND_HASH64,
+        n_lineage=N_LINEAGE, sketch_kind="hll",
+    )
+    sk, m = run_checkpointed_direct(
+        spark, path, "n_tok", lambda: HyperLogLog(p=12),
+        checkpoint_dir=ck, lineage_col="doc_id", kind=KIND_HASH64,
+        n_lineage=N_LINEAGE, sketch_kind="hll",
+    )
+    assert m["lineages_resumed"] == N_LINEAGE // 2
+    assert m["lineages_recomputed"] == N_LINEAGE // 2
+    true = tokens_df.select("n_tok").distinct().count()
+    assert abs(sk.estimate() - true) / true < 0.15

@@ -486,3 +486,78 @@ def test_direct_xxhash64_string_column_merges(spark, tmp_path):
     assert jvm_hll.to_bytes() == xx_hll.to_bytes()
     merged = HyperLogLog.from_bytes(jvm_hll.to_bytes()).merge(xx_hll)
     assert abs(merged.estimate() - 500) / 500 < 0.1
+
+
+def test_feed_uint64_dense_fast_path():
+    """Review r4: np.bincount refuses uint64 (unsafe cast) — the dense
+    non-negative fast path must widen that case instead of crashing."""
+    from sketchlib.core.kll import KLL
+    from sketchlib.spark.aggregate import _feed
+
+    sk = KLL(k=128)
+    n = _feed(sk, np.array([1, 2, 3, 100, 100], dtype=np.uint64))
+    assert n == 5 and sk.count == 5
+
+
+def test_bincount_acc_dtype_drift_degrades():
+    """Review r4: a batch of a DIFFERENT integer width must not share
+    the accumulator — the flush hashes at the source width (JVM
+    hashInt vs hashLong differ) and a narrower cast could wrap."""
+    from sketchlib.spark.aggregate import _BincountAcc
+
+    acc = _BincountAcc()
+    assert acc.try_add(np.arange(10, dtype=np.int32))
+    assert not acc.try_add(np.arange(10, dtype=np.int64))
+    assert acc.items == 10 and acc.src_dtype == np.int32
+
+
+def test_bincount_acc_unsigned_corrupt_bounds_degrade():
+    """Review r4: an unsigned batch below a corrupt (understated) vmin
+    hint must degrade, not wrap into a multi-GB bincount."""
+    from sketchlib.spark.aggregate import _BincountAcc
+
+    acc = _BincountAcc()
+    assert acc.try_add(np.arange(100, 110, dtype=np.uint32), 100, 200)
+    # stats lie: actual value 5 < stated min 100
+    assert not acc.try_add(np.array([5], dtype=np.uint32), 100, 200)
+    assert acc.counts.sum() == 10
+
+
+def test_file_bounds_wider_than_max_range_fall_back(spark, tmp_path):
+    """Review r4: a file whose GLOBAL range exceeds MAX_RANGE but whose
+    batches are locally narrow must still use the accumulator (hint
+    dropped -> per-batch min/max), not reject every batch."""
+    import pyarrow as paw
+    import pyarrow.parquet as pq
+
+    from sketchlib.core.hll import HyperLogLog
+    from sketchlib.spark.aggregate import KIND_HASH64
+    from sketchlib.spark.direct import sketch_parquet
+
+    # two row groups: ids clustered near 0 and near 2^40
+    vals = np.concatenate([
+        np.arange(1000, dtype=np.int64),
+        (1 << 40) + np.arange(1000, dtype=np.int64),
+    ])
+    path = str(tmp_path / "wide.parquet")
+    pq.write_table(paw.table({"v": vals}), path, row_group_size=1000)
+    sk = sketch_parquet(
+        spark, path, "v", lambda: HyperLogLog(p=12), KIND_HASH64
+    )
+    assert abs(sk.estimate() - 2000) / 2000 < 0.1
+
+
+def test_lineage_key_type_validated_early(spark, tmp_path):
+    from sketchlib.core.kll import KLL
+    from sketchlib.spark.aggregate import KIND_ARRAY
+    from sketchlib.spark.checkpoint import run_checkpointed_direct
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, [1, 2]), (2, [3])], "doc_id long, tokens array<int>"
+    ).write.parquet(path)
+    with pytest.raises(TypeError, match="lineage key column"):
+        run_checkpointed_direct(
+            spark, path, "tokens", lambda: KLL(k=64),
+            str(tmp_path / "ck"), "tokens", kind=KIND_ARRAY, n_lineage=4,
+        )
