@@ -507,6 +507,38 @@ def grouped_heavy_hitters(
     )
 
 
+def _string_order_bounds(
+    df: DataFrame,
+    col: str,
+    n_buckets: int,
+    seed: int,
+    sample_cap: int = 4096,
+) -> list:
+    """Monotonic bucket bounds for a non-numeric order column, from a
+    seeded hash-order sample (TakeOrderedAndProject — no full sort, one
+    small job).  The bounds are evenly-spaced order statistics of the
+    sample; bound quality affects only bucket BALANCE, never the
+    selection (bucketing is monotonic and equal keys share a bucket),
+    exactly like the sketch-derived numeric bounds."""
+    rows = (
+        df.select(F.col(col).alias("__v"))
+        .where(F.col("__v").isNotNull())
+        .orderBy(F.xxhash64("__v", F.lit(seed)))
+        .limit(sample_cap)
+        .collect()
+    )
+    vals = sorted({r["__v"] for r in rows})
+    if len(vals) < 2:
+        return []
+    bounds, prev = [], None
+    for i in range(1, n_buckets):
+        v = vals[min(i * len(vals) // n_buckets, len(vals) - 1)]
+        if v != prev:
+            bounds.append(v)
+            prev = v
+    return bounds
+
+
 def sample_by_token_budget(
     df: DataFrame,
     budgets: dict,
@@ -515,6 +547,7 @@ def sample_by_token_budget(
     order_col: str | None = None,
     seed: int = 42,
     order_buckets: int = 1024,
+    bucketed_min_partitions: int = 256,
 ) -> DataFrame:
     """Deterministic per-source token-budget mixing — the standard
     training-data recipe "take B_s tokens from each source": within
@@ -550,12 +583,19 @@ def sample_by_token_budget(
        result (bucketing is monotonic, and equal order keys share a
        bucket so tie semantics are unchanged).
 
-    A non-numeric ``order_col`` falls back to the single-window plan
-    (range bounds need a sketchable domain) — fine at gate scale, but
-    prefer the default hash order or a numeric order column for bulk
-    runs.  Rows from sources without a budget are dropped AT THE SCAN
-    (pushdown-able isin); only budgeted rows shuffle.  Returns the
-    selected rows of ``df`` unchanged."""
+    A non-numeric ``order_col`` buckets by evenly-spaced order
+    statistics of a seeded hash-order sample of the key (one tiny
+    TakeOrderedAndProject job) — same exactness argument, the bounds
+    only steer balance.  Rows from sources without a budget are dropped
+    AT THE SCAN (pushdown-able isin); only budgeted rows shuffle.
+
+    Adaptive gate (round 5): below ``bucketed_min_partitions`` input
+    partitions the single-window plan is already tiny, and the bucketed
+    plan's two extra shuffles + bounds scan are pure constant overhead
+    — so it is taken verbatim, decided driver-side from the planned
+    partition count (~0.2ms, no extra job), mirroring the ann.py
+    two-level top-k gate.  Set ``bucketed_min_partitions=0`` to force
+    the bucketed plan.  Returns the selected rows of ``df`` unchanged."""
     from pyspark.sql.window import Window
 
     if not budgets:
@@ -564,10 +604,22 @@ def sample_by_token_budget(
         *[F.lit(x) for kv in budgets.items() for x in kv]
     )
     filtered = df.filter(F.col(source_col).isin(list(budgets)))
+    try:
+        # JVM-side accessor: ~0.2ms, reuses the planned queryExecution
+        # (df.rdd would build the Python RDD wrapper: ~160ms)
+        nparts = filtered._jdf.rdd().getNumPartitions()
+    except Exception:  # pragma: no cover - internal API drift
+        nparts = bucketed_min_partitions + 1  # assume big: safe plan
+    use_bucketed = order_buckets > 1 and nparts >= bucketed_min_partitions
     if order_col is not None:
         order = F.col(order_col)
         dt = df.schema[order_col].dataType.simpleString()
-        if dt in ("tinyint", "smallint", "int", "bigint", "float", "double"):
+        numeric = dt in (
+            "tinyint", "smallint", "int", "bigint", "float", "double"
+        )
+        if not use_bucketed:
+            bucket = None  # small input: single window IS the plan
+        elif numeric:
             # monotonic bucket id from sketch split points: count how
             # many bounds the value is >= (codegen'd O(order_buckets)
             # per row, no shuffle); NULLs sort first and compare false
@@ -584,18 +636,39 @@ def sample_by_token_budget(
                         F.col(order_col).cast("double") >= b, 1
                     ).otherwise(0),
                 )
-            else:  # order_buckets == 1: one bucket == single window
-                bucket = F.lit(0)
+            else:  # degenerate domain: one bucket == single window
+                bucket = None
         else:
-            bucket = None  # non-numeric custom order: single window
+            # string/other order key: bounds from a seeded sample; the
+            # >= predicate uses the SAME Catalyst ordering as the
+            # window's orderBy, so bucketing stays monotonic with
+            # equal keys sharing a bucket (NULLs => bucket 0,
+            # matching nulls-first)
+            bounds = _string_order_bounds(
+                filtered, order_col, order_buckets, seed
+            )
+            if bounds:
+                bucket = F.aggregate(
+                    F.array(*[F.lit(b) for b in bounds]),
+                    F.lit(0),
+                    lambda acc, b: acc
+                    + F.when(F.col(order_col) >= b, 1).otherwise(0),
+                )
+            else:
+                bucket = None
     else:
         import math
 
         order = F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
-        # signed arithmetic shift keeps ordering: the hash's high bits
-        # are a monotonic, ~uniform partition of the order domain
-        shift = min(max(64 - math.ceil(math.log2(max(order_buckets, 2))), 1), 63)
-        bucket = F.shiftright(order, shift)
+        if use_bucketed:
+            # signed arithmetic shift keeps ordering: the hash's high
+            # bits are a monotonic, ~uniform partition of the domain
+            shift = min(
+                max(64 - math.ceil(math.log2(max(order_buckets, 2))), 1), 63
+            )
+            bucket = F.shiftright(order, shift)
+        else:
+            bucket = None
 
     if bucket is None:
         w = (
