@@ -255,15 +255,18 @@ def lsh_candidate_pairs(
     level.  The cross-band re-chaining argument restores it only for
     callers who run connected components over the pairs afterward
     (duplicate_clusters / keep_representatives).  When no
-    ``observation`` is passed, a default one is created and a
-    ``UserWarning`` is emitted if any bucket actually overflowed, so
-    pair-consuming callers can detect when the caveat is live.
+    ``observation`` is passed, a ``UserWarning`` is emitted at call
+    time if any bucket actually overflowed (exact truncation overflow
+    from a tiny bucket-size aggregate — no extra materialization of
+    the split frame), so pair-consuming callers can detect when the
+    caveat is live.
 
     Pass a ``pyspark.sql.Observation`` as ``observation`` to receive
     ``overflow_rows`` (bucket memberships beyond the first chunk, i.e.
     rows the old cap would have dropped) and ``bucket_rows`` with
-    the observation (filled exactly once); passing one suppresses the
-    default warning (the caller owns the metric)."""
+    the observation (filled exactly once, at the cost of an eager
+    materialization); passing one suppresses the default warning (the
+    caller owns the metric)."""
     if num_perm is not None and bands * rows_per_band > num_perm:
         # F.slice past the end of the signature silently yields
         # truncated/empty band slices: trailing bands would hash a
@@ -285,32 +288,15 @@ def lsh_candidate_pairs(
     # (chunk order hashes (id, band) => per-band independent chunkings)
     from sketchlib.spark.skew import sub_split_buckets
 
-    own_obs = observation is None
-    if own_obs:
-        from pyspark.sql import Observation
-
-        observation = Observation()
+    # default path (round 5): the warn metric is a TINY aggregate over
+    # the bucket-size frame inside sub_split_buckets — no second
+    # materialization of the split output (the round-4 eager count
+    # cost dedup_minhash +23% at gate scale); an explicit observation
+    # keeps the eager exactly-once-at-return contract
     split = sub_split_buckets(
-        exploded, ["band", "bh"], "id", max_bucket, observation=observation
+        exploded, ["band", "bh"], "id", max_bucket,
+        observation=observation, warn_overflow=observation is None,
     )
-    if own_obs:
-        # sub_split_buckets materialized eagerly, so the metric is
-        # final here; surface overflow by default (advisor r3) — raw
-        # pair consumers need a signal that pair-level recall may be
-        # reduced (membership recall is unaffected; CC re-chains)
-        overflow = observation.get.get("overflow_rows") or 0
-        if overflow:
-            import warnings
-
-            warnings.warn(
-                f"LSH sub-split active: {overflow} hot-bucket "
-                "memberships beyond the first chunk. Pairs split "
-                "across chunks of a single hot bucket are only "
-                "recovered by connected-components chaining — see "
-                "lsh_candidate_pairs docstring.",
-                UserWarning,
-                stacklevel=2,
-            )
     a = split.alias("a")
     b = split.alias("b")
     return (

@@ -34,26 +34,72 @@ def sub_split_buckets(
     max_bucket: int,
     observation=None,
     keep_cols: list[str] | None = None,
+    warn_overflow: bool = False,
 ) -> DataFrame:
-    """Add a ``sub`` chunk column within each bucket and persist.
+    """Add a ``sub`` chunk column within each bucket.
 
     Returns ``df`` restricted to ``bucket_cols + ["sub", id_col] +
-    keep_cols``, persisted (callers self-join it, and its upstream
-    usually contains a Python UDF that must not recompute per side).
+    keep_cols``; the UDF-bearing input is persisted so callers that
+    self-join the result never recompute the upstream Python UDF per
+    side.
 
-    ``observation`` (optional ``pyspark.sql.Observation``) receives
-    ``overflow_rows`` (memberships beyond the first chunk — what a
-    truncating cap would have silently dropped) and ``bucket_rows``.
-    The persisted output is ALWAYS materialized eagerly with one
-    action: the metric fires EXACTLY once (a lazily-cached frame read
-    by both self-join sides can compute the same partition twice on
-    different executors and double-count), and the input's transient
-    cache can be released before returning."""
+    Three metric modes (round 5 — the always-on eager materialization
+    of the OUTPUT cost dedup_minhash +23% at gate scale in round 4):
+
+    - ``observation`` (``pyspark.sql.Observation``): receives
+      ``overflow_rows`` / ``bucket_rows`` and the output IS eagerly
+      materialized — the metric is final at return and fires exactly
+      once (a lazily-cached frame read by both self-join sides can
+      compute the same partition twice on different executors and
+      double-count).  The caller opted into the metric and pays for
+      its exactly-once-at-return contract.
+    - ``warn_overflow=True`` (and no observation): a TINY driver-side
+      aggregate over the bucket-size frame (one extra narrow job whose
+      expensive part — the upstream UDF — fills the input cache the
+      self-join needs anyway) computes the EXACT truncation overflow
+      ``sum(max(size - max_bucket, 0))`` and emits a ``UserWarning``
+      if any bucket overflowed.  The output itself stays LAZY: no
+      second materialization, the caller's own first action builds the
+      cheap JVM-side join-back from the cached input (the self-join's
+      identical size-aggregate subtrees are deduped by ReuseExchange).
+    - neither: no metric work at all; output persisted and
+      materialized eagerly as before (self-joining callers keep the
+      deterministic single-UDF-execution guarantee).
+
+    Metric semantics: ``overflow_rows`` is what a TRUNCATING cap would
+    have silently dropped — ``sum(max(size - max_bucket, 0))`` over
+    buckets in the warn path; the observation path keeps the
+    chunk-assignment count (rows hashed beyond chunk 0), which is the
+    same signal (positive iff some bucket exceeds ``max_bucket``,
+    modulo hash placement) and is what existing consumers assert on."""
     # persist the INPUT first: its upstream usually contains a Python
     # UDF (signatures), and both the sizes aggregation and the join
     # back read it — without this the UDF would execute twice
     src = df.persist()
     sizes = src.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("_bsz"))
+    if warn_overflow and observation is None:
+        # exact truncation overflow from the (tiny, partially-aggregated)
+        # size frame; this action also fills src's cache so the
+        # caller's self-join never recomputes the upstream UDF
+        m = sizes.agg(
+            F.sum(F.greatest(F.col("_bsz") - max_bucket, F.lit(0))).alias(
+                "overflow_rows"
+            ),
+            F.sum("_bsz").alias("bucket_rows"),
+        ).first()
+        if m["overflow_rows"]:
+            import warnings
+
+            warnings.warn(
+                f"hot-bucket sub-split active: {m['overflow_rows']} of "
+                f"{m['bucket_rows']} bucket memberships exceed "
+                f"max_bucket={max_bucket}. Pairs split across chunks of "
+                "a single hot bucket are only recovered by "
+                "connected-components chaining — see the caller's "
+                "docstring.",
+                UserWarning,
+                stacklevel=3,
+            )
     # join back with NULL-SAFE equality: a null bucket key must keep
     # its members (a plain equi-join would silently drop them — the
     # exact silent-recall-hole class this guard exists to prevent);
@@ -81,9 +127,14 @@ def sub_split_buckets(
             F.count(F.lit(1)).alias("bucket_rows"),
         )
     cols = list(bucket_cols) + ["sub", id_col] + list(keep_cols or [])
-    split = split.select(*cols).persist()
-    # always materialize: fills the observation exactly once AND lets
-    # the input's cache be released before returning (the output is
+    split = split.select(*cols)
+    if warn_overflow and observation is None:
+        # lazy: rides the persisted src; the caller's first action
+        # builds the cheap join-back (metric already final above)
+        return split
+    split = split.persist()
+    # materialize: fills the observation exactly once AND lets the
+    # input's cache be released before returning (the output is
     # self-contained; callers self-join it repeatedly)
     split.count()
     src.unpersist()

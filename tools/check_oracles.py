@@ -36,7 +36,7 @@ def normalize(rows, cols):
     return sorted(out, key=repr)
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list[str] | None = None) -> int:
     spark = get_spark(master="local[8]", app_name="oracle-check")
     con = duckdb.connect()
     for t in TABLES:
@@ -45,6 +45,12 @@ def main(sf_dir: str) -> int:
         )
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    if only:
+        unknown = set(only) - set(qs)
+        if unknown:
+            print(f"unknown queries: {sorted(unknown)}")
+            return 1
+        qs = {k: v for k, v in qs.items() if k in only}
     failures = 0
     for name, fn in qs.items():
         try:
@@ -83,4 +89,4 @@ def main(sf_dir: str) -> int:
 
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    sys.exit(1 if main(sf) else 0)
+    sys.exit(1 if main(sf, only=sys.argv[2:] or None) else 0)
