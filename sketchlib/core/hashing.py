@@ -116,12 +116,33 @@ def xxhash64_i32(values, seed: int = 42) -> np.ndarray:
 
 
 def xxhash64_ints(values, seed: int = 42) -> np.ndarray:
-    """Dispatch to the Spark-compatible XXH64 variant by input width:
-    <=32-bit integers go through hashInt, 64-bit through hashLong —
-    matching what ``F.xxhash64`` computes for the same COLUMN TYPE."""
+    """Dispatch to the Spark-compatible XXH64 variant by the SPARK
+    COLUMN TYPE the numpy dtype round-trips through (advisor r4: the
+    old itemsize-only dispatch silently mis-hashed unsigned inputs):
+
+    - signed <=32-bit: Byte/Short/IntegerType -> hashInt
+    - signed 64-bit: LongType -> hashLong
+    - uint8/uint16: parquet UINT_8/UINT_16 are read by Spark as
+      Short/IntegerType (value-preserving) -> hashInt of the value
+    - uint32: parquet UINT_32 is read by Spark as LongType -> hashLong
+      of the ZERO-EXTENDED value (the 4-byte hashInt path would
+      mis-hash every row)
+    - uint64: Spark reads parquet UINT_64 as Decimal(20,0), whose hash
+      is not value-bit-compatible with any integer path -> TypeError
+      (fail loud instead of corrupting a cross-engine merge)."""
     arr = np.asarray(values)
     if not np.issubdtype(arr.dtype, np.integer):
         raise TypeError(f"xxhash64_ints needs integers, got {arr.dtype}")
+    if np.issubdtype(arr.dtype, np.unsignedinteger):
+        if arr.dtype.itemsize <= 2:
+            return xxhash64_i32(arr.astype(np.int32), seed)
+        if arr.dtype.itemsize == 4:
+            return xxhash64_i64(arr.astype(np.int64), seed)
+        raise TypeError(
+            "xxhash64_ints: uint64 has no JVM-parity hash (Spark reads "
+            "parquet UINT_64 as Decimal(20,0)); use the splitmix64 "
+            "domain for unsigned-64 keys"
+        )
     if arr.dtype.itemsize <= 4:
         return xxhash64_i32(arr, seed)
     return xxhash64_i64(arr, seed)
@@ -129,11 +150,26 @@ def xxhash64_ints(values, seed: int = 42) -> np.ndarray:
 
 def xxhash64_f64(values, seed: int = 42) -> np.ndarray:
     """Spark-bit-compatible XXH64 of a DoubleType column: normalize
-    -0.0 to 0.0 (as Spark's hash expressions do), then hashLong of the
-    IEEE-754 bit pattern."""
+    -0.0 to 0.0 and every NaN payload to the canonical quiet NaN
+    (``doubleToLongBits`` semantics — advisor r4: numpy's ``.view``
+    preserves non-canonical payload bits that the JVM collapses), then
+    hashLong of the IEEE-754 bit pattern."""
     arr = np.asarray(values, dtype=np.float64)
     arr = np.where(arr == 0.0, 0.0, arr)  # -0.0 -> 0.0
+    arr = np.where(np.isnan(arr), np.float64("nan"), arr)
     return xxhash64_i64(arr.view(np.int64), seed)
+
+
+def xxhash64_f32(values, seed: int = 42) -> np.ndarray:
+    """Spark-bit-compatible XXH64 of a FloatType column: Spark hashes
+    floats as hashInt(floatToIntBits(v)) with -0.0 normalized — NOT by
+    widening to double (advisor r4: the f64 path gives different bits
+    for every value).  floatToIntBits collapses all NaN payloads to the
+    canonical quiet NaN, replicated here."""
+    arr = np.asarray(values, dtype=np.float32)
+    arr = np.where(arr == np.float32(0.0), np.float32(0.0), arr)
+    arr = np.where(np.isnan(arr), np.float32("nan"), arr)
+    return xxhash64_i32(arr.view(np.int32), seed)
 
 
 def _xxh64_same_len(m: np.ndarray, seed: int) -> np.ndarray:
@@ -214,7 +250,12 @@ def xxhash64_str(values, seed: int = 42) -> np.ndarray:
     pyarrow StringArray (zero-copy offsets + data buffers) or any
     sequence of python strings.  Rows are grouped by byte length so
     each group shares one vectorized control flow — id-like columns
-    typically have very few distinct lengths."""
+    typically have very few distinct lengths.
+
+    LENGTH CONTRACT (advisor r4): the output has exactly one hash per
+    input row; arrow arrays containing nulls are REJECTED (a silent
+    drop would misalign any caller that zips the result against the
+    source array) — drop or mask nulls before calling."""
     try:
         import pyarrow as pa
 
@@ -230,7 +271,11 @@ def xxhash64_str(values, seed: int = 42) -> np.ndarray:
             else values
         )
         if arr.null_count:
-            arr = arr.drop_null()
+            raise ValueError(
+                f"xxhash64_str: input has {arr.null_count} nulls; the "
+                "output is positionally aligned with the input, so "
+                "nulls must be dropped or masked by the caller"
+            )
         if pa.types.is_large_string(arr.type):
             arr = arr.cast(pa.string())
         buf_off, buf_data = arr.buffers()[1], arr.buffers()[2]

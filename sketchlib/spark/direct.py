@@ -316,7 +316,9 @@ def build_partials_direct(
                                     blo, bhi,
                                 ))
                             else:  # floats/strings: hash in consumer
-                                emit(("str", arr, None, None))
+                                # (nulls already dropped above —
+                                # xxhash64_str rejects them)
+                                emit(("typed", arr, None, None))
                         elif dkind == KIND_ARRAY_HASH:
                             emit((
                                 "raw", _batch_values(rb, 0, KIND_ARRAY),
@@ -333,14 +335,26 @@ def build_partials_direct(
             if item[0] == "raw":
                 feeder.feed_raw(item[1], item[2], item[3])
             elif hash_compat == "xxhash64":
+                # JVM-parity hashing is restricted to the types whose
+                # numpy hash is VERIFIED bit-equal to F.xxhash64 on the
+                # Spark type the parquet column reads back as (advisor
+                # r4: float32 must go through hashInt(floatToIntBits),
+                # not the widened f64 path; anything else fails loud
+                # rather than silently corrupting a cross-engine merge)
                 arr = item[1]
                 if pa.types.is_string(arr.type) or pa.types.is_large_string(
                     arr.type
                 ):
                     feeder.feed_hashed(hashing.xxhash64_str(arr))
-                elif pa.types.is_floating(arr.type):
+                elif pa.types.is_float64(arr.type):
                     feeder.feed_hashed(
                         hashing.xxhash64_f64(
+                            arr.to_numpy(zero_copy_only=False)
+                        )
+                    )
+                elif pa.types.is_float32(arr.type):
+                    feeder.feed_hashed(
+                        hashing.xxhash64_f32(
                             arr.to_numpy(zero_copy_only=False)
                         )
                     )
@@ -675,12 +689,21 @@ def build_lineage_partials_direct(
                     # non-integer hash streams need the typed
                     # JVM-compatible hash (float bit-pattern / UTF-8
                     # string XXH64) — the raw feed's integer fallback
-                    # would mis-hash them
-                    if np.issubdtype(vals.dtype, np.floating):
+                    # would mis-hash them.  Only VERIFIED-parity types
+                    # are accepted (advisor r4: str(x) of an arbitrary
+                    # object is not what the JVM hashes)
+                    if vals.dtype == np.float64:
                         feeder.feed_hashed(hashing.xxhash64_f64(vals))
+                    elif vals.dtype == np.float32:
+                        feeder.feed_hashed(hashing.xxhash64_f32(vals))
+                    elif vals.dtype == object and all(
+                        isinstance(x, str) for x in vals
+                    ):
+                        feeder.feed_hashed(hashing.xxhash64_str(list(vals)))
                     else:
-                        feeder.feed_hashed(
-                            hashing.xxhash64_str([str(x) for x in vals])
+                        raise TypeError(
+                            "xxhash64 domain has no JVM-parity hash for "
+                            f"value dtype {vals.dtype}"
                         )
                 else:
                     feeder.feed_raw(vals)

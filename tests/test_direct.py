@@ -561,3 +561,97 @@ def test_lineage_key_type_validated_early(spark, tmp_path):
             spark, path, "tokens", lambda: KLL(k=64),
             str(tmp_path / "ck"), "tokens", kind=KIND_ARRAY, n_lineage=4,
         )
+
+
+def test_xxhash64_type_parity_matrix(spark, tmp_path):
+    """Advisor r4 (medium): hash_compat='xxhash64' must be bit-equal to
+    what the JVM computes for the Spark type each parquet physical type
+    READS BACK AS — float32 via hashInt(floatToIntBits), uint32 via
+    hashLong of the zero-extended value (Spark reads UINT_32 as
+    LongType), uint8/16 via hashInt of the value — and must REJECT
+    types with no JVM-parity hash (uint64 -> Decimal(20,0)) instead of
+    silently corrupting a cross-engine merge."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sketchlib.core import hashing
+
+    f32 = np.array(
+        [0.0, -0.0, 1.5, -1.5, np.nan, np.inf, -np.inf, 3.25e-30, 1e30],
+        dtype=np.float32,
+    )
+    # a non-canonical NaN payload: numpy .view preserves it, Java's
+    # floatToIntBits / doubleToLongBits collapse it
+    f32_odd_nan = np.array([0x7FC00001], dtype=np.int32).view(np.float32)
+    f32 = np.concatenate([f32, f32_odd_nan])
+    f64 = f32.astype(np.float64)
+    f64[-1] = np.array([0x7FF8000000000001], dtype=np.int64).view(np.float64)[0]
+    tbl = pa.table(
+        {
+            "f32": pa.array(f32, type=pa.float32()),
+            "f64": pa.array(f64, type=pa.float64()),
+            "u8": pa.array(np.array([0, 1, 200, 255, 17, 3, 4, 5, 6, 7], np.uint8)),
+            "u16": pa.array(
+                np.array([0, 1, 60000, 65535, 1234, 9, 8, 7, 6, 5], np.uint16)
+            ),
+            "u32": pa.array(
+                np.array(
+                    [0, 1, 2**31, 2**32 - 1, 123456789, 42, 7, 9, 11, 13],
+                    np.uint32,
+                )
+            ),
+        }
+    )
+    path = str(tmp_path / "typed.parquet")
+    pq.write_table(tbl, path)
+    back = spark.read.parquet(path)
+    # Spark's read schema: u8 -> short, u16 -> int, u32 -> long
+    assert dict(back.dtypes)["u32"] == "bigint"
+    jvm = back.select(
+        *[F.xxhash64(c).alias(c) for c in ("f32", "f64", "u8", "u16", "u32")]
+    ).collect()
+
+    def col(name):
+        return np.array([r[name] for r in jvm], dtype=np.int64).view(np.uint64)
+
+    np.testing.assert_array_equal(col("f32"), hashing.xxhash64_f32(f32))
+    np.testing.assert_array_equal(col("f64"), hashing.xxhash64_f64(f64))
+    np.testing.assert_array_equal(
+        col("u8"), hashing.xxhash64_ints(tbl["u8"].to_numpy())
+    )
+    np.testing.assert_array_equal(
+        col("u16"), hashing.xxhash64_ints(tbl["u16"].to_numpy())
+    )
+    np.testing.assert_array_equal(
+        col("u32"), hashing.xxhash64_ints(tbl["u32"].to_numpy())
+    )
+    with pytest.raises(TypeError, match="uint64"):
+        hashing.xxhash64_ints(np.array([1, 2], dtype=np.uint64))
+    with pytest.raises(ValueError, match="null"):
+        hashing.xxhash64_str(pa.array(["a", None, "b"]))
+
+
+def test_direct_xxhash64_float32_column_merges(spark, tmp_path):
+    """End-to-end: a float32 parquet column sketched by the direct
+    engine in xxhash64 mode produces a byte-identical HLL to the
+    DataFrame path (F.xxhash64 on the FloatType column)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(7)
+    vals = rng.normal(size=2000).astype(np.float32)
+    path = str(tmp_path / "f32keys")
+    import os
+
+    os.makedirs(path)
+    pq.write_table(
+        pa.table({"v": pa.array(vals)}), os.path.join(path, "part0.parquet")
+    )
+    jvm_hll = sketch_column(
+        spark.read.parquet(path), "v", lambda: HyperLogLog(p=12), KIND_HASH64
+    )
+    xx_hll = sketch_parquet(
+        spark, path, "v", lambda: HyperLogLog(p=12), KIND_HASH64,
+        hash_compat="xxhash64",
+    )
+    assert jvm_hll.to_bytes() == xx_hll.to_bytes()
