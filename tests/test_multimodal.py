@@ -118,3 +118,118 @@ def test_frame_sample(spark, media_df):
     assert idxs == {0, 2}
     for r in frames:
         assert r["meta"]["n_frames"] == 1
+
+
+def test_fake_audio_decode_shape_and_range():
+    from sketchlib.multimodal.media import decode_audio
+
+    meta = {"sample_rate": 8000, "channels": 2, "format": "fake/pcm"}
+    wave, sr = decode_audio(b"\x00\x7f\xff" * 100, meta, codec="fake")
+    assert sr == 8000 and wave.shape == (8000, 2)
+    assert wave.dtype == np.float32
+    assert float(np.abs(wave).max()) <= 1.0
+    # deterministic
+    wave2, _ = decode_audio(b"\x00\x7f\xff" * 100, meta, codec="fake")
+    np.testing.assert_array_equal(wave, wave2)
+
+
+def test_extract_audio_features(spark):
+    from sketchlib.multimodal.media import attach_fake_media, extract_audio_features
+
+    df = spark.createDataFrame(
+        [(f"d{i}",) for i in range(20)], "doc_id string"
+    )
+    media = attach_fake_media(df, sample_rate=4000)
+    got = {r["id"]: r["audio_features"] for r in
+           extract_audio_features(media).collect()}
+    assert len(got) == 20
+    for v in got.values():
+        dur, rms, peak, zcr = v
+        assert dur == pytest.approx(1.0)
+        assert 0.0 < rms <= 1.0 and 0.0 < peak <= 1.0 and 0.0 <= zcr <= 1.0
+    # deterministic across runs
+    again = {r["id"]: r["audio_features"] for r in
+             extract_audio_features(media).collect()}
+    assert got == again
+
+
+def test_video_frames_shared_decoder():
+    from sketchlib.multimodal.media import decode_video_frames
+
+    meta = {"width": 8, "height": 6, "channels": 3, "n_frames": 5,
+            "sample_rate": 0, "format": "fake/rgb"}
+    frames = list(decode_video_frames(b"abcdefg", meta, every=2))
+    assert [fi for fi, _ in frames] == [0, 2, 4]
+    assert all(f.shape == (6, 8, 3) for _, f in frames)
+    # rotation makes frames distinct but deterministic
+    assert not np.array_equal(frames[0][1], frames[1][1])
+
+
+def test_real_audio_codec_gated():
+    from sketchlib.multimodal.media import HAS_SOUNDFILE, decode_audio
+
+    if HAS_SOUNDFILE:
+        pytest.skip("soundfile present: the NotImplementedError gate is off")
+    with pytest.raises(NotImplementedError, match="soundfile"):
+        decode_audio(b"RIFF....", {"sample_rate": 8000, "channels": 1},
+                     codec="real")
+
+
+def test_real_video_codec_gated():
+    from sketchlib.multimodal.media import HAS_PYAV, decode_video_frames
+
+    if HAS_PYAV:
+        pytest.skip("PyAV present: the NotImplementedError gate is off")
+    with pytest.raises(NotImplementedError, match="PyAV"):
+        list(decode_video_frames(b"\x00", {"n_frames": 1}, codec="real"))
+
+
+def test_real_audio_decode_roundtrip():
+    """Runs wherever soundfile exists: a WAV written by soundfile must
+    decode back to the same samples via decode_audio(codec='real')."""
+    from sketchlib.multimodal.media import HAS_SOUNDFILE, decode_audio
+
+    if not HAS_SOUNDFILE:
+        pytest.skip("soundfile not importable in this container")
+    import io
+
+    import soundfile as sf
+
+    sr = 16000
+    t = np.arange(sr, dtype=np.float32) / sr
+    wave = (0.5 * np.sin(2 * np.pi * 440 * t)).reshape(-1, 1)
+    buf = io.BytesIO()
+    sf.write(buf, wave, sr, format="WAV", subtype="FLOAT")
+    got, got_sr = decode_audio(buf.getvalue(), {}, codec="real")
+    assert got_sr == sr
+    np.testing.assert_allclose(got, wave, atol=1e-6)
+
+
+def test_real_video_decode_frames():
+    """Runs wherever PyAV exists: encode a tiny mp4 and decode frames
+    back through decode_video_frames(codec='real')."""
+    from sketchlib.multimodal.media import HAS_PYAV, decode_video_frames
+
+    if not HAS_PYAV:
+        pytest.skip("PyAV not importable in this container")
+    import io
+
+    import av
+
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp4") as out:
+        stream = out.add_stream("mpeg4", rate=4)
+        stream.width, stream.height, stream.pix_fmt = 32, 24, "yuv420p"
+        for i in range(4):
+            img = np.full((24, 32, 3), i * 60, dtype=np.uint8)
+            for packet in stream.encode(
+                av.VideoFrame.from_ndarray(img, format="rgb24")
+            ):
+                out.mux(packet)
+        for packet in stream.encode():
+            out.mux(packet)
+    frames = list(
+        decode_video_frames(buf.getvalue(), {}, codec="real", every=2)
+    )
+    assert [fi for fi, _ in frames] == [0, 2]
+    assert all(f.shape == (24, 32, 3) for _, f in frames)
