@@ -736,6 +736,38 @@ def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Causal-LM sequence packing (concatenate docs in doc_id order,
+    chunk at 2048): the (seq_id, seq_offset, n_seqs) layout is a pure
+    function of the exact global prefix sum — full row parity with the
+    DuckDB window oracle, no sketch tolerance involved."""
+    from sketchlib.spark.api import pack_sequences
+
+    docs = _read(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, 2048, size_col="n_chars", order_col="doc_id")
+    return packed.select(
+        F.col("doc_id").cast("bigint"), "seq_id", "seq_offset", "n_seqs"
+    )
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling at per-language rates
+    {en: 1/2, fr: 1/4}: the keep decision is an arithmetic Weyl key
+    both engines compute identically (production default is a seeded
+    xxhash64 — same plan, engine-specific key), so the selected set has
+    exact row parity with the SQL oracle."""
+    from sketchlib.spark.api import sample_stratified
+
+    docs = _read(spark, sf_dir, "documents")
+    key = F.pmod(
+        F.col("doc_id").cast("long") * F.lit(2654435761), F.lit(1 << 20)
+    )
+    picked = sample_stratified(
+        docs, ["lang"], {"en": 0.5, "fr": 0.25}, key_expr=key
+    )
+    return picked.select(F.col("doc_id").cast("bigint"), "lang")
+
+
 def q_grouped_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event_type top-3 user_ids via per-group SpaceSaving
     sketches: the exact per-group top-3 (Spark groupBy) must be
@@ -1231,6 +1263,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_star": q_dedup_clusters_star,
         "tdigest_cluster_insert": q_tdigest_cluster_insert,
         "sample_token_budget": q_sample_token_budget,
+        "pack_sequences": q_pack_sequences,
+        "sample_stratified": q_sample_stratified,
         "grouped_heavy_hitters": q_grouped_heavy_hitters,
         "streaming_windowed_quantiles": q_streaming_windowed_quantiles,
         "text_fingerprints": q_text_fingerprints,
@@ -1486,6 +1520,28 @@ def oracle_sql() -> dict[str, str]:
             "CAST(n_chars AS BIGINT) AS n_chars FROM ranked "
             "WHERE prior < (CASE lang WHEN 'en' THEN 8000 "
             "WHEN 'fr' THEN 5000 ELSE 4000 END)"
+        ),
+        "pack_sequences": (
+            # the packed layout is pure window arithmetic: exact global
+            # prefix sum in doc_id order, chunked at L=2048
+            "WITH ordered AS ("
+            "  SELECT doc_id, n_chars, "
+            "  COALESCE(SUM(n_chars) OVER (ORDER BY doc_id "
+            "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior "
+            "  FROM documents WHERE n_chars > 0) "
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "CAST(prior // 2048 AS BIGINT) AS seq_id, "
+            "CAST(prior % 2048 AS BIGINT) AS seq_offset, "
+            "CAST((prior % 2048 + n_chars - 1) // 2048 + 1 AS BIGINT) AS n_seqs "
+            "FROM ordered"
+        ),
+        "sample_stratified": (
+            # same arithmetic Weyl keep rule, fractions chosen so
+            # f * 2^20 is an exact integer (no FP truncation skew)
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM documents "
+            "WHERE lang IN ('en', 'fr') AND "
+            "(doc_id * 2654435761) % 1048576 < "
+            "(CASE lang WHEN 'en' THEN 524288 ELSE 262144 END)"
         ),
         "grouped_heavy_hitters": (
             "SELECT * FROM (VALUES ('click', TRUE), ('error', TRUE), "

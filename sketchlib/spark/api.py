@@ -539,6 +539,134 @@ def _string_order_bounds(
     return bounds
 
 
+def _plan_partitions(df: DataFrame, assume: int) -> int:
+    """Planned partition count via the JVM-side accessor (~0.2ms; the
+    queryExecution is reused at execution — df.rdd would build the
+    Python RDD wrapper for ~160ms).  Falls back to ``assume`` on
+    internal API drift."""
+    try:
+        return df._jdf.rdd().getNumPartitions()
+    except Exception:  # pragma: no cover - internal API drift
+        return assume
+
+
+def _order_and_bucket(
+    df: DataFrame,
+    order_col: str | None,
+    seed: int,
+    order_buckets: int,
+    use_bucketed: bool,
+):
+    """Shared order/bucket derivation of the exact distributed prefix
+    sum (see sample_by_token_budget's docstring for the plan shape):
+    returns (order expression, monotonic bucket expression or None).
+    ``None`` order_col = seeded xxhash64 over ALL columns (an unbiased
+    reproducible draw whose bucket is free — the hash's high bits);
+    numeric order columns bucket by sketch split points; anything else
+    by evenly-spaced order statistics of a seeded sample."""
+    import math
+
+    if order_col is None:
+        order = F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
+        if not use_bucketed:
+            return order, None
+        # signed arithmetic shift keeps ordering: the hash's high bits
+        # are a monotonic, ~uniform partition of the order domain
+        shift = min(
+            max(64 - math.ceil(math.log2(max(order_buckets, 2))), 1), 63
+        )
+        return order, F.shiftright(order, shift)
+    order = F.col(order_col)
+    if not use_bucketed:
+        return order, None
+    dt = df.schema[order_col].dataType.simpleString()
+    if dt in ("tinyint", "smallint", "int", "bigint", "float", "double"):
+        # monotonic bucket id from sketch split points: count how many
+        # bounds the value is >= (codegen'd O(order_buckets) per row,
+        # no shuffle); NULLs sort first and compare false everywhere
+        # => bucket 0, matching nulls-first window order
+        bounds = range_partition_bounds(
+            df, order_col, order_buckets, sketch="tdigest"
+        )
+        if not bounds:
+            return order, None  # degenerate domain: single window
+        return order, F.aggregate(
+            F.array(*[F.lit(float(b)) for b in bounds]),
+            F.lit(0),
+            lambda acc, b: acc
+            + F.when(F.col(order_col).cast("double") >= b, 1).otherwise(0),
+        )
+    # string/other order key: bounds from a seeded sample; the >=
+    # predicate uses the SAME Catalyst ordering as the window's
+    # orderBy, so bucketing stays monotonic with equal keys sharing a
+    # bucket (NULLs => bucket 0, matching nulls-first)
+    bounds = _string_order_bounds(df, order_col, order_buckets, seed)
+    if not bounds:
+        return order, None
+    return order, F.aggregate(
+        F.array(*[F.lit(b) for b in bounds]),
+        F.lit(0),
+        lambda acc, b: acc + F.when(F.col(order_col) >= b, 1).otherwise(0),
+    )
+
+
+def _exact_running_prior(
+    df: DataFrame,
+    size_col: str,
+    order,
+    bucket,
+    part_cols: list[str],
+) -> DataFrame:
+    """Append ``__prior`` = exact running sum of ``size_col`` over
+    ``order`` within each ``part_cols`` group (globally when empty),
+    EXCLUDING the current row.  ``bucket`` None = one window per group
+    (fine when the input is small — the adaptive gates decide); else
+    the two-phase distributed prefix sum: per-(group, bucket) sums via
+    map-side partial agg, per-bucket starting offsets via a window over
+    at most order_buckets rows per group, within-bucket running sums
+    over ~rows/order_buckets-row partitions.  Bucketing is monotonic
+    and equal order keys share a bucket, so the result is EXACTLY the
+    single-window answer."""
+    from pyspark.sql.window import Window
+
+    if bucket is None:
+        w = (
+            Window.partitionBy(*part_cols)
+            .orderBy(order)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return df.withColumn(
+            "__prior", F.coalesce(F.sum(F.col(size_col)).over(w), F.lit(0))
+        )
+    bucketed = df.withColumn("__ob", bucket)
+    woff = (
+        Window.partitionBy(*part_cols)
+        .orderBy("__ob")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        bucketed.groupBy(*part_cols, "__ob")
+        .agg(F.sum(size_col).alias("__bsum"))
+        .withColumn(
+            "__off", F.coalesce(F.sum("__bsum").over(woff), F.lit(0))
+        )
+        .drop("__bsum")
+    )
+    win = (
+        Window.partitionBy(*part_cols, "__ob")
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.col("__off") + F.coalesce(
+        F.sum(F.col(size_col)).over(win), F.lit(0)
+    )
+    return (
+        bucketed.join(F.broadcast(offsets), list(part_cols) + ["__ob"])
+        .withColumn("__prior", prior)
+        .drop("__ob", "__off")
+    )
+
+
 def sample_by_token_budget(
     df: DataFrame,
     budgets: dict,
@@ -596,124 +724,159 @@ def sample_by_token_budget(
     partition count (~0.2ms, no extra job), mirroring the ann.py
     two-level top-k gate.  Set ``bucketed_min_partitions=0`` to force
     the bucketed plan.  Returns the selected rows of ``df`` unchanged."""
-    from pyspark.sql.window import Window
-
     if not budgets:
         return df.limit(0)
     budget_map = F.create_map(
         *[F.lit(x) for kv in budgets.items() for x in kv]
     )
     filtered = df.filter(F.col(source_col).isin(list(budgets)))
-    try:
-        # JVM-side accessor: ~0.2ms, reuses the planned queryExecution
-        # (df.rdd would build the Python RDD wrapper: ~160ms)
-        nparts = filtered._jdf.rdd().getNumPartitions()
-    except Exception:  # pragma: no cover - internal API drift
-        nparts = bucketed_min_partitions + 1  # assume big: safe plan
-    use_bucketed = order_buckets > 1 and nparts >= bucketed_min_partitions
-    if order_col is not None:
-        order = F.col(order_col)
-        dt = df.schema[order_col].dataType.simpleString()
-        numeric = dt in (
-            "tinyint", "smallint", "int", "bigint", "float", "double"
-        )
-        if not use_bucketed:
-            bucket = None  # small input: single window IS the plan
-        elif numeric:
-            # monotonic bucket id from sketch split points: count how
-            # many bounds the value is >= (codegen'd O(order_buckets)
-            # per row, no shuffle); NULLs sort first and compare false
-            # everywhere => bucket 0, matching nulls-first window order
-            bounds = range_partition_bounds(
-                filtered, order_col, order_buckets, sketch="tdigest"
-            )
-            if bounds:
-                bucket = F.aggregate(
-                    F.array(*[F.lit(float(b)) for b in bounds]),
-                    F.lit(0),
-                    lambda acc, b: acc
-                    + F.when(
-                        F.col(order_col).cast("double") >= b, 1
-                    ).otherwise(0),
-                )
-            else:  # degenerate domain: one bucket == single window
-                bucket = None
-        else:
-            # string/other order key: bounds from a seeded sample; the
-            # >= predicate uses the SAME Catalyst ordering as the
-            # window's orderBy, so bucketing stays monotonic with
-            # equal keys sharing a bucket (NULLs => bucket 0,
-            # matching nulls-first)
-            bounds = _string_order_bounds(
-                filtered, order_col, order_buckets, seed
-            )
-            if bounds:
-                bucket = F.aggregate(
-                    F.array(*[F.lit(b) for b in bounds]),
-                    F.lit(0),
-                    lambda acc, b: acc
-                    + F.when(F.col(order_col) >= b, 1).otherwise(0),
-                )
-            else:
-                bucket = None
-    else:
-        import math
+    use_bucketed = order_buckets > 1 and (
+        _plan_partitions(filtered, assume=bucketed_min_partitions + 1)
+        >= bucketed_min_partitions
+    )
+    order, bucket = _order_and_bucket(
+        filtered, order_col, seed, order_buckets, use_bucketed
+    )
+    withp = _exact_running_prior(
+        filtered, size_col, order, bucket, [source_col]
+    )
+    return withp.filter(
+        F.col("__prior") < budget_map[F.col(source_col)]
+    ).drop("__prior")
 
-        order = F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
-        if use_bucketed:
-            # signed arithmetic shift keeps ordering: the hash's high
-            # bits are a monotonic, ~uniform partition of the domain
-            shift = min(
-                max(64 - math.ceil(math.log2(max(order_buckets, 2))), 1), 63
-            )
-            bucket = F.shiftright(order, shift)
-        else:
-            bucket = None
 
-    if bucket is None:
-        w = (
-            Window.partitionBy(source_col)
-            .orderBy(order)
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        prior = F.coalesce(F.sum(F.col(size_col)).over(w), F.lit(0))
-        return (
-            filtered.withColumn("__prior", prior)
-            .filter(F.col("__prior") < budget_map[F.col(source_col)])
-            .drop("__prior")
-        )
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    size_col: str = "n_tok",
+    order_col: str | None = None,
+    group_col: str | None = None,
+    seed: int = 42,
+    order_buckets: int = 1024,
+    bucketed_min_partitions: int = 256,
+) -> DataFrame:
+    """Causal-LM sequence packing: documents are concatenated in a
+    deterministic order and chunked into fixed ``seq_len`` training
+    windows, documents crossing window boundaries (the standard
+    GPT-style packed-pretraining layout — zero padding by
+    construction).  Appends to every row:
 
-    bucketed = filtered.withColumn("__ob", bucket)
-    # per-(source, bucket) sums: partial agg => at most sources x
-    # order_buckets rows; the offset window is bounded by order_buckets
-    # rows per source
-    woff = (
-        Window.partitionBy(source_col)
-        .orderBy("__ob")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    - ``seq_id``     — index of the training sequence holding the
+      doc's FIRST token
+    - ``seq_offset`` — position of that first token within it
+    - ``n_seqs``     — how many sequences the doc spans
+
+    so writers can materialize each window by gathering the docs with
+    ``seq_id <= w < seq_id + n_seqs``.  The layout is a pure function
+    of the exact global running token sum, computed with the same
+    two-phase distributed prefix sum as ``sample_by_token_budget``
+    (adaptive: single window below ``bucketed_min_partitions`` planned
+    partitions) — crucially WITHOUT a per-key partition at all when
+    ``group_col`` is None: the offsets window ranks at most
+    ``order_buckets`` rows and every running-sum partition holds
+    ~rows/order_buckets rows, so a 10^10-doc corpus never funnels into
+    one task.  ``group_col`` packs each group into its own independent
+    sequence space (e.g. per-source curricula).  Order: ``order_col``
+    (reproducible by any engine) or a seeded xxhash64 row shuffle when
+    None.  Rows with NULL or non-positive ``size_col`` contribute no
+    tokens and are dropped (documented contract — a 0-token doc has no
+    position in the token stream)."""
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    filtered = df.filter(F.col(size_col) > 0)
+    part_cols = [group_col] if group_col else []
+    use_bucketed = order_buckets > 1 and (
+        _plan_partitions(filtered, assume=bucketed_min_partitions + 1)
+        >= bucketed_min_partitions
     )
-    offsets = (
-        bucketed.groupBy(source_col, "__ob")
-        .agg(F.sum(size_col).alias("__bsum"))
-        .withColumn(
-            "__off", F.coalesce(F.sum("__bsum").over(woff), F.lit(0))
-        )
-        .drop("__bsum")
+    order, bucket = _order_and_bucket(
+        filtered, order_col, seed, order_buckets, use_bucketed
     )
-    win = (
-        Window.partitionBy(source_col, "__ob")
-        .orderBy(order)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    prior = F.col("__off") + F.coalesce(
-        F.sum(F.col(size_col)).over(win), F.lit(0)
-    )
+    withp = _exact_running_prior(filtered, size_col, order, bucket, part_cols)
+    L = F.lit(int(seq_len)).cast("long")
+    prior = F.col("__prior").cast("long")
+    off = prior % L
     return (
-        bucketed.join(F.broadcast(offsets), [source_col, "__ob"])
-        .withColumn("__prior", prior)
-        .filter(F.col("__prior") < budget_map[F.col(source_col)])
-        .drop("__prior", "__ob", "__off")
+        withp.withColumn("seq_id", (prior / L).cast("long"))
+        .withColumn("seq_offset", off.cast("long"))
+        .withColumn(
+            "n_seqs",
+            (
+                (off + F.col(size_col).cast("long") - F.lit(1)) / L
+            ).cast("long")
+            + F.lit(1).cast("long"),
+        )
+        .drop("__prior")
     )
+
+
+def sample_stratified(
+    df: DataFrame,
+    strata_cols: list[str],
+    fractions: dict,
+    key_cols: list[str] | None = None,
+    seed: int = 42,
+    default_fraction: float = 0.0,
+    key_expr=None,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep each row of stratum s
+    with probability ``fractions[s]`` (``default_fraction`` for
+    unlisted strata), decided by a seeded hash of ``key_cols`` (all
+    columns when None) — so the SAME rows are selected on every run,
+    every engine with the same hash, and every subset of the data
+    (adding files never flips earlier decisions, unlike
+    ``df.sample``'s partition-index-seeded Bernoulli draw).
+
+    Strata keys are the tuple of ``strata_cols`` values; for
+    single-column strata ``fractions`` maps plain values.  The plan is
+    ONE map-side filter — no shuffle, no action, no state: the 100-TB
+    shape is a full scan at worst, and Catalyst prunes strata with
+    fraction 0 via the pushed-down isin when ``default_fraction`` is 0.
+
+    Keep rule: ``pmod(xxhash64(key_cols, seed), 2^20) < fraction *
+    2^20`` — exact to ~1e-6 in the keep probability.  ``key_expr``
+    overrides the hash with a caller-supplied integer Column in
+    [0, 2^20) — e.g. an arithmetic Weyl key any SQL engine computes
+    identically, for cross-engine verification."""
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError("default_fraction must be in [0, 1]")
+    for k, v in fractions.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fraction for stratum {k!r} must be in [0, 1]")
+    scale = 1 << 20
+    if key_expr is not None:
+        h = key_expr
+    else:
+        keys = key_cols if key_cols is not None else list(df.columns)
+        h = F.pmod(
+            F.xxhash64(*[F.col(c) for c in keys], F.lit(seed)), F.lit(scale)
+        )
+    if len(strata_cols) == 1:
+        stratum = F.col(strata_cols[0])
+        frac_map = F.create_map(
+            *[F.lit(x) for kv in fractions.items() for x in kv]
+        )
+    else:
+        stratum = F.concat_ws(
+            "\x1f", *[F.col(c).cast("string") for c in strata_cols]
+        )
+        frac_map = F.create_map(
+            *[
+                F.lit(x)
+                for k, v in fractions.items()
+                for x in ("\x1f".join(str(p) for p in k), v)
+            ]
+        )
+    frac = F.coalesce(frac_map[stratum], F.lit(float(default_fraction)))
+    out = df.filter(h < (frac * scale).cast("long"))
+    if default_fraction == 0.0:
+        # unlisted strata can never pass: make that a pushdown-able
+        # isin so the scan skips them entirely
+        if len(strata_cols) == 1:
+            out = out.filter(
+                F.col(strata_cols[0]).isin(list(fractions))
+            )
+    return out
 
 
 def grouped_quantiles(
