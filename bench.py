@@ -29,11 +29,13 @@ phase (a) waits up to ~90s for the host 1-min load to drop below a
 threshold before starting (shared-tenant noise arrives in multi-minute
 bursts; starting inside one corrupts every leg), (b) runs temporally
 spread leg pairs in alternating order and keeps per-session best
-times, and (c) stops early once the min-based efficiency clears the
-bar with margin — more samples can only raise a min-based ratio's
-legs, so early stop never overstates it, and a structurally sub-bar
-job still runs all pairs and reports its true value.  Per-session leg
-times are recorded in ``scaling_samples`` for post-hoc adjudication.
+times, and (c) stops early ONLY once the min-based efficiency clears
+the bar with margin AND the latest pair improved neither leg's min by
+>3% — efficiency is t_low/(4*t_high), so a still-noise-inflated low
+leg would overstate it; the convergence requirement (at least two
+pairs) is the evidence both minima are clean.  A structurally sub-bar
+job runs all pairs and reports its true value.  Per-session leg times
+are recorded in ``scaling_samples`` for post-hoc adjudication.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), SKETCHBENCH_SKIP_SCALING=1 to skip the
@@ -104,13 +106,13 @@ def _token_table_path(sf: float) -> str:
     return f"/tmp/sketchbench_tokens_sf{sf}"
 
 
-def _ensure_token_table(sf: float, cpus: int) -> str:
+def _ensure_token_table(sf: float, cpus: int) -> tuple[str, bool]:
     """Materialize the deterministic token table once (all runs read
-    the identical files)."""
+    the identical files).  Returns (path, built_now)."""
     path = _token_table_path(sf)
     marker = os.path.join(path, "_SUCCESS")
     if os.path.exists(marker):
-        return path
+        return path, False
     from sketchlib.spark.datagen import token_sequences
 
     spark = _spark(f"local[{cpus}]", "sketchbench-datagen")
@@ -119,7 +121,7 @@ def _ensure_token_table(sf: float, cpus: int) -> str:
     df = token_sequences(spark, rows, seed=42, partitions=BENCH_PARTITIONS)
     df.write.mode("overwrite").parquet(path)
     spark.stop()
-    return path
+    return path, True
 
 
 def _throughput_run(
@@ -164,21 +166,31 @@ def main() -> None:
     # ---- phase 1: two-parallelism token-throughput (scaling evidence)
     if os.environ.get("SKETCHBENCH_SKIP_SCALING") != "1":
         low, high = 1, 4  # N and 4N cores (see module docstring)
-        path = _ensure_token_table(sf, cpus)
+        # wait for quiet BEFORE the table build reads the loadavg it
+        # would itself inflate; a fresh build then gets a short decay
+        # pause instead of re-reading its own load for the full cap
         _wait_for_quiet()
+        path, built_now = _ensure_token_table(sf, cpus)
+        if built_now:
+            time.sleep(10)
         t_low = t_high = None
         total = 0
         samples: dict[str, list[float]] = {"low": [], "high": []}
         # up to three temporally-spread pairs in ALTERNATING leg order
         # (a monotonic load ramp then biases both legs, not one); each
-        # leg is best-of-2 inside its warm session.  Early stop once
-        # the min-based efficiency clears the bar with margin: more
-        # samples can only lower each leg's min time, so stopping
-        # early never overstates the ratio.
+        # leg is best-of-2 inside its warm session.  Early stop needs
+        # BOTH margin and stability: eff = t_low / (4 * t_high), so a
+        # noise-INFLATED low leg overstates it and a single good-looking
+        # pair is not evidence — at least two pairs must have run and
+        # the latest pair must have improved neither leg's min by >3%
+        # (the minima have converged) before stopping above 0.82.  A
+        # structurally sub-bar job always runs all pairs and reports
+        # its true min-based value.
         for pair in range(3):
             legs = [("high", high), ("low", low)]
             if pair % 2:
                 legs.reverse()
+            prev = (t_low, t_high)
             for name, cores in legs:
                 t, total = _throughput_run(
                     f"local[{cores}]", path, SCALE_REPEAT, tasks=64
@@ -187,7 +199,12 @@ def main() -> None:
             t_low = min(samples["low"])
             t_high = min(samples["high"])
             eff = (total / t_high) / ((high / low) * (total / t_low))
-            if eff >= 0.82:
+            stable = (
+                prev[0] is not None
+                and t_low >= prev[0] * 0.97
+                and t_high >= prev[1] * 0.97
+            )
+            if eff >= 0.82 and stable:
                 break
         t_full, _ = _throughput_run(f"local[{cpus}]", path, SCALE_REPEAT, tasks=4 * cpus)
         tput_low = total / t_low

@@ -580,6 +580,11 @@ def _order_and_bucket(
     if not use_bucketed:
         return order, None
     dt = df.schema[order_col].dataType.simpleString()
+    if dt.startswith(("array", "struct", "map")):
+        # orderable but not sample-boundable (python-side values are
+        # unhashable/uncomparable across engines): keep the
+        # single-window plan for complex order keys
+        return order, None
     if dt in ("tinyint", "smallint", "int", "bigint", "float", "double"):
         # monotonic bucket id from sketch split points: count how many
         # bounds the value is >= (codegen'd O(order_buckets) per row,
@@ -793,18 +798,20 @@ def pack_sequences(
         filtered, order_col, seed, order_buckets, use_bucketed
     )
     withp = _exact_running_prior(filtered, size_col, order, bucket, part_cols)
-    L = F.lit(int(seq_len)).cast("long")
-    prior = F.col("__prior").cast("long")
-    off = prior % L
+    # integer `div`, NOT float division: the running token sum of a
+    # 100-TB corpus exceeds 2^53, where a double quotient can round
+    # across an integer and misplace a document
+    L = int(seq_len)
     return (
-        withp.withColumn("seq_id", (prior / L).cast("long"))
-        .withColumn("seq_offset", off.cast("long"))
+        withp.withColumn("__prior", F.col("__prior").cast("long"))
+        .withColumn("seq_id", F.expr(f"__prior div {L}"))
+        .withColumn("seq_offset", F.pmod("__prior", F.lit(L)).cast("long"))
         .withColumn(
             "n_seqs",
-            (
-                (off + F.col(size_col).cast("long") - F.lit(1)) / L
-            ).cast("long")
-            + F.lit(1).cast("long"),
+            F.expr(
+                f"(pmod(__prior, {L}) + CAST({size_col} AS BIGINT) - 1) "
+                f"div {L} + 1"
+            ),
         )
         .drop("__prior")
     )
@@ -851,31 +858,35 @@ def sample_stratified(
         h = F.pmod(
             F.xxhash64(*[F.col(c) for c in keys], F.lit(seed)), F.lit(scale)
         )
-    if len(strata_cols) == 1:
-        stratum = F.col(strata_cols[0])
-        frac_map = F.create_map(
-            *[F.lit(x) for kv in fractions.items() for x in kv]
-        )
-    else:
-        stratum = F.concat_ws(
-            "\x1f", *[F.col(c).cast("string") for c in strata_cols]
-        )
-        frac_map = F.create_map(
-            *[
-                F.lit(x)
-                for k, v in fractions.items()
-                for x in ("\x1f".join(str(p) for p in k), v)
-            ]
-        )
-    frac = F.coalesce(frac_map[stratum], F.lit(float(default_fraction)))
+    # typed predicate chain, NOT string-concat key matching: F.lit of
+    # the python value compares in the COLUMN's type (a string-cast
+    # match would silently miss bool/date strata whose Spark cast
+    # differs from python str(), and separator bytes could collide);
+    # eqNullSafe makes None a matchable stratum value
+    def match(key) -> "F.Column":
+        parts = key if len(strata_cols) > 1 else (key,)
+        cond = None
+        for c, v in zip(strata_cols, parts):
+            eq = F.col(c).eqNullSafe(F.lit(v))
+            cond = eq if cond is None else (cond & eq)
+        return cond
+
+    frac = F.lit(float(default_fraction))
+    for k, v in fractions.items():
+        frac = F.when(match(k), F.lit(float(v))).otherwise(frac)
     out = df.filter(h < (frac * scale).cast("long"))
     if default_fraction == 0.0:
-        # unlisted strata can never pass: make that a pushdown-able
-        # isin so the scan skips them entirely
-        if len(strata_cols) == 1:
-            out = out.filter(
-                F.col(strata_cols[0]).isin(list(fractions))
-            )
+        # unlisted strata can never pass: add pushdown-able per-column
+        # isin prefilters (a necessary condition of membership in any
+        # listed stratum) so the scan prunes them; None-keyed strata
+        # can't ride isin (null never matches IN), so pruning applies
+        # per column only when no listed key uses None there
+        for i, c in enumerate(strata_cols):
+            vals = [
+                (k if len(strata_cols) > 1 else (k,))[i] for k in fractions
+            ]
+            if None not in vals:
+                out = out.filter(F.col(c).isin(vals))
     return out
 
 

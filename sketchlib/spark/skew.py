@@ -62,6 +62,11 @@ def sub_split_buckets(
       second materialization, the caller's own first action builds the
       cheap JVM-side join-back from the cached input (the self-join's
       identical size-aggregate subtrees are deduped by ReuseExchange).
+      Cache retention is unchanged vs the eager modes: exactly ONE
+      frame per call stays persisted (here the input the lazy output
+      reads, there the materialized output — same order of size, both
+      released at session end; callers that loop many corpora through
+      one session should spark.catalog.clearCache() between runs).
     - neither: no metric work at all; output persisted and
       materialized eagerly as before (self-joining callers keep the
       deterministic single-UDF-execution guarantee).

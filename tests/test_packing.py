@@ -181,3 +181,63 @@ def test_sample_stratified_pushdown_filter_in_plan(spark, tmp_path):
     )
     pushed = plan.split("PushedFilters:")[1].split("\n")[0]
     assert "In(grp" in pushed or "EqualTo(grp,a)" in pushed, plan
+
+
+def test_sample_stratified_typed_strata_bool_and_null(spark):
+    """Review r5: stratum matching must compare in the COLUMN's type —
+    a string-cast match silently missed bool strata (python str(True)
+    = 'True' vs Spark 'true'); eqNullSafe makes None matchable."""
+    df = spark.createDataFrame(
+        [(i, "s%d" % (i % 2), bool(i % 2)) for i in range(2000)]
+        + [(9000 + i, None, True) for i in range(200)],
+        "doc_id long, src string, flag boolean",
+    )
+    got = sample_stratified(
+        df, ["src", "flag"], {("s1", True): 1.0}, key_cols=["doc_id"]
+    ).collect()
+    assert len(got) == 1000  # every (s1, true) row kept
+    assert all(r["src"] == "s1" and r["flag"] for r in got)
+    # None as a stratum key value matches via eqNullSafe
+    got_null = sample_stratified(
+        df, ["src", "flag"], {(None, True): 1.0}, key_cols=["doc_id"]
+    ).collect()
+    assert len(got_null) == 200
+    assert all(r["src"] is None for r in got_null)
+
+
+def test_budget_sampling_array_order_col_single_window_fallback(spark):
+    """Review r5: a complex-typed order column (orderable by Spark,
+    unhashable in python) must fall back to the single-window plan
+    instead of crashing in the sampled-bounds path."""
+    from sketchlib.spark.api import sample_by_token_budget
+
+    df = spark.createDataFrame(
+        [(i, "s", 10, [i % 5, i]) for i in range(100)],
+        "doc_id long, source string, n_tok long, okey array<int>",
+    )
+    got = sample_by_token_budget(
+        df, {"s": 200}, order_col="okey", bucketed_min_partitions=0
+    ).collect()
+    # prefix rule over (i%5, i) lexicographic order: 20 docs of 10 toks
+    order = sorted(range(100), key=lambda i: (i % 5, i))
+    assert {r["doc_id"] for r in got} == set(order[:20])
+
+
+def test_pack_sequences_integer_div_near_2_63(spark):
+    """Review r5: seq_id must come from integer division — double
+    division breaks above 2^53 cumulative tokens.  Feed a prior sum
+    beyond 2^53 via one huge document and check exact layout."""
+    big = (1 << 55) + 3  # cumulative sum passes 2^53
+    df = spark.createDataFrame(
+        [(1, big), (2, 7), (3, 11)], "doc_id long, n_tok long"
+    )
+    L = 2048
+    got = {
+        r["doc_id"]: (r["seq_id"], r["seq_offset"], r["n_seqs"])
+        for r in pack_sequences(df, L, order_col="doc_id").collect()
+    }
+    p2 = big
+    p3 = big + 7
+    assert got[1] == (0, 0, (big - 1) // L + 1)
+    assert got[2] == (p2 // L, p2 % L, (p2 % L + 7 - 1) // L + 1)
+    assert got[3] == (p3 // L, p3 % L, (p3 % L + 11 - 1) // L + 1)
