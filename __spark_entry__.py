@@ -768,6 +768,34 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return picked.select(F.col("doc_id").cast("bigint"), "lang")
 
 
+def q_materialize_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized packed training windows over whitespace-tokenized
+    document text (L=128): every window's exact token list must match
+    the DuckDB concatenate-and-chunk oracle — full content parity, the
+    strongest possible check of the packing layout AND the Catalyst
+    slice/reassembly plan."""
+    from sketchlib.spark.api import materialize_packed
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    return materialize_packed(docs, "toks", 128, order_col="doc_id").select(
+        "seq_id", "n_tokens", "tokens"
+    )
+
+
+def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with document frequencies (min_df=25):
+    exact SQL parity — array_distinct-then-explode equals DuckDB's
+    DISTINCT (doc, term) unnest."""
+    from sketchlib.text.analysis import vocabulary
+
+    docs = _read(spark, sf_dir, "documents")
+    return vocabulary(docs, "text", min_df=25).select(
+        "term", F.col("doc_freq").cast("bigint").alias("doc_freq")
+    )
+
+
 def q_grouped_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event_type top-3 user_ids via per-group SpaceSaving
     sketches: the exact per-group top-3 (Spark groupBy) must be
@@ -1265,6 +1293,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_token_budget": q_sample_token_budget,
         "pack_sequences": q_pack_sequences,
         "sample_stratified": q_sample_stratified,
+        "materialize_packed": q_materialize_packed,
+        "vocabulary": q_vocabulary,
         "grouped_heavy_hitters": q_grouped_heavy_hitters,
         "streaming_windowed_quantiles": q_streaming_windowed_quantiles,
         "text_fingerprints": q_text_fingerprints,
@@ -1542,6 +1572,29 @@ def oracle_sql() -> dict[str, str]:
             "WHERE lang IN ('en', 'fr') AND "
             "(doc_id * 2654435761) % 1048576 < "
             "(CASE lang WHEN 'en' THEN 524288 ELSE 262144 END)"
+        ),
+        "materialize_packed": (
+            # concatenate whitespace tokens in doc_id order, chunk at
+            # 128: per-window exact token-list parity
+            "WITH sized AS ("
+            "  SELECT doc_id, string_split(text, ' ') AS words, "
+            "  COALESCE(SUM(len(string_split(text, ' '))) OVER ("
+            "    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "    1 PRECEDING), 0) AS prior "
+            "  FROM documents WHERE len(string_split(text, ' ')) > 0), "
+            "toks AS ("
+            "  SELECT prior + generate_subscripts(words, 1) - 1 AS gidx, "
+            "  unnest(words) AS word FROM sized) "
+            "SELECT CAST(gidx // 128 AS BIGINT) AS seq_id, "
+            "CAST(count(*) AS BIGINT) AS n_tokens, "
+            "list(word ORDER BY gidx) AS tokens "
+            "FROM toks GROUP BY 1"
+        ),
+        "vocabulary": (
+            "SELECT term, CAST(count(*) AS BIGINT) AS doc_freq FROM ("
+            "  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term "
+            "  FROM documents) "
+            "WHERE term <> '' GROUP BY term HAVING count(*) >= 25"
         ),
         "grouped_heavy_hitters": (
             "SELECT * FROM (VALUES ('click', TRUE), ('error', TRUE), "

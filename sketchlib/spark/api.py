@@ -817,6 +817,84 @@ def pack_sequences(
     )
 
 
+def materialize_packed(
+    df: DataFrame,
+    tokens_col: str,
+    seq_len: int,
+    order_col: str | None = None,
+    group_col: str | None = None,
+    seed: int = 42,
+    order_buckets: int = 1024,
+    bucketed_min_partitions: int = 256,
+) -> DataFrame:
+    """Materialize the packed training windows themselves:
+    DataFrame[seq_id, n_tokens, tokens] where ``tokens`` is the
+    concatenated token stream chunk of length ``seq_len`` (the final
+    window may be shorter — pad or drop at the writer).  With
+    ``group_col``, one independent sequence space per group (output
+    gains the group column).
+
+    Plan shape (all Catalyst, zero Python): ``pack_sequences`` lays
+    out each document, ``explode(sequence(0, n_seqs-1))`` emits one
+    row per (document, window) intersection carrying the
+    ``F.slice`` of the token array that lands in that window, and a
+    ``groupBy(seq_id)`` reassembles each window via
+    ``flatten(transform(array_sort(collect_list(struct(pos, slice)))))``
+    — struct sort orders by in-window position (distinct docs occupy
+    disjoint ranges, so no ties).  Every group holds at most
+    ``seq_len`` tokens and at most ``seq_len`` slices, so the shuffle
+    is perfectly bounded per reducer regardless of corpus size."""
+    sized = df.withColumn("__n", F.size(F.col(tokens_col)).cast("long"))
+    packed = pack_sequences(
+        sized, seq_len, size_col="__n", order_col=order_col,
+        group_col=group_col, seed=seed, order_buckets=order_buckets,
+        bucketed_min_partitions=bucketed_min_partitions,
+    )
+    L = int(seq_len)
+    g = F.col("seq_id") * L + F.col("seq_offset")  # global start
+    win = (F.col("seq_id") + F.col("__j")).alias("__win")
+    win_start = (F.col("seq_id") + F.col("__j")) * L
+    start_in_doc = F.greatest(win_start - g, F.lit(0).cast("long"))
+    end_in_doc = F.least(win_start + L - g, F.col("__n"))
+    pos_in_win = F.greatest(g - win_start, F.lit(0).cast("long"))
+    contrib = packed.select(
+        *([group_col] if group_col else []),
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("n_seqs") - 1)
+        ).alias("__j"),
+        "seq_id", "seq_offset", "__n", tokens_col,
+    ).select(
+        *([group_col] if group_col else []),
+        win,
+        F.struct(
+            pos_in_win.alias("pos"),
+            F.slice(
+                F.col(tokens_col),
+                (start_in_doc + 1).cast("int"),
+                (end_in_doc - start_in_doc).cast("int"),
+            ).alias("part"),
+        ).alias("__piece"),
+    )
+    keys = ([group_col] if group_col else []) + ["__win"]
+    return (
+        contrib.groupBy(*keys)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list("__piece")),
+                    lambda s: s["part"],
+                )
+            ).alias("tokens")
+        )
+        .select(
+            *([group_col] if group_col else []),
+            F.col("__win").alias("seq_id"),
+            F.size("tokens").cast("long").alias("n_tokens"),
+            "tokens",
+        )
+    )
+
+
 def sample_stratified(
     df: DataFrame,
     strata_cols: list[str],

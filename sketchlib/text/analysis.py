@@ -138,3 +138,31 @@ def langid_oracle_case_sql(col: str = "text") -> str:
         f"WHEN s_{lg} = {best} THEN '{lg}'" for lg in LANG_PRIORITY
     ) + " END"
     return score_cols, case
+
+
+def vocabulary(
+    df: DataFrame,
+    col: str = "text",
+    min_df: int = 1,
+    tokens: bool = False,
+) -> DataFrame:
+    """Corpus vocabulary with document frequencies:
+    DataFrame[term, doc_freq] for every term appearing in at least
+    ``min_df`` documents.  ``tokens=True`` treats ``col`` as an
+    already-tokenized array column; otherwise whitespace-split.
+
+    Plan shape: ``array_distinct`` BEFORE the explode caps each doc's
+    contribution at its distinct-term count, and the groupBy count is
+    a map-side-combinable aggregation on the term — the standard
+    vocab-build at 100 TB (one shuffle keyed by term; AQE splits the
+    stop-word-scale hot keys).  The df >= min_df filter prunes the
+    singleton long tail before any downstream join."""
+    terms = F.col(col) if tokens else F.split(F.col(col), " ")
+    exploded = df.select(
+        F.explode(F.array_distinct(terms)).alias("term")
+    ).filter(F.col("term") != "")
+    return (
+        exploded.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= int(min_df))
+    )

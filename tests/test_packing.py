@@ -241,3 +241,80 @@ def test_pack_sequences_integer_div_near_2_63(spark):
     assert got[1] == (0, 0, (big - 1) // L + 1)
     assert got[2] == (p2 // L, p2 % L, (p2 % L + 7 - 1) // L + 1)
     assert got[3] == (p3 // L, p3 % L, (p3 % L + 11 - 1) // L + 1)
+
+
+def test_materialize_packed_exact_windows(spark):
+    from sketchlib.spark.api import materialize_packed
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (int(i), [int(x) for x in rng.integers(0, 1000, rng.integers(1, 40))])
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, toks array<int>")
+    L = 32
+    got = {
+        r["seq_id"]: (r["n_tokens"], r["tokens"])
+        for r in materialize_packed(df, "toks", L, order_col="doc_id").collect()
+    }
+    stream = [t for _, ts in sorted(rows) for t in ts]
+    expect = {
+        w: stream[w * L : (w + 1) * L]
+        for w in range((len(stream) + L - 1) // L)
+    }
+    assert set(got) == set(expect)
+    for w, toks in expect.items():
+        assert got[w] == (len(toks), toks), w
+    # every window but the last is exactly L long
+    full = [w for w in got if got[w][0] == L]
+    assert len(full) >= len(got) - 1
+
+
+def test_materialize_packed_grouped_and_bucketed_identity(spark):
+    from sketchlib.spark.api import materialize_packed
+
+    rng = np.random.default_rng(6)
+    rows = [
+        (int(i), ["g0", "g1"][i % 2],
+         [int(x) for x in rng.integers(0, 99, rng.integers(1, 20))])
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, toks array<int>")
+    base = None
+    for nb in (1, 16, 512):
+        got = {
+            (r["grp"], r["seq_id"]): r["tokens"]
+            for r in materialize_packed(
+                df, "toks", 16, order_col="doc_id", group_col="grp",
+                order_buckets=nb, bucketed_min_partitions=0,
+            ).collect()
+        }
+        if base is None:
+            base = got
+        assert got == base, nb
+    # per-group stream recompute
+    for g in ("g0", "g1"):
+        stream = [t for i, gg, ts in sorted(rows) if gg == g for t in ts]
+        for w in range((len(stream) + 15) // 16):
+            assert base[(g, w)] == stream[w * 16 : (w + 1) * 16], (g, w)
+
+
+def test_vocabulary_doc_frequency(spark):
+    from sketchlib.text.analysis import vocabulary
+
+    df = spark.createDataFrame(
+        [(1, "a b b c"), (2, "b c d"), (3, "c e"), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r["term"]: r["doc_freq"] for r in vocabulary(df, "text").collect()}
+    assert got == {"a": 1, "b": 2, "c": 3, "d": 1, "e": 1}
+    got2 = {r["term"]: r["doc_freq"]
+            for r in vocabulary(df, "text", min_df=2).collect()}
+    assert got2 == {"b": 2, "c": 3}
+    # tokens=True over array input
+    adf = spark.createDataFrame(
+        [(1, ["x", "y", "x"]), (2, ["y"])], "doc_id long, toks array<string>"
+    )
+    got3 = {r["term"]: r["doc_freq"]
+            for r in vocabulary(adf, "toks", tokens=True).collect()}
+    assert got3 == {"x": 1, "y": 2}
