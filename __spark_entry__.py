@@ -796,6 +796,18 @@ def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (exact method): training docs sharing
+    any 5-word shingle with the eval slice (doc_id % 17 == 0) are
+    removed — full row parity with the DuckDB shingle-join oracle."""
+    from sketchlib.dedup.decontaminate import decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 17 == 0)
+    kept = decontaminate(docs, eval_df, shingle_w=5, threshold=1)
+    return kept.select(F.col("doc_id").cast("bigint"))
+
+
 def q_grouped_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event_type top-3 user_ids via per-group SpaceSaving
     sketches: the exact per-group top-3 (Spark groupBy) must be
@@ -1295,6 +1307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "materialize_packed": q_materialize_packed,
         "vocabulary": q_vocabulary,
+        "decontaminate": q_decontaminate,
         "grouped_heavy_hitters": q_grouped_heavy_hitters,
         "streaming_windowed_quantiles": q_streaming_windowed_quantiles,
         "text_fingerprints": q_text_fingerprints,
@@ -1595,6 +1608,29 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term "
             "  FROM documents) "
             "WHERE term <> '' GROUP BY term HAVING count(*) >= 25"
+        ),
+        "decontaminate": (
+            # shingle join: docs sharing any 5-word shingle with the
+            # doc_id % 17 == 0 eval slice are dropped (shingles via a
+            # per-doc window list — DuckDB's generate_series cannot
+            # lateral-join on a column)
+            "WITH w AS ("
+            "  SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+            "words AS ("
+            "  SELECT doc_id, unnest(ws) AS word, "
+            "  generate_subscripts(ws, 1) AS pos, len(ws) AS n FROM w), "
+            "sh AS ("
+            "  SELECT doc_id, pos, n, "
+            "  array_to_string(list(word) OVER (PARTITION BY doc_id "
+            "    ORDER BY pos ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING), "
+            "    ' ') AS s "
+            "  FROM words), "
+            "full_sh AS (SELECT doc_id, s FROM sh WHERE pos <= n - 4), "
+            "ev AS (SELECT DISTINCT s FROM full_sh WHERE doc_id % 17 = 0), "
+            "bad AS (SELECT DISTINCT full_sh.doc_id FROM full_sh "
+            "  JOIN ev USING (s)) "
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents "
+            "WHERE doc_id NOT IN (SELECT doc_id FROM bad)"
         ),
         "grouped_heavy_hitters": (
             "SELECT * FROM (VALUES ('click', TRUE), ('error', TRUE), "

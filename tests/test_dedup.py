@@ -433,3 +433,69 @@ def test_minhash_token_mode_degenerate_docs(spark):
         ).collect()
     }
     assert (4, 5) in pairs and (1, 2) in pairs
+
+
+def test_decontaminate_exact_and_bloom(spark):
+    """Round 5: eval-set decontamination.  Docs sharing a 5-word
+    shingle with the eval corpus are removed; short docs and clean
+    docs survive; the bloom method never leaks a contaminated doc
+    (no false negatives) and here matches exact."""
+    from sketchlib.dedup.decontaminate import decontaminate
+
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog"),
+         (101, "pack my box with five dozen liquor jugs")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "he saw the quick brown fox jumps over a fence"),  # leaked
+            (2, "totally unrelated words in this training document here"),
+            (3, "short doc"),  # < 5 words: no shingles, survives
+            (4, "please pack my box with five dozen liquor jugs thanks"),  # leaked
+            (5, "quick brown fox jumps high"),  # 5 words, shingle differs
+        ],
+        "doc_id long, text string",
+    )
+    for method in ("exact", "bloom"):
+        kept = {
+            r["doc_id"]
+            for r in decontaminate(
+                train, eval_df, method=method
+            ).collect()
+        }
+        assert kept == {2, 3, 5}, method
+        bad = {
+            r["doc_id"]
+            for r in decontaminate(
+                train, eval_df, method=method, return_contaminated=True
+            ).collect()
+        }
+        assert bad == {1, 4}, method
+    # threshold: doc 1 shares exactly 2 distinct shingles -> threshold
+    # 3 clears it, threshold 2 convicts it
+    kept3 = {
+        r["doc_id"]
+        for r in decontaminate(train, eval_df, threshold=3).collect()
+    }
+    assert 1 in kept3 and 4 not in kept3  # doc 4 shares 4 shingles
+    with pytest.raises(ValueError, match="threshold"):
+        decontaminate(train, eval_df, threshold=0)
+    with pytest.raises(ValueError, match="method"):
+        decontaminate(train, eval_df, method="nope")
+
+
+def test_decontaminate_null_text_and_self(spark):
+    from sketchlib.dedup.decontaminate import decontaminate
+
+    df = spark.createDataFrame(
+        [(1, "one two three four five six"), (2, None)],
+        "doc_id long, text string",
+    )
+    # self-decontamination: every shingled doc is contaminated by
+    # itself; null-text docs have no shingles and survive
+    for method in ("exact", "bloom"):
+        kept = {
+            r["doc_id"] for r in decontaminate(df, df, method=method).collect()
+        }
+        assert kept == {2}, method
