@@ -205,6 +205,68 @@ def job_mix(args) -> None:
     spark.stop()
 
 
+def job_pack(args) -> None:
+    """Materialize packed training windows (the production shape of
+    ``materialize_packed``): tokenize (array column, or whitespace on
+    --text-col), pack at --seq-len, write parquet windows."""
+    from pyspark.sql import Observation, functions as F
+
+    from sketchlib.spark.api import materialize_packed
+    from sketchlib.spark.io import read_table
+    from sketchlib.spark.session import get_spark
+
+    spark = get_spark(master=args.master)
+    df = read_table(spark, args.input, args.format)
+    tokens_col = args.tokens_col
+    if args.text_col:
+        df = df.withColumn("__toks", F.split(F.col(args.text_col), " "))
+        tokens_col = "__toks"
+    packed = materialize_packed(
+        df, tokens_col, args.seq_len, order_col=args.order_col,
+        group_col=args.group_col, seed=args.seed,
+    )
+    obs = Observation()
+    packed = packed.observe(
+        obs,
+        F.count(F.lit(1)).alias("windows"),
+        F.sum("n_tokens").alias("tokens"),
+        F.sum((F.col("n_tokens") == args.seq_len).cast("long")).alias("full"),
+    )
+    packed.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({
+        "output": args.output, "seq_len": args.seq_len,
+        "windows": int(obs.get["windows"]),
+        "tokens": int(obs.get["tokens"] or 0),
+        "full_windows": int(obs.get["full"] or 0),
+    }))
+    spark.stop()
+
+
+def job_decontam(args) -> None:
+    """Eval-set decontamination: write the surviving train rows and
+    report kept/removed counts."""
+    from sketchlib.dedup.decontaminate import decontaminate
+    from sketchlib.spark.io import read_table
+    from sketchlib.spark.session import get_spark
+
+    spark = get_spark(master=args.master)
+    train = read_table(spark, args.input, args.format)
+    eval_df = read_table(spark, args.eval, args.format)
+    kept = decontaminate(
+        train, eval_df, col=args.col, id_col=args.id_col,
+        shingle_w=args.shingle_w, threshold=args.threshold,
+        method=args.method,
+    )
+    kept.write.mode("overwrite").parquet(args.output)
+    n_kept = spark.read.parquet(args.output).count()
+    n_total = train.count()
+    print(json.dumps({
+        "output": args.output, "method": args.method,
+        "kept": int(n_kept), "removed": int(n_total - n_kept),
+    }))
+    spark.stop()
+
+
 def job_hh(args) -> None:
     """Heavy hitters (global or per-group) as one JSON line."""
     from sketchlib.spark.api import grouped_heavy_hitters, heavy_hitters
@@ -312,6 +374,33 @@ def main(argv=None) -> None:
     h.add_argument("--capacity", type=int, default=4096)
     h.add_argument("--master", default=None)
     h.set_defaults(fn=job_hh)
+
+    pk = sub.add_parser("pack")
+    pk.add_argument("--input", required=True)
+    pk.add_argument("--format", default="auto", choices=["auto", "parquet", "iceberg"])
+    pk.add_argument("--output", required=True)
+    pk.add_argument("--seq-len", type=int, required=True)
+    pk.add_argument("--tokens-col", default="tokens")
+    pk.add_argument("--text-col", default=None,
+                    help="whitespace-tokenize this column instead")
+    pk.add_argument("--order-col", default=None)
+    pk.add_argument("--group-col", default=None)
+    pk.add_argument("--seed", type=int, default=42)
+    pk.add_argument("--master", default=None)
+    pk.set_defaults(fn=job_pack)
+
+    dc = sub.add_parser("decontam")
+    dc.add_argument("--input", required=True)
+    dc.add_argument("--eval", required=True)
+    dc.add_argument("--format", default="auto", choices=["auto", "parquet", "iceberg"])
+    dc.add_argument("--output", required=True)
+    dc.add_argument("--col", default="text")
+    dc.add_argument("--id-col", default="doc_id")
+    dc.add_argument("--shingle-w", type=int, default=5)
+    dc.add_argument("--threshold", type=int, default=1)
+    dc.add_argument("--method", default="exact", choices=["exact", "bloom"])
+    dc.add_argument("--master", default=None)
+    dc.set_defaults(fn=job_decontam)
 
     p = sub.add_parser("package")
     p.add_argument("--output", default=None)
