@@ -54,6 +54,7 @@ def decontaminate(
     method: str = "exact",
     fpr: float = 1e-6,
     return_contaminated: bool = False,
+    broadcast_eval: bool = True,
 ) -> DataFrame:
     """Return the rows of ``train`` sharing fewer than ``threshold``
     ``shingle_w``-word shingles with ``eval_df`` (or only the
@@ -70,8 +71,14 @@ def decontaminate(
         tr = train.select(
             F.col(id_col).alias("__did"), F.explode(sh).alias("__sh")
         )
+        # eval corpora are small by the nature of the op (benchmarks):
+        # broadcasting the distinct eval shingles keeps the (huge)
+        # exploded train side out of the join shuffle entirely; pass
+        # broadcast_eval=False for an unusually large eval set and let
+        # AQE pick the strategy
+        ev_side = F.broadcast(ev) if broadcast_eval else ev
         bad = (
-            tr.join(ev, "__sh")
+            tr.join(ev_side, "__sh")
             .groupBy("__did")
             .agg(F.countDistinct("__sh").alias("__hits"))
             .filter(F.col("__hits") >= threshold)
