@@ -123,3 +123,32 @@ def test_range_bounds_single_scan(spark, tokens_path):
     plan = _formatted(build_partials(df, "n_tok", lambda: TDigest(), KIND_DOUBLE))
     assert "ReadSchema: struct<n_tok:int>" in plan
     assert "Exchange" not in plan
+
+
+def test_materialize_packed_plan_shape(spark, tokens_path):
+    """Round 5: the window reassembly is pure Catalyst — exactly one
+    shuffle (the seq_id groupBy; the gated small-input prior adds its
+    window to the same exchange), a Generate (explode) node, and no
+    Python evaluation anywhere."""
+    from sketchlib.spark.api import materialize_packed
+
+    df = spark.read.parquet(tokens_path)
+    out = materialize_packed(df, "tokens", 256, order_col="doc_id")
+    plan = _formatted(out)
+    import re
+
+    assert "Generate" in plan, plan
+    assert "Python" not in plan, plan
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) <= 2, plan  # prior window + groupBy
+
+
+def test_sample_stratified_no_shuffle(spark, tokens_path):
+    """sample_stratified is one map-side filter: zero exchanges."""
+    from sketchlib.spark.api import sample_stratified
+
+    df = spark.read.parquet(tokens_path)
+    out = sample_stratified(df, ["source"], {"web": 0.25}, key_cols=["doc_id"])
+    plan = _formatted(out)
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
