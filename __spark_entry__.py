@@ -808,6 +808,21 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select(F.col("doc_id").cast("bigint"))
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/RefinedWeb repetition signals (top-bigram and duplicate
+    5-gram character fractions) — exact SQL parity with a DuckDB
+    window-gram oracle at round(,4)."""
+    from sketchlib.text.analysis import with_repetition_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    out = with_repetition_stats(docs, "text")
+    return out.select(
+        F.col("doc_id").cast("bigint"),
+        F.round("top_bigram_frac", 4).alias("top_bigram_frac"),
+        F.round("dup_5gram_frac", 4).alias("dup_5gram_frac"),
+    )
+
+
 def q_grouped_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event_type top-3 user_ids via per-group SpaceSaving
     sketches: the exact per-group top-3 (Spark groupBy) must be
@@ -1308,6 +1323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "materialize_packed": q_materialize_packed,
         "vocabulary": q_vocabulary,
         "decontaminate": q_decontaminate,
+        "text_repetition": q_text_repetition,
         "grouped_heavy_hitters": q_grouped_heavy_hitters,
         "streaming_windowed_quantiles": q_streaming_windowed_quantiles,
         "text_fingerprints": q_text_fingerprints,
@@ -1631,6 +1647,39 @@ def oracle_sql() -> dict[str, str]:
             "  JOIN ev USING (s)) "
             "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents "
             "WHERE doc_id NOT IN (SELECT doc_id FROM bad)"
+        ),
+        "text_repetition": (
+            # per-doc gram construction via the window-list trick (see
+            # decontaminate); top bigram ties break lexicographically
+            "WITH w AS (SELECT doc_id, len(text) AS n_chars, "
+            "  string_split(text, ' ') AS ws FROM documents), "
+            "words AS (SELECT doc_id, n_chars, unnest(ws) AS word, "
+            "  generate_subscripts(ws, 1) AS pos, len(ws) AS n FROM w), "
+            "g2 AS (SELECT doc_id, n_chars, pos, n, "
+            "  array_to_string(list(word) OVER (PARTITION BY doc_id "
+            "    ORDER BY pos ROWS BETWEEN CURRENT ROW AND 1 FOLLOWING), "
+            "    ' ') AS g FROM words), "
+            "c2 AS (SELECT doc_id, n_chars, g, count(*) AS c FROM g2 "
+            "  WHERE pos <= n - 1 GROUP BY 1, 2, 3), "
+            "top2 AS (SELECT doc_id, c * len(g) / n_chars AS f, "
+            "  row_number() OVER (PARTITION BY doc_id "
+            "    ORDER BY c DESC, g ASC) AS rn FROM c2), "
+            "g5 AS (SELECT doc_id, n_chars, pos, n, "
+            "  array_to_string(list(word) OVER (PARTITION BY doc_id "
+            "    ORDER BY pos ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING), "
+            "    ' ') AS g FROM words), "
+            "c5 AS (SELECT doc_id, n_chars, g, count(*) AS c FROM g5 "
+            "  WHERE pos <= n - 4 GROUP BY 1, 2, 3), "
+            "dup5 AS (SELECT doc_id, COALESCE(SUM(CASE WHEN c > 1 THEN "
+            "  c * len(g) END) / any_value(n_chars), 0) AS f FROM c5 "
+            "  GROUP BY doc_id) "
+            "SELECT CAST(d.doc_id AS BIGINT) AS doc_id, "
+            "round(COALESCE(t.f, 0), 4) AS top_bigram_frac, "
+            "round(COALESCE(p.f, 0), 4) AS dup_5gram_frac "
+            "FROM documents d "
+            "LEFT JOIN (SELECT doc_id, f FROM top2 WHERE rn = 1) t "
+            "  USING (doc_id) "
+            "LEFT JOIN dup5 p USING (doc_id)"
         ),
         "grouped_heavy_hitters": (
             "SELECT * FROM (VALUES ('click', TRUE), ('error', TRUE), "

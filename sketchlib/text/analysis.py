@@ -166,3 +166,58 @@ def vocabulary(
         .agg(F.count(F.lit(1)).alias("doc_freq"))
         .filter(F.col("doc_freq") >= int(min_df))
     )
+
+
+def with_repetition_stats(df: DataFrame, col: str = "text") -> DataFrame:
+    """Append the Gopher/RefinedWeb-style within-document repetition
+    signals used to filter boilerplate and degenerate text:
+
+    - ``top_bigram_frac``: characters covered by all instances of the
+      most frequent word 2-gram, over the document's character count
+      (ties broken toward the lexicographically smallest gram, so the
+      statistic is engine-reproducible);
+    - ``dup_5gram_frac``: characters covered by instances of every
+      word 5-gram occurring more than once, over the character count.
+
+    Both are 0.0 for documents too short to form a gram (and for
+    NULL/empty text).  One vectorized pandas batch kernel — repetition
+    counting is per-row work with data-dependent dict sizes, which
+    Catalyst higher-order functions cannot express without a shuffle;
+    the UDF keeps it embarrassingly parallel (zero shuffle)."""
+
+    def _frac(words: list, n_chars: int, w: int, dup_only: bool) -> float:
+        if n_chars <= 0 or len(words) < w:
+            return 0.0
+        counts: dict = {}
+        for i in range(len(words) - w + 1):
+            g = " ".join(words[i : i + w])
+            counts[g] = counts.get(g, 0) + 1
+        if dup_only:
+            covered = sum(c * len(g) for g, c in counts.items() if c > 1)
+        else:
+            # max count, ties to the lexicographically smallest gram
+            # (== SQL ORDER BY c DESC, g ASC LIMIT 1)
+            negc, g = min((-c, g) for g, c in counts.items())
+            covered = -negc * len(g)
+        return covered / n_chars
+
+    @pandas_udf("top_bigram_frac double, dup_5gram_frac double")
+    def rep_udf(texts: pd.Series) -> pd.DataFrame:
+        top, dup = [], []
+        for t in texts:
+            if t is None:
+                top.append(0.0)
+                dup.append(0.0)
+                continue
+            words = t.split(" ")
+            n = len(t)
+            top.append(_frac(words, n, 2, dup_only=False))
+            dup.append(_frac(words, n, 5, dup_only=True))
+        return pd.DataFrame({"top_bigram_frac": top, "dup_5gram_frac": dup})
+
+    out = df.withColumn("__rep", rep_udf(F.col(col)))
+    return (
+        out.withColumn("top_bigram_frac", F.col("__rep.top_bigram_frac"))
+        .withColumn("dup_5gram_frac", F.col("__rep.dup_5gram_frac"))
+        .drop("__rep")
+    )

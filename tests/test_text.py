@@ -121,3 +121,50 @@ def test_fingerprint_spark(spark):
     rows = {r["doc_id"]: r["fingerprint"] for r in document_fingerprints(df).collect()}
     assert rows["a"] == rows["b"]
     assert rows["a"] != rows["c"]
+
+
+def test_repetition_stats(spark):
+    """Gopher/RefinedWeb repetition signals: degenerate repetitive
+    text scores high, diverse text low; short/null text scores 0."""
+    from sketchlib.text.analysis import with_repetition_stats
+
+    loop = "spam ham " * 20  # "spam ham spam ham ..."
+    df = spark.createDataFrame(
+        [
+            (1, loop.strip()),
+            (2, "all these words are completely different from one another"),
+            (3, "word"),
+            (4, None),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["top_bigram_frac"], r["dup_5gram_frac"])
+        for r in with_repetition_stats(df).collect()
+    }
+    # doc 1: "spam ham" x20 -> bigram "ham spam" or "spam ham" repeats
+    # 19-20x; dup 5-grams cover nearly the whole doc
+    assert got[1][0] > 0.4 and got[1][1] > 0.9, got[1]
+    # doc 2: every bigram unique -> top covers exactly one instance
+    text2 = "all these words are completely different from one another"
+    assert got[2][1] == 0.0
+    assert 0 < got[2][0] < 0.5
+    # python-recompute exact values for doc 1 and 2
+    for did, text in ((1, loop.strip()), (2, text2)):
+        words = text.split(" ")
+        from collections import Counter
+
+        c2 = Counter(
+            " ".join(words[i : i + 2]) for i in range(len(words) - 1)
+        )
+        negc, g = min((-c, g) for g, c in c2.items())
+        assert got[did][0] == pytest.approx(-negc * len(g) / len(text))
+        c5 = Counter(
+            " ".join(words[i : i + 5]) for i in range(len(words) - 4)
+        )
+        dup = sum(c * len(g) for g, c in c5.items() if c > 1)
+        assert got[did][1] == pytest.approx(dup / len(text))
+    assert got[3] == (0.0, 0.0)
+    assert got[4] == (0.0, 0.0)
+    assert got[5] == (0.0, 0.0)
