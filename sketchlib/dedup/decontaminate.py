@@ -7,11 +7,15 @@ shingles convict a document):
 
 * ``method="exact"``: literal string shingles built in Catalyst
   (``transform(sequence(...), i -> array_join(slice(words, i+1, w)))``,
-  no Python), distinct eval shingles equi-joined against the exploded
-  train shingles, conviction on the count of DISTINCT shared shingles.
-  One shuffle keyed by shingle (AQE splits boilerplate hot shingles) +
-  one by doc id.  Deterministic and engine-reproducible — the gate
-  query verifies it against a pure-SQL DuckDB oracle.
+  no Python), distinct eval shingles joined against the exploded train
+  shingles, conviction on the count of DISTINCT shared shingles.  With
+  the default ``broadcast_eval=True`` the (small, benchmark-sized)
+  eval shingle set broadcasts and the train side never enters a join
+  shuffle; only the matched subset shuffles for the per-doc count.
+  ``broadcast_eval=False`` (for an unusually large eval set that would
+  blow the broadcast limit) reverts to a shingle-keyed shuffle join
+  that AQE can skew-split.  Deterministic and engine-reproducible —
+  the gate query verifies it against a pure-SQL DuckDB oracle.
 * ``method="bloom"``: the eval shingle set is folded into a Bloom
   filter (our core/bloom.py, built distributed) that ships broadcast
   into a vectorized Arrow probe over the train side — ZERO shuffle on
@@ -34,6 +38,10 @@ from sketchlib.core.bloom import BloomFilter
 def word_shingles(col: str, w: int):
     """Array of the ``w``-word shingle STRINGS of a whitespace-split
     text column (empty array below ``w`` words) — pure Catalyst."""
+    if w < 1:
+        # w=0 would make EVERY doc share the empty shingle (silently
+        # removing the whole corpus); negative w fails deep in slice
+        raise ValueError(f"shingle width must be >= 1, got {w}")
     words = F.split(F.col(col), " ")
     return F.when(
         F.size(words) >= w,
@@ -82,17 +90,27 @@ def decontaminate(
             .groupBy("__did")
             .agg(F.countDistinct("__sh").alias("__hits"))
             .filter(F.col("__hits") >= threshold)
-            .select(F.col("__did").alias(id_col))
+            .select("__did")
         )
         how = "left_semi" if return_contaminated else "left_anti"
-        return train.join(bad, id_col, how)
+        # NULL-SAFE id match: a NULL-id doc that shares eval shingles
+        # must still be removed (a plain equi-anti-join would silently
+        # keep it — the exact false-negative this operator exists to
+        # prevent)
+        return train.join(
+            bad, F.col(id_col).eqNullSafe(bad["__did"]), how
+        )
 
     # bloom: distributed build over the (hashed) eval shingles, then a
     # broadcast vectorized probe per train row — no train-side shuffle
     from sketchlib.spark.api import build_bloom
 
-    n_eval = ev.count()  # eval corpora are small next to train
-    bloom = build_bloom(ev, "__sh", capacity=max(n_eval, 1), fpr=fpr)
+    ev = ev.persist()  # read twice: sizing count + filter build
+    try:
+        n_eval = ev.count()  # eval corpora are small next to train
+        bloom = build_bloom(ev, "__sh", capacity=max(n_eval, 1), fpr=fpr)
+    finally:
+        ev.unpersist()
     blob = bloom.to_bytes()
     cols = train.columns
     hashed = train.select(

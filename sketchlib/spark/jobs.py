@@ -252,17 +252,25 @@ def job_decontam(args) -> None:
     spark = get_spark(master=args.master)
     train = read_table(spark, args.input, args.format)
     eval_df = read_table(spark, args.eval, args.format)
+    from pyspark.sql import Observation, functions as F
+
     kept = decontaminate(
         train, eval_df, col=args.col, id_col=args.id_col,
         shingle_w=args.shingle_w, threshold=args.threshold,
         method=args.method,
     )
+    obs_out = Observation()
+    kept = kept.observe(obs_out, F.count(F.lit(1)).alias("kept"))
+    # the kept count rides the write action (no re-scan of the just-
+    # written output); the total is one zero-payload count over the
+    # input — an input-side Observation would double-count in the
+    # exact method, whose plan reads `train` on both join sides
     kept.write.mode("overwrite").parquet(args.output)
-    n_kept = spark.read.parquet(args.output).count()
+    n_kept = int(obs_out.get["kept"])
     n_total = train.count()
     print(json.dumps({
         "output": args.output, "method": args.method,
-        "kept": int(n_kept), "removed": int(n_total - n_kept),
+        "kept": n_kept, "removed": int(n_total - n_kept),
     }))
     spark.stop()
 

@@ -499,3 +499,29 @@ def test_decontaminate_null_text_and_self(spark):
             r["doc_id"] for r in decontaminate(df, df, method=method).collect()
         }
         assert kept == {2}, method
+
+
+def test_decontaminate_null_id_still_removed(spark):
+    """Review r5: a NULL-id contaminated doc must be removed by BOTH
+    methods (a plain equi-anti-join keeps NULL keys — the exact
+    false-negative class the operator exists to prevent)."""
+    from sketchlib.dedup.decontaminate import decontaminate
+
+    eval_df = spark.createDataFrame(
+        [(9, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [(None, "a the quick brown fox jumps onwards"),
+         (2, "completely clean unrelated training text here")],
+        "doc_id long, text string",
+    )
+    for method in ("exact", "bloom"):
+        kept = decontaminate(train, eval_df, method=method).collect()
+        assert [r["doc_id"] for r in kept] == [2], method
+        bad = decontaminate(
+            train, eval_df, method=method, return_contaminated=True
+        ).collect()
+        assert [r["doc_id"] for r in bad] == [None], method
+    with pytest.raises(ValueError, match="shingle"):
+        decontaminate(train, eval_df, shingle_w=0)
