@@ -823,6 +823,58 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming keep-first dedup over a 3-micro-batch document-id
+    stream in which one id slice repeats in EVERY file: the appended
+    output must contain each id exactly once — returned verbatim (no
+    re-distinct), so a duplicate emission breaks row-count parity with
+    the DuckDB DISTINCT oracle."""
+    import tempfile
+    import time as _time
+
+    from sketchlib.streaming.stream import streaming_dedup_exact
+
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    work = tempfile.mkdtemp(prefix="dedup_stream_gate_")
+    src = f"{work}/src"
+    common = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+    for i in range(3):
+        part = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i)
+        part.union(common).coalesce(1).write.mode("overwrite").parquet(
+            f"{src}/f{i}"
+        )
+    stream = (
+        spark.readStream.schema("doc_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    name = "sink_" + work.rsplit("_", 1)[-1]
+    q = (
+        streaming_dedup_exact(stream, ["doc_id"])
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .start()
+    )
+    try:
+        deadline = _time.monotonic() + 120
+        while _time.monotonic() < deadline:
+            q.processAllAvailable()
+            if not q.status["isDataAvailable"]:
+                break
+            _time.sleep(0.2)
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    rows = spark.table(name).select(
+        F.col("doc_id").cast("bigint")
+    ).collect()
+    return spark.createDataFrame(rows, "doc_id bigint")
+
+
 def q_grouped_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event_type top-3 user_ids via per-group SpaceSaving
     sketches: the exact per-group top-3 (Spark groupBy) must be
@@ -1324,6 +1376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocabulary": q_vocabulary,
         "decontaminate": q_decontaminate,
         "text_repetition": q_text_repetition,
+        "streaming_dedup": q_streaming_dedup,
         "grouped_heavy_hitters": q_grouped_heavy_hitters,
         "streaming_windowed_quantiles": q_streaming_windowed_quantiles,
         "text_fingerprints": q_text_fingerprints,
@@ -1647,6 +1700,10 @@ def oracle_sql() -> dict[str, str]:
             "  JOIN ev USING (s)) "
             "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents "
             "WHERE doc_id NOT IN (SELECT doc_id FROM bad)"
+        ),
+        "streaming_dedup": (
+            "SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id "
+            "FROM documents"
         ),
         "text_repetition": (
             # per-doc gram construction via the window-list trick (see

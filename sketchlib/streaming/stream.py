@@ -254,3 +254,36 @@ def streaming_grouped_sketch(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_dedup_exact(
+    stream: DataFrame,
+    key_cols: list[str],
+    event_time_col: str | None = None,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Exact streaming deduplication: emit only the FIRST record seen
+    per key tuple — the streaming face of ``dedup/exact.py``.
+
+    With ``event_time_col`` the state is WATERMARKED: a key's
+    dedup-state entry is dropped once the watermark passes its event
+    time + ``delay``, so state stays bounded on an unbounded stream
+    (late duplicates beyond the delay can re-emit — the standard
+    trade; without a watermark the state grows with distinct keys,
+    acceptable only for bounded key domains).  Spark's
+    ``dropDuplicates`` keyed on (key_cols [+ event_time_col]) is the
+    whole implementation — the state-store shuffle partitions by key
+    hash, so skewed duplicate floods land on one task's STATE only as
+    one entry per key (values are not buffered).
+
+    Returns a streaming DataFrame; attach any sink (the tests use a
+    memory sink).  Citation: the reference has no streaming layer
+    (SURVEY §2.7); semantics mirror dedup_exact's keep-first rule."""
+    if event_time_col is not None:
+        # dropDuplicatesWithinWatermark (Spark 3.5+): dedup on the key
+        # alone, state expired by watermark — late duplicates within
+        # `delay` are caught even with differing event times
+        return stream.withWatermark(
+            event_time_col, delay
+        ).dropDuplicatesWithinWatermark(key_cols)
+    return stream.dropDuplicates(key_cols)

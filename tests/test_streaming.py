@@ -209,3 +209,43 @@ def test_windowed_quantiles_per_key(spark, tmp_path):
     assert by_k["a"]["items"] + by_k["b"]["items"] == 400
     assert by_k["a"]["q0"] < 200  # key a ~ U[0,100)
     assert by_k["b"]["q0"] > 900  # key b ~ U[1000,1100)
+
+
+def test_streaming_dedup_exact(spark, tmp_path):
+    """Keep-first streaming dedup: duplicates across micro-batches are
+    suppressed; watermarked state (dropDuplicatesWithinWatermark)
+    catches late duplicates with differing event times."""
+    import datetime as dt
+
+    from sketchlib.streaming.stream import streaming_dedup_exact
+
+    src = str(tmp_path / "dsrc")
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    # batch files processed in order: doc 1 repeats in every file with
+    # drifting timestamps; doc i is unique per file
+    for i in range(3):
+        rows = [(1, base + dt.timedelta(seconds=i)), (10 + i, base)]
+        spark.createDataFrame(rows, "doc_id long, ts timestamp") \
+            .coalesce(1).write.mode("overwrite").parquet(f"{src}/f{i}")
+    stream = (
+        spark.readStream.schema("doc_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    out = streaming_dedup_exact(
+        stream, ["doc_id"], event_time_col="ts", delay="1 hour"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dckpt"))
+        .start()
+    )
+    try:
+        _wait_done(q)
+    finally:
+        q.stop()
+    got = spark.sql("SELECT doc_id FROM dedup_sink").collect()
+    ids = sorted(r["doc_id"] for r in got)
+    assert ids == [1, 10, 11, 12]  # doc 1 emitted exactly once
