@@ -875,6 +875,21 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "doc_id bigint")
 
 
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf-idf with the
+    transcendental-free ratio idf (same per-doc ordering as the log
+    form, and bit-reproducible across engines — no libm), exact SQL
+    parity including the (score DESC, term ASC) tie-break."""
+    from sketchlib.text.analysis import tfidf_keywords
+
+    docs = _read(spark, sf_dir, "documents")
+    out = tfidf_keywords(docs, "text", k=3, idf="ratio")
+    return out.select(
+        F.col("id").cast("bigint"), "rank", "term",
+        F.round("score", 4).alias("score"),
+    )
+
+
 def q_grouped_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event_type top-3 user_ids via per-group SpaceSaving
     sketches: the exact per-group top-3 (Spark groupBy) must be
@@ -1377,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "text_repetition": q_text_repetition,
         "streaming_dedup": q_streaming_dedup,
+        "tfidf_keywords": q_tfidf_keywords,
         "grouped_heavy_hitters": q_grouped_heavy_hitters,
         "streaming_windowed_quantiles": q_streaming_windowed_quantiles,
         "text_fingerprints": q_text_fingerprints,
@@ -1704,6 +1720,32 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup": (
             "SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id "
             "FROM documents"
+        ),
+        "tfidf_keywords": (
+            # identical rational arithmetic and parenthesization as the
+            # Spark expression: (tc/nw) * ((N+1)/(df+1.0))
+            "WITH words AS ("
+            "  SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+            "  FROM documents), "
+            "w2 AS (SELECT * FROM words WHERE term <> ''), "
+            "tc AS (SELECT doc_id, term, count(*) AS tc FROM w2 "
+            "  GROUP BY 1, 2), "
+            "nw AS (SELECT doc_id, count(*) AS nw FROM w2 GROUP BY 1), "
+            "vocab AS (SELECT term, count(DISTINCT doc_id) AS df FROM w2 "
+            "  GROUP BY 1), "
+            "n AS (SELECT count(*) AS nd FROM documents), "
+            "scored AS ("
+            "  SELECT tc.doc_id, tc.term, "
+            "  (CAST(tc.tc AS DOUBLE) / nw.nw) * "
+            "  (CAST(nd + 1 AS DOUBLE) / (v.df + CAST(1.0 AS DOUBLE))) "
+            "    AS score "
+            "  FROM tc JOIN nw USING (doc_id) JOIN vocab v USING (term) "
+            "  CROSS JOIN n) "
+            "SELECT CAST(doc_id AS BIGINT) AS id, CAST(rn AS INT) AS rank, "
+            "term, round(score, 4) AS score FROM ("
+            "  SELECT *, row_number() OVER (PARTITION BY doc_id "
+            "    ORDER BY score DESC, term ASC) AS rn FROM scored) "
+            "WHERE rn <= 3"
         ),
         "text_repetition": (
             # per-doc gram construction via the window-list trick (see

