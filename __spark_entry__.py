@@ -890,6 +890,21 @@ def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run incremental dedup: a Bloom seen-state built over the
+    even doc_ids must pass exactly the odd ids (no false negative can
+    readmit a seen key; at fpr=1e-9 over this deterministic key set the
+    false-positive set is empty, so the parity is exact and stable)."""
+    from sketchlib.dedup.incremental import build_seen_state, filter_unseen
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    seen = build_seen_state(
+        docs.filter(F.col("doc_id") % 2 == 0), "doc_id", fpr=1e-9
+    )
+    fresh = filter_unseen(docs, "doc_id", seen)
+    return fresh.select(F.col("doc_id").cast("bigint"))
+
+
 def q_grouped_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event_type top-3 user_ids via per-group SpaceSaving
     sketches: the exact per-group top-3 (Spark groupBy) must be
@@ -1393,6 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "streaming_dedup": q_streaming_dedup,
         "tfidf_keywords": q_tfidf_keywords,
+        "dedup_incremental": q_dedup_incremental,
         "grouped_heavy_hitters": q_grouped_heavy_hitters,
         "streaming_windowed_quantiles": q_streaming_windowed_quantiles,
         "text_fingerprints": q_text_fingerprints,
@@ -1720,6 +1736,10 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup": (
             "SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id "
             "FROM documents"
+        ),
+        "dedup_incremental": (
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents "
+            "WHERE doc_id % 2 = 1"
         ),
         "tfidf_keywords": (
             # identical rational arithmetic and parenthesization as the

@@ -525,3 +525,38 @@ def test_decontaminate_null_id_still_removed(spark):
         assert [r["doc_id"] for r in bad] == [None], method
     with pytest.raises(ValueError, match="shingle"):
         decontaminate(train, eval_df, shingle_w=0)
+
+
+def test_incremental_dedup_across_runs(spark):
+    """Cross-run dedup: run 2 must drop every key run 1 ingested (no
+    false negatives, i.e. no duplicate ever readmitted), keep its
+    genuinely-new keys (fpr tiny at this scale), and the persisted
+    state bytes must round-trip."""
+    from sketchlib.dedup.incremental import filter_unseen, ingest_batch
+
+    run1 = spark.createDataFrame(
+        [(f"doc-{i}", i) for i in range(500)] + [("doc-7", 999)],
+        "key string, payload long",
+    )
+    fresh1, state = ingest_batch(run1, "key", None, capacity=10_000)
+    got1 = {r["key"] for r in fresh1.collect()}
+    assert got1 == {f"doc-{i}" for i in range(500)}  # in-batch dup collapsed
+
+    blob = state.to_bytes()  # persist between runs
+    run2 = spark.createDataFrame(
+        [(f"doc-{i}", i) for i in range(450, 520)] + [(None, -1)],
+        "key string, payload long",
+    )
+    fresh2, state2 = ingest_batch(run2, "key", blob)
+    got2 = {r["key"] for r in fresh2.collect()}
+    # every previously-seen key dropped (never readmitted)
+    assert not (got2 & got1)
+    # the genuinely-new tail kept (fpr 1e-4 over 20 keys: ~0 expected)
+    assert {f"doc-{i}" for i in range(500, 520)} <= got2
+    assert None in got2  # NULL keys carry no identity, pass through
+    # run 3 against the updated state: nothing from runs 1-2 survives
+    fresh3, _ = ingest_batch(run2, "key", state2)
+    assert {r["key"] for r in fresh3.collect()} == {None}
+    # filter_unseen standalone agrees with ingest's filtering
+    alone = {r["key"] for r in filter_unseen(run2.dropDuplicates(["key"]), "key", blob).collect()}
+    assert alone == got2
