@@ -905,6 +905,32 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fresh.select(F.col("doc_id").cast("bigint"))
 
 
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan table profile of the documents table: exact
+    row/null counts pin real numbers; the per-column HLL distinct
+    estimate is verified inside the query against exact countDistinct
+    at 5% (generous vs the ~1.6% p=12 sigma) and shipped as an ok
+    flag the constant-shape oracle pins."""
+    from sketchlib.spark.api import profile_table
+
+    docs = _read(spark, sf_dir, "documents")
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    prof = {r["column"]: r for r in profile_table(docs, cols).collect()}
+    exact = docs.agg(
+        *[F.countDistinct(c).alias(c) for c in cols]
+    ).first()
+    rows = []
+    for c in cols:
+        r = prof[c]
+        ok = abs(r["approx_distinct"] - exact[c]) <= max(
+            0.05 * exact[c], 2.0
+        )
+        rows.append((c, int(r["n_rows"]), int(r["n_nulls"]), bool(ok)))
+    return spark.createDataFrame(
+        rows, "column string, n_rows bigint, n_nulls bigint, distinct_ok boolean"
+    )
+
+
 def q_grouped_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event_type top-3 user_ids via per-group SpaceSaving
     sketches: the exact per-group top-3 (Spark groupBy) must be
@@ -1409,6 +1435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "tfidf_keywords": q_tfidf_keywords,
         "dedup_incremental": q_dedup_incremental,
+        "profile_table": q_profile_table,
         "grouped_heavy_hitters": q_grouped_heavy_hitters,
         "streaming_windowed_quantiles": q_streaming_windowed_quantiles,
         "text_fingerprints": q_text_fingerprints,
@@ -1740,6 +1767,18 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": (
             "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents "
             "WHERE doc_id % 2 = 1"
+        ),
+        "profile_table": (
+            "SELECT col AS \"column\", "
+            "(SELECT count(*) FROM documents) AS n_rows, "
+            "CASE col "
+            "  WHEN 'doc_id' THEN (SELECT count(*) - count(doc_id) FROM documents) "
+            "  WHEN 'lang' THEN (SELECT count(*) - count(lang) FROM documents) "
+            "  WHEN 'source' THEN (SELECT count(*) - count(source) FROM documents) "
+            "  ELSE (SELECT count(*) - count(n_chars) FROM documents) "
+            "END AS n_nulls, TRUE AS distinct_ok "
+            "FROM (VALUES ('doc_id'), ('lang'), ('source'), ('n_chars')) "
+            "AS t(col)"
         ),
         "tfidf_keywords": (
             # identical rational arithmetic and parenthesization as the

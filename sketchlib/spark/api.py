@@ -24,6 +24,7 @@ from sketchlib.spark.aggregate import (
     KIND_HASH64,
     grouped_sketch,
     sketch_column,
+    sketch_columns,
 )
 
 
@@ -966,6 +967,53 @@ def sample_stratified(
             if None not in vals:
                 out = out.filter(F.col(c).isin(vals))
     return out
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    hll_p: int = 12,
+) -> DataFrame:
+    """One-stop table profile: DataFrame[column, dtype, n_rows,
+    n_nulls, approx_distinct] — the ANALYZE-style statistics a
+    pipeline wants before choosing join strategies, salt levels, or
+    partition counts.
+
+    Exactly TWO scans regardless of column count: one Catalyst
+    aggregation for the exact row/null counts of every column, and one
+    ``sketch_columns`` pass building every column's HyperLogLog in a
+    single read (tagged partials, tree-merged).  ``approx_distinct``
+    is corrected for the null phantom (``xxhash64(NULL)`` hashes to
+    the seed constant, which the sketch would count as one value) and
+    carries the usual HLL error (~1.04/sqrt(2^p))."""
+    from sketchlib.core.hll import HyperLogLog
+
+    cols = columns if columns is not None else [f.name for f in df.schema.fields]
+    dtypes = dict(df.dtypes)
+    agg_row = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{i}")
+            for i, c in enumerate(cols)
+        ],
+    ).first()
+    n_rows = int(agg_row["__n"])
+    sketches = sketch_columns(
+        df, {c: ((lambda: HyperLogLog(p=hll_p)), KIND_HASH64) for c in cols}
+    )
+    rows = []
+    for i, c in enumerate(cols):
+        n_nulls = int(agg_row[f"__nulls_{i}"] or 0)
+        sk = sketches.get(c)
+        est = float(sk.estimate()) if sk is not None else 0.0
+        if n_nulls > 0:
+            est = max(est - 1.0, 0.0)
+        rows.append((c, dtypes.get(c, ""), n_rows, n_nulls, int(round(est))))
+    return df.sparkSession.createDataFrame(
+        rows,
+        "column string, dtype string, n_rows long, n_nulls long, "
+        "approx_distinct long",
+    )
 
 
 def grouped_quantiles(
