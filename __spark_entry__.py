@@ -835,31 +835,34 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sketchlib.streaming.stream import streaming_dedup_exact
 
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    docs = _read(spark, sf_dir, "documents").select("doc_id")
-    work = tempfile.mkdtemp(prefix="dedup_stream_gate_")
-    src = f"{work}/src"
-    common = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
-    for i in range(3):
-        part = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i)
-        part.union(common).coalesce(1).write.mode("overwrite").parquet(
-            f"{src}/f{i}"
-        )
-    stream = (
-        spark.readStream.schema("doc_id long")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(f"{src}/f*")
-    )
-    name = "sink_" + work.rsplit("_", 1)[-1]
-    q = (
-        streaming_dedup_exact(stream, ["doc_id"])
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", f"{work}/ckpt")
-        .start()
-    )
+    q = None
     try:
+        # inside the try: a setup failure must still restore the conf
+        # (review r5 — a leaked 8 skews every later query's plan)
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        docs = _read(spark, sf_dir, "documents").select("doc_id")
+        work = tempfile.mkdtemp(prefix="dedup_stream_gate_")
+        src = f"{work}/src"
+        common = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+        for i in range(3):
+            part = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i)
+            part.union(common).coalesce(1).write.mode("overwrite").parquet(
+                f"{src}/f{i}"
+            )
+        stream = (
+            spark.readStream.schema("doc_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/f*")
+        )
+        name = "sink_" + work.rsplit("_", 1)[-1]
+        q = (
+            streaming_dedup_exact(stream, ["doc_id"])
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .start()
+        )
         deadline = _time.monotonic() + 120
         while _time.monotonic() < deadline:
             q.processAllAvailable()
@@ -867,7 +870,8 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 break
             _time.sleep(0.2)
     finally:
-        q.stop()
+        if q is not None:
+            q.stop()
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     rows = spark.table(name).select(
         F.col("doc_id").cast("bigint")
@@ -877,9 +881,9 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per document by tf-idf with the
-    transcendental-free ratio idf (same per-doc ordering as the log
-    form, and bit-reproducible across engines — no libm), exact SQL
-    parity including the (score DESC, term ASC) tie-break."""
+    transcendental-free ratio idf (its own rarity weighting, chosen
+    here because it is bit-reproducible across engines — no libm),
+    exact SQL parity including the (score DESC, term ASC) tie-break."""
     from sketchlib.text.analysis import tfidf_keywords
 
     docs = _read(spark, sf_dir, "documents")
@@ -1042,29 +1046,32 @@ def q_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sketchlib.streaming.stream import current_sketch, run_streaming_sketch
 
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")  # restored below
-    events = _read(spark, sf_dir, "events").select("value").filter(
-        F.col("value").isNotNull()
-    )
-    work = tempfile.mkdtemp(prefix="stream_gate_")
-    src = f"{work}/src"
-    # 3 deterministic source files = micro-batches
-    for i in range(3):
-        events.filter(F.pmod(F.xxhash64("value"), F.lit(3)) == i).coalesce(
-            1
-        ).write.mode("overwrite").parquet(f"{src}/f{i}")
-    stream = (
-        spark.readStream.schema("value double")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(f"{src}/f*")
-    )
-    from sketchlib.core.tdigest import TDigest
-
-    q = run_streaming_sketch(
-        stream, "value", lambda: TDigest(delta=1000),
-        f"{work}/ledger", f"{work}/ckpt", query_name="gate-stream",
-    )
+    q = None
     try:
+        # conf set INSIDE the try: a setup failure must still restore
+        # it (review r5 — a leaked 8 skews every later query's plan)
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        events = _read(spark, sf_dir, "events").select("value").filter(
+            F.col("value").isNotNull()
+        )
+        work = tempfile.mkdtemp(prefix="stream_gate_")
+        src = f"{work}/src"
+        # 3 deterministic source files = micro-batches
+        for i in range(3):
+            events.filter(F.pmod(F.xxhash64("value"), F.lit(3)) == i).coalesce(
+                1
+            ).write.mode("overwrite").parquet(f"{src}/f{i}")
+        stream = (
+            spark.readStream.schema("value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/f*")
+        )
+        from sketchlib.core.tdigest import TDigest
+
+        q = run_streaming_sketch(
+            stream, "value", lambda: TDigest(delta=1000),
+            f"{work}/ledger", f"{work}/ckpt", query_name="gate-stream",
+        )
         deadline = _time.monotonic() + 120
         while _time.monotonic() < deadline:
             q.processAllAvailable()
@@ -1072,7 +1079,8 @@ def q_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 break
             _time.sleep(0.2)
     finally:
-        q.stop()
+        if q is not None:
+            q.stop()
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     sk = current_sketch(spark, f"{work}/ledger")
     qs = [0.1, 0.5, 0.9]

@@ -68,27 +68,45 @@ def ingest_batch(
 ) -> tuple[DataFrame, BloomFilter]:
     """One incremental-dedup step: returns (fresh rows of ``df`` not
     seen in ``state``, the UPDATED state including this batch's keys).
-    ``state=None`` starts a new corpus.  The updated state is the
-    MERGE of the old filter with a filter built over the fresh rows —
-    both sides distributed, the merge a driver-side bit-or — so a
-    pipeline can persist ``state.to_bytes()`` per run and resume
-    tomorrow.  Within-batch duplicates are collapsed by the exact
-    hash group-by of dedup/exact semantics first (a Bloom cannot
-    distinguish a batch's own first occurrence from its repeats)."""
+    ``state=None`` starts a new corpus (``capacity``/``fpr`` size the
+    NEW filter; on later runs the geometry is INHERITED from the old
+    filter — merging requires identical m/k — so passing them with an
+    existing state raises instead of being silently ignored).  The
+    updated state is the MERGE of the old filter with a filter built
+    over the fresh rows — both sides distributed, the merge a
+    driver-side bit-or — so a pipeline can persist
+    ``state.to_bytes()`` per run and resume tomorrow.  Within-batch
+    duplicates are collapsed by the exact hash group-by of dedup/exact
+    semantics first (a Bloom cannot distinguish a batch's own first
+    occurrence from its repeats).
+
+    The returned frame is PERSISTED: the state fold already
+    materialized it, so the caller's own write/collect reads the cache
+    instead of re-running the dedup shuffle and probe (one cached
+    frame per call, released at session end or by the caller's
+    unpersist)."""
     first_per_key = df.filter(F.col(col).isNull()).unionByName(
         df.filter(F.col(col).isNotNull()).dropDuplicates([col])
     )
     if state is None:
-        fresh = first_per_key
+        fresh = first_per_key.persist()
+        if capacity is None:
+            capacity = max(fresh.filter(F.col(col).isNotNull()).count(), 1)
         new_state = build_seen_state(
             fresh.filter(F.col(col).isNotNull()), col,
             capacity=capacity, fpr=fpr,
         )
         return fresh, new_state
+    if capacity is not None or fpr != 1e-4:
+        raise ValueError(
+            "capacity/fpr only apply when starting a new state: the "
+            "updated filter must keep the existing state's geometry "
+            "(m/k) to merge with it"
+        )
     bloom = (
         BloomFilter.from_bytes(state) if isinstance(state, bytes) else state
     )
-    fresh = filter_unseen(first_per_key, col, bloom)
+    fresh = filter_unseen(first_per_key, col, bloom).persist()
     batch_bloom = BloomFilter(m_bits=bloom.m, k=bloom.k)
     built = _fold_keys(fresh.filter(F.col(col).isNotNull()), col, batch_bloom)
     merged = BloomFilter.from_bytes(bloom.to_bytes()).merge(built)

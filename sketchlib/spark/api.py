@@ -985,10 +985,16 @@ def profile_table(
     single read (tagged partials, tree-merged).  ``approx_distinct``
     is corrected for the null phantom (``xxhash64(NULL)`` hashes to
     the seed constant, which the sketch would count as one value) and
-    carries the usual HLL error (~1.04/sqrt(2^p))."""
+    carries the usual HLL error (~1.04/sqrt(2^p)).  With
+    ``columns=None`` map-typed columns are skipped (Spark's hash
+    expressions reject MapType); name one explicitly to get the
+    AnalysisException."""
     from sketchlib.core.hll import HyperLogLog
 
-    cols = columns if columns is not None else [f.name for f in df.schema.fields]
+    cols = columns if columns is not None else [
+        f.name for f in df.schema.fields
+        if not f.dataType.simpleString().startswith("map")
+    ]
     dtypes = dict(df.dtypes)
     agg_row = df.agg(
         F.count(F.lit(1)).alias("__n"),

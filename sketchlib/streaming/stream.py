@@ -265,16 +265,18 @@ def streaming_dedup_exact(
     """Exact streaming deduplication: emit only the FIRST record seen
     per key tuple — the streaming face of ``dedup/exact.py``.
 
-    With ``event_time_col`` the state is WATERMARKED: a key's
-    dedup-state entry is dropped once the watermark passes its event
-    time + ``delay``, so state stays bounded on an unbounded stream
-    (late duplicates beyond the delay can re-emit — the standard
-    trade; without a watermark the state grows with distinct keys,
-    acceptable only for bounded key domains).  Spark's
-    ``dropDuplicates`` keyed on (key_cols [+ event_time_col]) is the
-    whole implementation — the state-store shuffle partitions by key
-    hash, so skewed duplicate floods land on one task's STATE only as
-    one entry per key (values are not buffered).
+    With ``event_time_col`` the state is WATERMARKED via
+    ``dropDuplicatesWithinWatermark(key_cols)``: the key ALONE is the
+    dedup identity — duplicates with DIFFERING event times inside the
+    ``delay`` horizon are still suppressed — and a key's state entry
+    is dropped once the watermark passes its event time + ``delay``,
+    so state stays bounded on an unbounded stream (late duplicates
+    beyond the delay can re-emit — the standard trade).  Without a
+    watermark, plain ``dropDuplicates(key_cols)``: state grows with
+    distinct keys, acceptable only for bounded key domains.  Either
+    way the state-store shuffle partitions by key hash, so skewed
+    duplicate floods land on one task's STATE only as one entry per
+    key (values are not buffered).
 
     Returns a streaming DataFrame; attach any sink (the tests use a
     memory sink).  Citation: the reference has no streaming layer

@@ -237,18 +237,21 @@ def tfidf_keywords(
 
     tf = occurrences of the term in the doc / doc word count;
     idf = ``ln((N+1)/(df+1)) + 1`` (smoothed) or, with
-    ``idf="ratio"``, the transcendental-free ``(N+1)/(df+1)`` — the
-    same ordering per document (ln is monotonic), and bit-reproducible
-    across SQL engines (no libm involved), which is what the
-    correctness gate exercises.  Ties break toward the
-    lexicographically smaller term.
+    ``idf="ratio"``, the transcendental-free ``(N+1)/(df+1)``.  The
+    ratio form is its own (harsher) rarity weighting — NOT
+    order-equivalent to the log form in general, because tf multiplies
+    the idf and a monotonic idf transform does not survive the product
+    — but it involves no libm, so its scores are bit-reproducible
+    across SQL engines, which is what the correctness gate exercises.
+    Ties break toward the lexicographically smaller term.
 
     Plan shape: one explode + per-(doc, term) count (map-side
-    combinable), a broadcast join against the (small, min_df-pruned)
-    vocabulary for df, and a per-doc top-k window — bounded at the
-    doc's distinct-term count per partition key.  ``vocab`` accepts a
-    precomputed ``vocabulary()`` frame so corpora scored repeatedly
-    against one vocabulary skip the df pass."""
+    combinable; the per-doc word count is the SUM of those counts, no
+    second pass over the text), a broadcast join against the (small,
+    min_df-pruned) vocabulary for df, and a per-doc top-k window —
+    bounded at the doc's distinct-term count per partition key.
+    ``vocab`` accepts a precomputed ``vocabulary()`` frame so corpora
+    scored repeatedly against one vocabulary skip the df pass."""
     if idf not in ("log", "ratio"):
         raise ValueError(f"unknown idf {idf!r}")
     from pyspark.sql.window import Window
@@ -260,14 +263,11 @@ def tfidf_keywords(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.col(col), " ")).alias("term"),
     ).filter(F.col("term") != "")
-    counts = (
-        words.groupBy("id", "term")
-        .agg(F.count(F.lit(1)).alias("tc"))
-        .join(
-            words.groupBy("id").agg(F.count(F.lit(1)).alias("nw")), "id"
-        )
-        .join(F.broadcast(vocab), "term")
-    )
+    tc = words.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tc"))
+    # per-doc word count = sum of its term counts: derived from the tc
+    # aggregate, so the text is tokenized exactly once
+    nw = tc.groupBy("id").agg(F.sum("tc").alias("nw"))
+    counts = tc.join(nw, "id").join(F.broadcast(vocab), "term")
     ratio = (F.lit(float(n_docs + 1)) / (F.col("doc_freq") + F.lit(1.0)))
     idf_expr = (
         ratio if idf == "ratio" else (F.log(ratio) + F.lit(1.0))

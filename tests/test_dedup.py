@@ -560,3 +560,17 @@ def test_incremental_dedup_across_runs(spark):
     # filter_unseen standalone agrees with ingest's filtering
     alone = {r["key"] for r in filter_unseen(run2.dropDuplicates(["key"]), "key", blob).collect()}
     assert alone == got2
+
+
+def test_incremental_dedup_rejects_geometry_args_with_state(spark):
+    """capacity/fpr only size a NEW state; with an existing one the
+    geometry is inherited (merge requires identical m/k) — passing
+    them must raise, not be silently ignored."""
+    from sketchlib.dedup.incremental import ingest_batch
+
+    df = spark.createDataFrame([("k1", 1)], "key string, payload long")
+    _, state = ingest_batch(df, "key", None)
+    with pytest.raises(ValueError, match="geometry"):
+        ingest_batch(df, "key", state, fpr=1e-9)
+    with pytest.raises(ValueError, match="geometry"):
+        ingest_batch(df, "key", state, capacity=123)

@@ -207,11 +207,38 @@ def test_tfidf_keywords(spark):
     ]
     for (et, es), (gt, gs) in zip(exp, got1):
         assert et == gt and gs == pytest.approx(es)
-    # ratio idf keeps the same per-doc ordering as log idf
+    # ratio idf: its own rarity weighting (NOT order-equivalent to log
+    # in general — tf multiplies the idf); python-recompute for doc 1
     ratio = tfidf_keywords(df, k=2, idf="ratio").collect()
-    order_log = {(r["id"], r["rank"]): r["term"] for r in got}
-    order_ratio = {(r["id"], r["rank"]): r["term"] for r in ratio}
-    assert order_log == order_ratio
+    exp_ratio = sorted(
+        [("apple", 2 / nw * (4 / 2)), ("banana", 1 / nw * (4 / 3)),
+         ("common", 3 / nw * (4 / 4))],
+        key=lambda t: (-t[1], t[0]),
+    )[:2]
+    got_r1 = [
+        (r["term"], r["score"]) for r in sorted(
+            (x for x in ratio if x["id"] == 1), key=lambda r: r["rank"]
+        )
+    ]
+    for (et, es), (gt, gs) in zip(exp_ratio, got_r1):
+        assert et == gt and gs == pytest.approx(es)
+    # ...and a fixture where the two forms RANK DIFFERENTLY (review
+    # r5: the old docstring claimed order-equivalence; ln does not
+    # survive multiplication by tf): 19 docs, one with 2x rare + 8x
+    # semi-common — ratio puts the rare term first, log the common one
+    docs2 = [(100, " ".join(["a"] * 2 + ["b"] * 8))] + [
+        (200 + i, "b filler%d" % i) for i in range(18)
+    ]
+    df2 = spark.createDataFrame(docs2, "doc_id long, text string")
+    top_ratio = {
+        r["term"] for r in tfidf_keywords(df2, k=1, idf="ratio").collect()
+        if r["id"] == 100
+    }
+    top_log = {
+        r["term"] for r in tfidf_keywords(df2, k=1, idf="log").collect()
+        if r["id"] == 100
+    }
+    assert top_ratio == {"a"} and top_log == {"b"}
     # precomputed vocab short-circuits the df pass and agrees
     v = vocabulary(df, "text")
     with_v = tfidf_keywords(df, k=2, vocab=v).collect()
