@@ -802,7 +802,10 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     removed — full row parity with the DuckDB shingle-join oracle."""
     from sketchlib.dedup.decontaminate import decontaminate
 
-    docs = _read(spark, sf_dir, "documents")
+    # the sf documents table is ONE parquet file, so the (CPU-bound)
+    # Catalyst shingle construction would run in a single task;
+    # spreading the scan is a gate-input choice, not an operator one
+    docs = _read(spark, sf_dir, "documents").repartition(8)
     eval_df = docs.filter(F.col("doc_id") % 17 == 0)
     kept = decontaminate(docs, eval_df, shingle_w=5, threshold=1)
     return kept.select(F.col("doc_id").cast("bigint"))
