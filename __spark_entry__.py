@@ -889,7 +889,8 @@ def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact SQL parity including the (score DESC, term ASC) tie-break."""
     from sketchlib.text.analysis import tfidf_keywords
 
-    docs = _read(spark, sf_dir, "documents")
+    # spread the one-file scan: the explode + counts are CPU-bound
+    docs = _read(spark, sf_dir, "documents").repartition(8)
     out = tfidf_keywords(docs, "text", k=3, idf="ratio")
     return out.select(
         F.col("id").cast("bigint"), "rank", "term",

@@ -23,7 +23,7 @@ import struct
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from sketchlib.iceberg.avro import write_avro
+from sketchlib.iceberg.avro import read_avro, write_avro
 
 _KV = lambda name, vtype: {  # noqa: E731
     "type": "array",
@@ -370,6 +370,133 @@ def write_iceberg_table(
     version = len(appends)
     with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as fh:
         json.dump(meta, fh, indent=1)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+    return meta
+
+
+def append_snapshot(
+    location: str, table: pa.Table, rows_per_file: int = 1 << 20
+) -> dict:
+    """Append ONE snapshot to an EXISTING jar-free Iceberg table — the
+    write path a curation pipeline needs to land its output as Iceberg
+    (the module's original fixture writer builds whole tables from
+    scratch; this commits incrementally against live metadata):
+
+    1. write the new data files (+ per-file column bounds);
+    2. write a cumulative manifest: the CURRENT snapshot's live
+       entries carried forward verbatim as EXISTING (status=0) — no
+       re-derivation, their data_file structs are copied from the old
+       manifest — plus the new files as ADDED (status=1);
+    3. write the new manifest list, append the snapshot to the
+       metadata, bump ``current-snapshot-id``, and write
+       ``v{N+1}.metadata.json`` + ``version-hint.text`` LAST (readers
+       following the hint see either the old or the new complete
+       version — the standard metadata-swap commit).
+
+    Returns the new metadata dict.  The appended table's column names
+    must match the table schema (field order may differ)."""
+    from sketchlib.iceberg.manifest import (
+        _read_version_hint,
+        _resolve,
+        load_table_metadata,
+    )
+
+    meta = load_table_metadata(location)
+    meta_dir = os.path.join(location, "metadata")
+    data_dir = os.path.join(location, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    expect = {f["name"] for f in meta["schema"]["fields"]}
+    got = set(table.schema.names)
+    if expect != got:
+        raise ValueError(
+            f"appended schema {sorted(got)} does not match table "
+            f"schema {sorted(expect)}"
+        )
+
+    snaps = meta.get("snapshots", [])
+    cur_id = meta.get("current-snapshot-id", -1)
+    new_id = max((s["snapshot-id"] for s in snaps), default=999) + 1
+
+    # carry the current snapshot's live entries forward verbatim
+    prior_entries: list[dict] = []
+    tbl_location = meta.get("location", "")
+    if snaps and cur_id != -1:
+        snap = next(s for s in snaps if s["snapshot-id"] == cur_id)
+        mlist = _resolve(location, tbl_location, snap["manifest-list"])
+        _s, manifests = read_avro(mlist)
+        for m in manifests:
+            _ms, entries = read_avro(
+                _resolve(location, tbl_location, m["manifest_path"])
+            )
+            for e in entries:
+                if e.get("status") == 2:
+                    continue
+                prior_entries.append(
+                    {
+                        "status": 0,
+                        "snapshot_id": new_id,
+                        "data_file": e["data_file"],
+                    }
+                )
+
+    added_entries: list[dict] = []
+    for i, start in enumerate(range(0, max(table.num_rows, 1), rows_per_file)):
+        chunk = table.slice(start, rows_per_file)
+        if chunk.num_rows == 0 and table.num_rows > 0:
+            continue
+        fpath = os.path.join(data_dir, f"snap{new_id}-{i:05d}.parquet")
+        pq.write_table(chunk, fpath)
+        lowers, uppers = _file_bounds(chunk)
+        added_entries.append(
+            {
+                "status": 1,
+                "snapshot_id": new_id,
+                "data_file": {
+                    "file_path": fpath,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": chunk.num_rows,
+                    "file_size_in_bytes": os.path.getsize(fpath),
+                    "lower_bounds": lowers or None,
+                    "upper_bounds": uppers or None,
+                },
+            }
+        )
+
+    mpath = os.path.join(meta_dir, f"snap-{new_id}-m0.avro")
+    write_avro(mpath, MANIFEST_ENTRY_SCHEMA, prior_entries + added_entries)
+    mlist_path = os.path.join(meta_dir, f"snap-{new_id}.avro")
+    write_avro(
+        mlist_path,
+        MANIFEST_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": mpath,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": 0,
+                "added_snapshot_id": new_id,
+                "added_data_files_count": len(added_entries),
+                "existing_data_files_count": len(prior_entries),
+                "deleted_data_files_count": 0,
+            }
+        ],
+    )
+    meta["snapshots"] = snaps + [
+        {
+            "snapshot-id": new_id,
+            "timestamp-ms": 0,
+            "manifest-list": mlist_path,
+            "summary": {"operation": "append"},
+        }
+    ]
+    meta["current-snapshot-id"] = new_id
+    cur_meta_path = _read_version_hint(location)
+    cur_v = os.path.basename(cur_meta_path).split(".")[0].lstrip("v")
+    version = (int(cur_v) if cur_v.isdigit() else len(meta["snapshots"])) + 1
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as fh:
+        json.dump(meta, fh, indent=1)
+    # hint LAST: the commit point
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
         fh.write(str(version))
     return meta

@@ -241,3 +241,54 @@ def test_wrap_existing_parquet(spark, tmp_path):
     from sketchlib.spark.io import read_table
 
     assert read_table(spark, loc).count() == 200
+
+
+def test_append_snapshot_commit(tmp_path, spark):
+    """Jar-free append commit: new data files + cumulative manifest
+    (prior live entries carried forward verbatim), metadata version
+    bump committed via the version hint.  Readers see the union at the
+    new snapshot and the old set via time travel; pruning bounds exist
+    for the appended files; the direct sketch path reads the result."""
+    import pyarrow as pa
+
+    from sketchlib.iceberg.fixture import append_snapshot, write_iceberg_table
+    from sketchlib.iceberg.manifest import load_table_metadata, snapshot_data_files
+
+    loc = str(tmp_path / "appendtbl")
+    t1 = pa.table({"doc_id": pa.array(range(0, 100), pa.int64()),
+                   "n_tok": pa.array([7] * 100, pa.int64())})
+    write_iceberg_table(loc, [t1])
+    before = snapshot_data_files(loc)
+    meta0 = load_table_metadata(loc)
+
+    t2 = pa.table({"doc_id": pa.array(range(100, 150), pa.int64()),
+                   "n_tok": pa.array([11] * 50, pa.int64())})
+    meta = append_snapshot(loc, t2)
+    assert meta["current-snapshot-id"] != meta0["current-snapshot-id"]
+
+    after = snapshot_data_files(loc)
+    assert {f.path for f in before} <= {f.path for f in after}
+    assert sum(f.record_count for f in after) == 150
+    # time travel to the pre-append snapshot still sees only t1
+    old = snapshot_data_files(loc, snapshot_id=meta0["current-snapshot-id"])
+    assert sum(f.record_count for f in old) == 100
+    # direct sketch over the appended table: count covers both snaps
+    from sketchlib.core.tdigest import TDigest
+    from sketchlib.spark.aggregate import KIND_DOUBLE
+    from sketchlib.spark.direct import sketch_iceberg
+
+    sk = sketch_iceberg(
+        spark, loc, "n_tok", lambda: TDigest(delta=200), KIND_DOUBLE
+    )
+    assert sk.count == 150
+    # schema mismatch rejected
+    bad = pa.table({"other": pa.array([1], pa.int64())})
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="schema"):
+        append_snapshot(loc, bad)
+    # second append stacks on the first
+    t3 = pa.table({"doc_id": pa.array(range(150, 160), pa.int64()),
+                   "n_tok": pa.array([3] * 10, pa.int64())})
+    append_snapshot(loc, t3)
+    assert sum(f.record_count for f in snapshot_data_files(loc)) == 160
