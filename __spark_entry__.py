@@ -545,6 +545,27 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "metric string, ok boolean")
 
 
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (the deterministic measure
+    MinHash approximates): injected mutated copies (drop every 20th
+    word of every 20th doc, 3-gram Jaccard ~0.77-0.94) plus whatever
+    natural pairs clear 0.5 — full exact parity with a DuckDB
+    inverted-index self-join oracle, values included."""
+    from sketchlib.dedup.ngram import ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.array_join(
+            F.filter(F.split("text", " "), lambda w, i: (i % 20) != 19), " "
+        ).alias("text"),
+    )
+    pairs = ngram_jaccard_pairs(docs.union(mutated), w=3, threshold=0.5)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup detection: exact copies (hamming 0) of every
     10th doc plus lightly mutated copies (drop every 30th word) of
@@ -1433,6 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": q_text_language_id,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_ngram": q_dedup_ngram,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_star": q_dedup_clusters_star,
@@ -1583,6 +1605,36 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": (
             "SELECT * FROM (VALUES ('minhash_recall', TRUE), "
             "('minhash_precision', TRUE)) AS t(metric, ok)"
+        ),
+        "dedup_ngram": (
+            # same injected mutation as the Spark side (DuckDB list
+            # lambdas index 1-based: i % 20 != 0 == Spark's 0-based
+            # i % 20 != 19), 3-gram sets via the window-list trick,
+            # intersection = inverted-index self-join count
+            "WITH mut AS ("
+            "  SELECT doc_id + 2000000 AS doc_id, array_to_string("
+            "    list_filter(string_split(text, ' '), "
+            "      (w, i) -> i % 20 != 0), ' ') AS text "
+            "  FROM documents WHERE doc_id % 20 = 0), "
+            "alld AS (SELECT doc_id, text FROM documents "
+            "  UNION ALL SELECT doc_id, text FROM mut), "
+            "w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM alld), "
+            "words AS (SELECT doc_id, unnest(ws) AS word, "
+            "  generate_subscripts(ws, 1) AS pos, len(ws) AS n FROM w), "
+            "sh AS (SELECT doc_id, pos, n, "
+            "  array_to_string(list(word) OVER (PARTITION BY doc_id "
+            "    ORDER BY pos ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING), "
+            "    ' ') AS g FROM words), "
+            "grams AS (SELECT DISTINCT doc_id, g FROM sh WHERE pos <= n - 2), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1), "
+            "inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, "
+            "  count(*) AS i FROM grams a JOIN grams b "
+            "  ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT CAST(ida AS BIGINT) AS id_a, CAST(idb AS BIGINT) AS id_b, "
+            "round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard "
+            "FROM inter JOIN sizes sa ON sa.doc_id = inter.ida "
+            "JOIN sizes sb ON sb.doc_id = inter.idb "
+            "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5"
         ),
         "dedup_simhash": (
             "SELECT * FROM (VALUES ('simhash_all_within_bound', TRUE), "

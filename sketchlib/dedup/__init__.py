@@ -9,10 +9,12 @@ from sketchlib.dedup.minhash import (
     minhash_near_duplicates,
     minhash_signatures,
 )
+from sketchlib.dedup.ngram import ngram_jaccard_pairs
 from sketchlib.dedup.simhash import simhash_near_duplicates, simhash_signatures
 
 __all__ = [
     "exact_duplicate_groups",
+    "ngram_jaccard_pairs",
     "minhash_signatures",
     "lsh_candidate_pairs",
     "exact_jaccard_pairs",
