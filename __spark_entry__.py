@@ -566,6 +566,64 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the event stream (50000s quiet gap
+    ends a session): one row per (user, session) with exact bounds,
+    count and value sum — full DuckDB window-SQL parity.  Timestamps
+    compare in exact integer epoch-micros on both engines."""
+    from sketchlib.spark.sessions import epoch_micros, sessionize
+
+    ev = _read(spark, sf_dir, "events").select("user_id", "ts", "value")
+    s = sessionize(
+        ev,
+        ts_col="ts",
+        key_col="user_id",
+        gap=50_000.0,
+        output="sessions",
+        aggs={"sum_value": F.round(F.sum("value"), 4)},
+    )
+    us = lambda c: epoch_micros(c, s.schema[c].dataType)  # noqa: E731
+    return s.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "session_idx",
+        us("ts_start").alias("ts_start_us"),
+        us("ts_end").alias("ts_end_us"),
+        "n_events",
+        "sum_value",
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every event picks the user's most recent purchase
+    at-or-before its timestamp (marks deduped to one row per (user,
+    instant) by max value) — exact parity with DuckDB's native ASOF
+    LEFT JOIN, including never-matching and equal-instant rows."""
+    from sketchlib.spark.asof import asof_join
+    from sketchlib.spark.sessions import epoch_micros
+
+    ev = _read(spark, sf_dir, "events")
+    marks = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        marks,
+        on="ts",
+        by="user_id",
+        matched_on_col="purchase_ts",
+    )
+    us = lambda c: epoch_micros(c, out.schema[c].dataType)  # noqa: E731
+    return out.select(
+        "event_id",
+        F.col("user_id").cast("long").alias("user_id"),
+        us("ts").alias("ts_us"),
+        F.round("purchase_value", 4).alias("purchase_value"),
+        us("purchase_ts").alias("purchase_ts_us"),
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup detection: exact copies (hamming 0) of every
     10th doc plus lightly mutated copies (drop every 30th word) of
@@ -1455,6 +1513,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_ngram": q_dedup_ngram,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_star": q_dedup_clusters_star,
@@ -1605,6 +1665,35 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": (
             "SELECT * FROM (VALUES ('minhash_recall', TRUE), "
             "('minhash_precision', TRUE)) AS t(metric, ok)"
+        ),
+        "sessionize": (
+            # identical boundary rule in exact integer epoch-micros;
+            # tie rows can't straddle a boundary (diff 0), so the
+            # per-(user, session) aggregation is engine-independent
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS t, value "
+            "  FROM events WHERE ts IS NOT NULL), "
+            "d AS (SELECT *, lag(t) OVER "
+            "  (PARTITION BY user_id ORDER BY t) AS pt FROM e), "
+            "f AS (SELECT *, CASE WHEN pt IS NULL "
+            "  OR t - pt > 50000000000 THEN 1 ELSE 0 END AS nw FROM d), "
+            "s AS (SELECT *, sum(nw) OVER (PARTITION BY user_id "
+            "  ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "  CURRENT ROW) AS sid FROM f) "
+            "SELECT CAST(user_id AS BIGINT) AS user_id, "
+            "CAST(sid AS BIGINT) AS session_idx, "
+            "min(t) AS ts_start_us, max(t) AS ts_end_us, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "round(sum(value), 4) AS sum_value "
+            "FROM s GROUP BY 1, 2"
+        ),
+        "asof_join": (
+            "WITH marks AS (SELECT user_id, ts, max(value) AS pv "
+            "  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) "
+            "SELECT e.event_id, CAST(e.user_id AS BIGINT) AS user_id, "
+            "epoch_us(e.ts) AS ts_us, round(m.pv, 4) AS purchase_value, "
+            "epoch_us(m.ts) AS purchase_ts_us "
+            "FROM events e ASOF LEFT JOIN marks m "
+            "ON e.user_id = m.user_id AND e.ts >= m.ts"
         ),
         "dedup_ngram": (
             # same injected mutation as the Spark side (DuckDB list

@@ -1,0 +1,101 @@
+"""Gap-based sessionization — the standard event-stream segmentation
+(a session ends when the key goes quiet for more than ``gap``).
+
+Pure Catalyst: one window per key (``lag`` + running sum of the
+new-session flag), then an optional per-session aggregation.  The only
+shuffle is the per-key hash partitioning; per-key work is bounded by
+that key's event count, so the 100-TB shape holds as long as no single
+key owns an unbounded share of the stream (a bot key with 10^9 events
+serializes its own partition — pre-filter or split such keys upstream;
+the operator itself never funnels OTHER keys through it).
+
+Determinism with tied timestamps: session boundaries depend only on
+the sorted multiset of timestamps — among equal-``ts`` rows exactly
+the first in (arbitrary) tie order can carry the new-session flag and
+every tied row accumulates it identically, so ``session_idx`` is
+deterministic even though the tie order is not.  Rows with NULL
+``ts_col`` are dropped (a null instant belongs to no session; done
+with an explicit filter, not silently by the window).
+
+Timestamp columns are compared in exact integer epoch-microseconds
+(``unix_micros``), never float seconds — double rounding at ~1.7e9 s
+is below microsecond resolution and would make engines disagree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType, TimestampType
+from pyspark.sql.window import Window
+
+#: both timestamp flavors (parquet without timezone reads as NTZ)
+_TS_TYPES = (TimestampType, TimestampNTZType)
+
+
+def epoch_micros(col_name: str, dtype) -> Column:
+    """Exact int64 epoch-microseconds.  TIMESTAMP uses unix_micros;
+    TIMESTAMP_NTZ uses wall-clock timestampdiff from the epoch —
+    timezone-INDEPENDENT, and bit-equal to DuckDB's ``epoch_us`` on
+    naive timestamps (unix_micros can't take NTZ, and casting NTZ ->
+    TIMESTAMP would silently reinterpret in the session timezone)."""
+    if isinstance(dtype, TimestampNTZType):
+        return F.expr(
+            "timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ '1970-01-01 00:00:00', `{col_name}`)"
+        )
+    if isinstance(dtype, TimestampType):
+        return F.unix_micros(F.col(col_name))
+    raise TypeError(f"not a timestamp type: {dtype}")
+
+
+def _order_expr(df: DataFrame, ts_col: str, gap):
+    """(ordering column in exact units, gap in those units): integer
+    epoch-micros for timestamps (gap given in SECONDS), the raw
+    numeric column otherwise (gap in column units)."""
+    if isinstance(df.schema[ts_col].dataType, _TS_TYPES):
+        return (
+            epoch_micros(ts_col, df.schema[ts_col].dataType),
+            int(round(float(gap) * 1_000_000)),
+        )
+    return F.col(ts_col), gap
+
+
+def sessionize(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap=1800.0,
+    output: str = "events",
+    aggs: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Assign 1-based per-key session indices (``output="events"``:
+    input columns + ``session_idx``) or aggregate one row per session
+    (``output="sessions"``: key, session_idx, ts_start, ts_end,
+    n_events + any ``aggs``)."""
+    if output not in ("events", "sessions"):
+        raise ValueError(f"unknown output {output!r}")
+    if "session_idx" in events.columns:
+        raise ValueError("input already has a session_idx column")
+    ord_expr, gap_u = _order_expr(events, ts_col, gap)
+    e = events.filter(F.col(ts_col).isNotNull()).withColumn("__t", ord_expr)
+    w = Window.partitionBy(key_col).orderBy("__t")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # lag NULL (first row of the key) -> new session; NULL > gap is
+    # NULL -> when() falls through, so the first-row case is explicit
+    prev = F.lag("__t").over(w)
+    new = F.when(
+        prev.isNull() | ((F.col("__t") - prev) > F.lit(gap_u)), 1
+    ).otherwise(0)
+    with_idx = (
+        e.withColumn("session_idx", F.sum(new).over(run).cast("long"))
+        .drop("__t")
+    )
+    if output == "events":
+        return with_idx
+    return with_idx.groupBy(key_col, "session_idx").agg(
+        F.min(ts_col).alias("ts_start"),
+        F.max(ts_col).alias("ts_end"),
+        F.count("*").alias("n_events"),
+        *[c.alias(n) for n, c in (aggs or {}).items()],
+    )
