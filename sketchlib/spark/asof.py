@@ -23,8 +23,13 @@ duplicates "the" matched row is undefined in every engine; aggregate
 first (the gate query does max-per-key-instant).  Right rows with
 NULL ``on`` are dropped (a null instant can never be the nearest
 one; and F.last(ignorenulls) would otherwise smear their payload
-into real matches).  Left rows with NULL ``on`` survive with NULL
-payload, same as SQL ``>=`` never matching.
+into real matches).  NULL ``by`` keys never match on either side
+(SQL equality semantics, like DuckDB's ASOF JOIN ``ON`` clause —
+NOT the partitionBy null-grouping rule).  Left rows with NULL
+``on`` or NULL ``by`` keys survive with NULL payload, same as SQL
+``>=``/``=`` never matching.  The matched right row travels as one
+struct, so a legitimately-NULL payload field stays NULL instead of
+inheriting an older row's value.
 
 ``tolerance`` (backward: left_on - matched_on <= tolerance; forward:
 matched_on - left_on): timestamps compare in exact integer
@@ -36,11 +41,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import TimestampNTZType, TimestampType
+from pyspark.sql.types import StructField, StructType
 from pyspark.sql.window import Window
 
-#: both timestamp flavors (parquet without timezone reads as NTZ)
-_TS_TYPES = (TimestampType, TimestampNTZType)
+from sketchlib.spark.sessions import _TS_TYPES, epoch_micros
 
 
 def asof_join(
@@ -72,15 +76,32 @@ def asof_join(
     mcol = matched_on_col or "__asof_matched"
     if mcol in left.columns or mcol in payload:
         raise ValueError(f"matched_on_col {mcol!r} collides")
+    scratch = sorted({"__side", "__pay"} & set(left.columns))
+    if scratch:
+        raise ValueError(f"left columns collide with internals: {scratch}")
+    if "__m" in payload:
+        raise ValueError("right payload column '__m' collides with internals")
+
+    # right rows that can never match are dropped up front: NULL
+    # instant, or any NULL by key (SQL equality semantics -- NULL
+    # never equals NULL; Window.partitionBy WOULD group them)
     r = right.filter(F.col(on).isNotNull())
-    rtypes = {c: r.schema[c].dataType for c in payload}
+    for k in by:
+        r = r.filter(F.col(k).isNotNull())
     on_t = left.schema[on].dataType
 
+    # the matched right row travels as ONE nullable struct so payload
+    # and matched instant stay mutually consistent: per-column
+    # last(ignorenulls) would smear an older row's value over a
+    # legitimately-NULL payload field of the row that actually matched
+    pay_t = StructType(
+        [StructField(c, right.schema[c].dataType) for c in payload]
+        + [StructField("__m", right.schema[on].dataType)]
+    )
     lrow = left.select(
         *left.columns,
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(rtypes[c]).alias(c) for c in payload],
-        F.lit(None).cast(on_t).alias(mcol),
+        F.lit(None).cast(pay_t).alias("__pay"),
     )
     rrow = r.select(
         *[
@@ -89,8 +110,9 @@ def asof_join(
             for c in left.columns
         ],
         F.lit(0).alias("__side"),
-        *payload,
-        F.col(on).alias(mcol),
+        F.struct(
+            *[F.col(c) for c in payload], F.col(on).alias("__m")
+        ).alias("__pay"),
     )
     ordc = (
         [F.asc(on), F.asc("__side")]
@@ -102,18 +124,22 @@ def asof_join(
         .orderBy(*ordc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = lrow.unionByName(rrow)
-    for c in [*payload, mcol]:
-        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    out = filled.filter(F.col("__side") == 1).drop("__side")
+    out = (
+        lrow.unionByName(rrow)
+        .withColumn("__pay", F.last("__pay", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+        .drop("__side")
+        .withColumn(mcol, F.col("__pay")["__m"])
+    )
 
-    # left NULL-on rows: nothing matches (SQL >= semantics) -- the
+    # left rows that can't legitimately match anything: NULL instant
+    # (SQL >= never true) or NULL by key (equality never true) -- the
     # window would otherwise hand them whatever sorted adjacent
     keep = F.col(on).isNotNull()
+    for k in by:
+        keep = keep & F.col(k).isNotNull()
     if tolerance is not None:
         if isinstance(on_t, _TS_TYPES):
-            from sketchlib.spark.sessions import epoch_micros
-
             lv, mv = epoch_micros(on, on_t), epoch_micros(mcol, on_t)
             tol = int(round(float(tolerance) * 1_000_000))
         else:
@@ -121,8 +147,9 @@ def asof_join(
             tol = tolerance
         gap = (lv - mv) if direction == "backward" else (mv - lv)
         keep = keep & (gap <= F.lit(tol))
-    for c in [*payload, mcol]:
-        out = out.withColumn(c, F.when(keep, F.col(c)))
+    for c in payload:
+        out = out.withColumn(c, F.when(keep, F.col("__pay")[c]))
+    out = out.withColumn(mcol, F.when(keep, F.col(mcol))).drop("__pay")
     if matched_on_col is None:
         out = out.drop(mcol)
     return out

@@ -77,6 +77,8 @@ def sessionize(
         raise ValueError(f"unknown output {output!r}")
     if "session_idx" in events.columns:
         raise ValueError("input already has a session_idx column")
+    if "__t" in events.columns:
+        raise ValueError("input collides with internal column '__t'")
     ord_expr, gap_u = _order_expr(events, ts_col, gap)
     e = events.filter(F.col(ts_col).isNotNull()).withColumn("__t", ord_expr)
     w = Window.partitionBy(key_col).orderBy("__t")

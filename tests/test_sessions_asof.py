@@ -191,6 +191,39 @@ def test_asof_validation(spark, asof_sides):
         asof_join(ldf, rdf.select("k", "ts"), on="ts", by="k")
 
 
+def test_asof_null_payload_not_smeared(spark):
+    # the matched row's NULL payload must stay NULL (not inherit an
+    # older right row's value): payload + matched instant are atomic
+    ldf = spark.createDataFrame([(1, 1, 250)], "id long, k long, ts long")
+    rdf = spark.createDataFrame(
+        [(1, 100, 5.0), (1, 200, None)], "k long, ts long, v double"
+    )
+    r = asof_join(ldf, rdf, on="ts", by="k", matched_on_col="mts").collect()[0]
+    assert r["mts"] == 200 and r["v"] is None
+
+
+def test_asof_null_by_keys_never_match(spark):
+    # SQL equality semantics: NULL by keys match nothing on either side
+    ldf = spark.createDataFrame(
+        [(1, None, 100), (2, 1, 100)], "id long, k long, ts long"
+    )
+    rdf = spark.createDataFrame(
+        [(None, 50, 1.0), (1, 50, 2.0)], "k long, ts long, v double"
+    )
+    got = {r["id"]: r["v"] for r in asof_join(ldf, rdf, on="ts", by="k").collect()}
+    assert got == {1: None, 2: 2.0}
+
+
+def test_scratch_column_collisions_raise(spark, events_df, asof_sides):
+    _, _, ldf, rdf = asof_sides
+    with pytest.raises(ValueError, match="__t"):
+        sessionize(events_df.withColumn("__t", F.lit(1)), ts_col="ts", key_col="k")
+    with pytest.raises(ValueError, match="internals"):
+        asof_join(ldf.withColumn("__side", F.lit(1)), rdf, on="ts", by="k")
+    with pytest.raises(ValueError, match="__m"):
+        asof_join(ldf, rdf.withColumnRenamed("v", "__m"), on="ts", by="k")
+
+
 def test_epoch_micros_ntz_exact(spark):
     # NTZ micros must be wall-clock (timezone-independent) int64 —
     # the DuckDB epoch_us parity contract for naive timestamps
