@@ -89,6 +89,7 @@ def ngram_jaccard_pairs(
     method: str = "auto",
     hash_grams: bool = False,
     prefix_min_partitions: int = PREFIX_MIN_PARTITIONS,
+    cache: bool = True,
 ) -> DataFrame:
     """All unordered pairs (id_a < id_b, jaccard double) with word
     ``w``-gram set Jaccard >= ``threshold``.  Exact under every
@@ -98,12 +99,27 @@ def ngram_jaccard_pairs(
     if method not in ("auto", "index", "prefix"):
         raise ValueError(f"unknown method {method!r}")
 
-    base = _gram_sets(docs, col, id_col, w, hash_grams)
-    if method == "auto":
-        from sketchlib.spark.api import _plan_partitions
+    from sketchlib.spark.api import _plan_partitions
 
-        big = _plan_partitions(docs, prefix_min_partitions + 1)
-        method = "prefix" if big > prefix_min_partitions else "index"
+    nparts = _plan_partitions(docs, prefix_min_partitions + 1)
+    if method == "auto":
+        method = "prefix" if nparts > prefix_min_partitions else "index"
+
+    base = _gram_sets(docs, col, id_col, w, hash_grams)
+    # a single-file source plans 1-2 partitions and would build grams
+    # on one core; spread to the session's shuffle parallelism (no-op
+    # at scale, where the scan already has more partitions)
+    target = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if nparts < target:
+        base = base.repartition(target, "__id")
+    # every plan reads the gram arrays 2-4x (df counts + both join
+    # sides + the prefix verify): persist the ONE small-per-doc array
+    # frame so the string shingle build runs once, not per consumer
+    # (cache retention: one persisted frame per call, the minhash
+    # precedent; spill-safe MEMORY_AND_DISK default; cache=False
+    # trades recomputation for zero cache footprint at corpus scale)
+    if cache:
+        base = base.persist()
 
     grams = base.select("__id", "__n", F.explode("__g").alias("__gram"))
     dfc = grams.groupBy("__gram").agg(F.count("*").alias("__df"))
