@@ -815,6 +815,24 @@ def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (alpha=0.5): per-lang budgets
+    total*isqrt(n_lang)//sum(isqrt) — integer arithmetic end-to-end,
+    so the split AND the prefix-rule selection are exact cross-engine
+    row parity with the DuckDB oracle."""
+    from sketchlib.spark.api import sample_by_temperature
+
+    docs = _read(spark, sf_dir, "documents")
+    picked = sample_by_temperature(
+        docs, 20_000, source_col="lang", size_col="n_chars",
+        alpha=0.5, order_col="doc_id",
+    )
+    return picked.select(
+        F.col("doc_id").cast("bigint"), "lang",
+        F.col("n_chars").cast("bigint"),
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Causal-LM sequence packing (concatenate docs in doc_id order,
     chunk at 2048): the (seq_id, seq_offset, n_seqs) layout is a pure
@@ -1520,6 +1538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_star": q_dedup_clusters_star,
         "tdigest_cluster_insert": q_tdigest_cluster_insert,
         "sample_token_budget": q_sample_token_budget,
+        "sample_temperature": q_sample_temperature,
         "pack_sequences": q_pack_sequences,
         "sample_stratified": q_sample_stratified,
         "materialize_packed": q_materialize_packed,
@@ -1844,6 +1863,26 @@ def oracle_sql() -> dict[str, str]:
             "CAST(n_chars AS BIGINT) AS n_chars FROM ranked "
             "WHERE prior < (CASE lang WHEN 'en' THEN 8000 "
             "WHEN 'fr' THEN 5000 ELSE 4000 END)"
+        ),
+        "sample_temperature": (
+            # alpha=0.5 weights are floor(sqrt(n)) -- integer-exact
+            # (matches math.isqrt for any realistic magnitude); the
+            # split and the prefix selection are all-integer
+            "WITH avail AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) "
+            "  AS n FROM documents WHERE lang IS NOT NULL GROUP BY 1), "
+            "wts AS (SELECT lang, CAST(floor(sqrt(CAST(n AS DOUBLE))) "
+            "  AS BIGINT) AS w FROM avail WHERE n > 0), "
+            "tot AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM wts), "
+            "b AS (SELECT lang, 20000 * w // sw AS budget "
+            "  FROM wts CROSS JOIN tot), "
+            "ranked AS (SELECT doc_id, lang, n_chars, "
+            "  COALESCE(SUM(n_chars) OVER (PARTITION BY lang "
+            "    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "    1 PRECEDING), 0) AS prior FROM documents "
+            "  WHERE lang IN (SELECT lang FROM b)) "
+            "SELECT CAST(r.doc_id AS BIGINT) AS doc_id, r.lang, "
+            "CAST(r.n_chars AS BIGINT) AS n_chars "
+            "FROM ranked r JOIN b USING (lang) WHERE r.prior < b.budget"
         ),
         "pack_sequences": (
             # the packed layout is pure window arithmetic: exact global

@@ -4,6 +4,7 @@ build+query in one call, with the partial/merge staging hidden."""
 
 from __future__ import annotations
 
+import math
 from typing import Sequence
 
 import numpy as np
@@ -749,6 +750,73 @@ def sample_by_token_budget(
     return withp.filter(
         F.col("__prior") < budget_map[F.col(source_col)]
     ).drop("__prior")
+
+
+def temperature_budgets(
+    df: DataFrame,
+    total: int,
+    source_col: str = "source",
+    size_col: str = "n_tok",
+    alpha: float = 0.5,
+) -> dict:
+    """Per-source token budgets for temperature-based mixing (the
+    standard multilingual/multi-source pretraining recipe, e.g. mT5):
+    source ``s`` holding ``n_s`` tokens gets
+    ``total * w_s // sum(w)`` with weight ``w_s = floor(n_s ** alpha)``
+    — flattening the natural distribution toward uniform as ``alpha``
+    drops from 1.  All arithmetic past the weights is INTEGER, so the
+    budget split is bit-reproducible by any engine.  The weights
+    themselves are integer-exact for ``alpha`` 0.5 (``math.isqrt``;
+    equal to ``floor(sqrt(double))`` for any realistic token count —
+    the rounding argument holds to ~2^52) and 1.0; other alphas go
+    through float ``pow`` (deterministic for one libm, not across
+    engines — documented, not a gate path).
+
+    One tiny driver-side job (a row per source).  Sources with NULL
+    name or non-positive totals get no budget."""
+    if total < 0:
+        raise ValueError(f"total must be >= 0, got {total}")
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    rows = (
+        df.filter(F.col(source_col).isNotNull())
+        .groupBy(source_col)
+        .agg(F.sum(size_col).alias("__n"))
+        .collect()
+    )
+    sizes = {r[source_col]: r["__n"] for r in rows}
+    if alpha == 0.5:
+        w = {s: math.isqrt(n) for s, n in sizes.items() if n and n > 0}
+    elif alpha == 1.0:
+        w = {s: int(n) for s, n in sizes.items() if n and n > 0}
+    else:
+        w = {
+            s: int(math.floor(n**alpha))
+            for s, n in sizes.items()
+            if n and n > 0
+        }
+    sw = sum(w.values())
+    if sw == 0:
+        return {}
+    return {s: total * ws // sw for s, ws in w.items()}
+
+
+def sample_by_temperature(
+    df: DataFrame,
+    total: int,
+    source_col: str = "source",
+    size_col: str = "n_tok",
+    alpha: float = 0.5,
+    **kwargs,
+) -> DataFrame:
+    """Temperature mixing end-to-end: compute ``temperature_budgets``
+    (one tiny aggregate job) and take exactly those budgets with the
+    deterministic ``sample_by_token_budget`` prefix rule (``kwargs``
+    pass through: order_col, seed, order_buckets, ...)."""
+    budgets = temperature_budgets(df, total, source_col, size_col, alpha)
+    return sample_by_token_budget(
+        df, budgets, source_col=source_col, size_col=size_col, **kwargs
+    )
 
 
 def pack_sequences(

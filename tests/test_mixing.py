@@ -196,3 +196,69 @@ def test_budget_sampling_huge_doc_progress(spark):
     got = sample_by_token_budget(df, {"s": 100}, order_col="doc_id").collect()
     assert [r["doc_id"] for r in got] == [1]
     assert sample_by_token_budget(df, {}, order_col="doc_id").count() == 0
+
+
+def test_temperature_budgets_math(spark):
+    from math import isqrt
+
+    from sketchlib.spark.api import temperature_budgets
+
+    rows = (
+        [("en", 100) for _ in range(90)]
+        + [("fr", 100) for _ in range(40)]
+        + [("zh", 100) for _ in range(10)]
+        + [(None, 100)]  # null source: no budget
+    )
+    df = spark.createDataFrame(rows, "src string, n long")
+    # alpha=0.5: w = isqrt(tokens), integer split
+    b = temperature_budgets(df, 7000, source_col="src", size_col="n", alpha=0.5)
+    w = {"en": isqrt(9000), "fr": isqrt(4000), "zh": isqrt(1000)}
+    sw = sum(w.values())
+    assert b == {s: 7000 * ws // sw for s, ws in w.items()}
+    # alpha=1 is proportional, alpha=0 is uniform
+    b1 = temperature_budgets(df, 7000, source_col="src", size_col="n", alpha=1.0)
+    assert b1 == {"en": 4500, "fr": 2000, "zh": 500}
+    b0 = temperature_budgets(df, 7000, source_col="src", size_col="n", alpha=0.0)
+    assert b0 == {"en": 7000 // 3, "fr": 7000 // 3, "zh": 7000 // 3}
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_budgets(df, 10, source_col="src", size_col="n", alpha=-1)
+    with pytest.raises(ValueError, match="total"):
+        temperature_budgets(df, -1, source_col="src", size_col="n")
+
+
+def test_sample_by_temperature_matches_manual_budgets(spark):
+    from sketchlib.spark.api import (
+        sample_by_temperature,
+        sample_by_token_budget,
+        temperature_budgets,
+    )
+
+    rng = np.random.default_rng(23)
+    rows = [
+        (i, ["en", "fr", "zh"][int(rng.integers(0, 3))], int(rng.integers(10, 200)))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, src string, n long")
+    got = sample_by_temperature(
+        df, 5000, source_col="src", size_col="n", alpha=0.5, order_col="doc_id"
+    )
+    budgets = temperature_budgets(df, 5000, source_col="src", size_col="n", alpha=0.5)
+    want = sample_by_token_budget(
+        df, budgets, source_col="src", size_col="n", order_col="doc_id"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # each per-source token take is within one doc of its budget
+    take = {
+        r["src"]: r["t"]
+        for r in got.groupBy("src").agg(F.sum("n").alias("t")).collect()
+    }
+    for s, b in budgets.items():
+        assert take[s] >= min(b, 1)
+
+
+def test_temperature_budgets_degenerate(spark):
+    from sketchlib.spark.api import sample_by_temperature, temperature_budgets
+
+    empty = spark.createDataFrame([], "src string, n long")
+    assert temperature_budgets(empty, 100, source_col="src", size_col="n") == {}
+    assert sample_by_temperature(empty, 100, source_col="src", size_col="n").count() == 0
