@@ -152,3 +152,47 @@ def test_sample_stratified_no_shuffle(spark, tokens_path):
     plan = _formatted(out)
     assert "Exchange" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_asof_join_single_exchange(spark):
+    """Round-5 continuation: the as-of join is the union-merge shape —
+    exactly ONE Exchange (the by-key hash partitioning), one Window,
+    no Python nodes, and no range-join/cartesian node anywhere."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.asof import asof_join
+
+    ldf = spark.range(100).select(
+        F.col("id").alias("eid"),
+        (F.col("id") % 5).alias("k"),
+        (F.col("id") * 7).alias("ts"),
+    )
+    rdf = spark.range(20).select(
+        (F.col("id") % 5).alias("k"),
+        (F.col("id") * 31).alias("ts"),
+        F.col("id").cast("double").alias("v"),
+    )
+    plan = _formatted(asof_join(ldf, rdf, on="ts", by="k"))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "Python" not in plan, plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_sessionize_single_exchange(spark):
+    """sessionize: one Exchange (key partitioning) feeding the
+    lag/running-sum window; the sessions rollup adds no second
+    shuffle (partial agg rides the same partitioning)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.sessions import sessionize
+
+    df = spark.range(500).select(
+        (F.col("id") % 9).alias("k"), (F.col("id") * 13).alias("ts")
+    )
+    plan = _formatted(sessionize(df, ts_col="ts", key_col="k", output="sessions"))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "Python" not in plan, plan
