@@ -89,7 +89,7 @@ def ngram_jaccard_pairs(
     method: str = "auto",
     hash_grams: bool = False,
     prefix_min_partitions: int = PREFIX_MIN_PARTITIONS,
-    cache: bool = True,
+    cache: bool | None = None,
 ) -> DataFrame:
     """All unordered pairs (id_a < id_b, jaccard double) with word
     ``w``-gram set Jaccard >= ``threshold``.  Exact under every
@@ -105,19 +105,29 @@ def ngram_jaccard_pairs(
     if method == "auto":
         method = "prefix" if nparts > prefix_min_partitions else "index"
 
-    base = _gram_sets(docs, col, id_col, w, hash_grams)
-    # a single-file source plans 1-2 partitions and would build grams
-    # on one core; spread to the session's shuffle parallelism (no-op
-    # at scale, where the scan already has more partitions)
+    # a single-file source plans 1-2 partitions and would run the
+    # shingle build on one core: repartition the RAW docs (the build
+    # sits above the Exchange, so it actually spreads) to the
+    # session's shuffle parallelism; no-op at scale, where the scan
+    # already plans more partitions
+    # hash-by-id, NOT round-robin: round-robin repartition local-sorts
+    # every (wide text) row first for retry determinism
     target = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if nparts < target:
-        base = base.repartition(target, "__id")
+    spread = (
+        docs.repartition(target, F.col(id_col)) if nparts < target else docs
+    )
+    base = _gram_sets(spread, col, id_col, w, hash_grams)
     # every plan reads the gram arrays 2-4x (df counts + both join
-    # sides + the prefix verify): persist the ONE small-per-doc array
-    # frame so the string shingle build runs once, not per consumer
-    # (cache retention: one persisted frame per call, the minhash
-    # precedent; spill-safe MEMORY_AND_DISK default; cache=False
-    # trades recomputation for zero cache footprint at corpus scale)
+    # sides + the prefix verify): persist the ONE per-doc array frame
+    # so the string shingle build runs once, not per consumer (cache
+    # retention: one persisted frame per call, the minhash precedent;
+    # spill-safe MEMORY_AND_DISK default).  cache=None (default) is
+    # adaptive on the SAME driver-side partition gate: small inputs
+    # persist, corpus-scale inputs don't — the gram arrays are ~w x
+    # the raw text, and force-materializing that to memory+disk at
+    # 100 TB is worse than recomputing the build per consumer.
+    if cache is None:
+        cache = nparts <= prefix_min_partitions
     if cache:
         base = base.persist()
 

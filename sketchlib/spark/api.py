@@ -798,7 +798,12 @@ def temperature_budgets(
     sw = sum(w.values())
     if sw == 0:
         return {}
-    return {s: total * ws // sw for s, ws in w.items()}
+    # zero-budget sources are dropped: keeping them would shuffle
+    # every row of a long-tail source through the prefix-sum window
+    # only for `prior < 0` to discard them all (the SQL oracle also
+    # selects nothing for budget 0 — behavior-identical)
+    out = {s: total * ws // sw for s, ws in w.items()}
+    return {s: b for s, b in out.items() if b > 0}
 
 
 def sample_by_temperature(

@@ -247,13 +247,24 @@ def test_sample_by_temperature_matches_manual_budgets(spark):
         df, budgets, source_col="src", size_col="n", order_col="doc_id"
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
-    # each per-source token take is within one doc of its budget
+    # each per-source take honors the budget to within one document
+    # (the crossing doc is included): b <= take < b + max_doc, unless
+    # the source ran out first (take = its full supply)
     take = {
         r["src"]: r["t"]
         for r in got.groupBy("src").agg(F.sum("n").alias("t")).collect()
     }
+    supply = {
+        r["src"]: r["t"]
+        for r in df.groupBy("src").agg(F.sum("n").alias("t")).collect()
+    }
+    max_doc = 199  # rng.integers(10, 200) upper bound
     for s, b in budgets.items():
-        assert take[s] >= min(b, 1)
+        assert b > 0  # zero budgets must have been dropped
+        if supply[s] < b:
+            assert take[s] == supply[s]
+        else:
+            assert b <= take[s] < b + max_doc, (s, b, take[s])
 
 
 def test_temperature_budgets_degenerate(spark):
@@ -262,3 +273,10 @@ def test_temperature_budgets_degenerate(spark):
     empty = spark.createDataFrame([], "src string, n long")
     assert temperature_budgets(empty, 100, source_col="src", size_col="n") == {}
     assert sample_by_temperature(empty, 100, source_col="src", size_col="n").count() == 0
+    # a long-tail source whose integer share floors to 0 is dropped
+    # from the dict entirely (no wasted shuffle on its rows)
+    skew = spark.createDataFrame(
+        [("big", 1_000_000), ("tiny", 1)], "src string, n long"
+    )
+    b = temperature_budgets(skew, 10, source_col="src", size_col="n", alpha=0.5)
+    assert "tiny" not in b and b["big"] > 0

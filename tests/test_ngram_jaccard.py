@@ -72,8 +72,10 @@ def test_matches_python_oracle(spark, docs_df, method):
 
 def test_hash_grams_identical(spark, docs_df):
     plain = ngram_jaccard_pairs(docs_df, w=3, threshold=0.5, method="prefix")
+    # hashed side also exercises the cache=False (no-persist) path
     hashed = ngram_jaccard_pairs(
-        docs_df, w=3, threshold=0.5, method="prefix", hash_grams=True
+        docs_df, w=3, threshold=0.5, method="prefix", hash_grams=True,
+        cache=False,
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, hashed.collect()))
 
