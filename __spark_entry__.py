@@ -624,6 +624,24 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-passage removal (Lee et al. substring-dedup
+    family): exact copies of every 10th doc are injected, so every
+    one of their 5-word spans is corpus-duplicated and BOTH copies
+    scrub to '' — byte-for-byte text parity with the DuckDB oracle,
+    natural boilerplate repeats included."""
+    from sketchlib.dedup.spans import remove_duplicate_spans
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"), "text"
+    )
+    out = remove_duplicate_spans(docs.union(copies), w=5)
+    return out.select(
+        F.col("doc_id").cast("bigint"), "text", "n_removed"
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup detection: exact copies (hamming 0) of every
     10th doc plus lightly mutated copies (drop every 30th word) of
@@ -1531,6 +1549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_ngram": q_dedup_ngram,
+        "dedup_spans": q_dedup_spans,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "dedup_simhash": q_dedup_simhash,
@@ -1684,6 +1703,38 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": (
             "SELECT * FROM (VALUES ('minhash_recall', TRUE), "
             "('minhash_precision', TRUE)) AS t(metric, ok)"
+        ),
+        "dedup_spans": (
+            # 1-based window-list grams (see decontaminate); covered
+            # positions via a bounded BETWEEN join; rebuild with an
+            # ordered list aggregate; scrubbed-empty docs restored by
+            # the left join
+            "WITH alld AS (SELECT doc_id, text FROM documents "
+            "  UNION ALL SELECT doc_id + 3000000, text FROM documents "
+            "  WHERE doc_id % 10 = 0), "
+            "w AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') "
+            "  AS ws FROM alld), "
+            "words AS (SELECT doc_id, unnest(ws) AS word, "
+            "  generate_subscripts(ws, 1) AS pos, len(ws) AS n FROM w), "
+            "g AS (SELECT doc_id, pos, n, array_to_string(list(word) "
+            "  OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN "
+            "  CURRENT ROW AND 4 FOLLOWING), ' ') AS gram FROM words), "
+            "occ AS (SELECT doc_id, pos, gram FROM g WHERE pos <= n - 4), "
+            "cnt AS (SELECT gram, count(*) AS c FROM occ GROUP BY 1), "
+            "dup AS (SELECT o.doc_id, o.pos FROM occ o "
+            "  JOIN cnt USING (gram) WHERE c >= 2), "
+            "cov AS (SELECT DISTINCT wo.doc_id, wo.pos FROM words wo "
+            "  JOIN dup d ON wo.doc_id = d.doc_id "
+            "  AND wo.pos BETWEEN d.pos AND d.pos + 4), "
+            "kept AS (SELECT wo.doc_id, wo.word, wo.pos FROM words wo "
+            "  ANTI JOIN cov USING (doc_id, pos)), "
+            "reb AS (SELECT doc_id, array_to_string(list(word ORDER BY "
+            "  pos), ' ') AS clean, count(*) AS nk FROM kept GROUP BY 1) "
+            "SELECT CAST(a.doc_id AS BIGINT) AS doc_id, "
+            "COALESCE(r.clean, '') AS text, "
+            "CAST(len(string_split(COALESCE(a.text, ''), ' ')) - "
+            "  COALESCE(r.nk, 0) AS BIGINT) AS n_removed "
+            "FROM alld a LEFT JOIN reb r USING (doc_id)"
         ),
         "sessionize": (
             # identical boundary rule in exact integer epoch-micros;

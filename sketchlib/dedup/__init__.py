@@ -10,11 +10,13 @@ from sketchlib.dedup.minhash import (
     minhash_signatures,
 )
 from sketchlib.dedup.ngram import ngram_jaccard_pairs
+from sketchlib.dedup.spans import remove_duplicate_spans
 from sketchlib.dedup.simhash import simhash_near_duplicates, simhash_signatures
 
 __all__ = [
     "exact_duplicate_groups",
     "ngram_jaccard_pairs",
+    "remove_duplicate_spans",
     "minhash_signatures",
     "lsh_candidate_pairs",
     "exact_jaccard_pairs",
