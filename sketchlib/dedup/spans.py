@@ -51,6 +51,7 @@ def remove_duplicate_spans(
     w: int = 5,
     min_count: int = 2,
     hash_grams: bool = False,
+    cache: bool | None = None,
 ) -> DataFrame:
     """Rewrite ``col`` with every duplicated ``w``-word span removed.
     Output: all non-NULL-id input rows as (``id_col``, ``col``,
@@ -61,12 +62,35 @@ def remove_duplicate_spans(
         raise ValueError(f"span width must be >= 1, got {w}")
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
+    from sketchlib.dedup.ngram import PREFIX_MIN_PARTITIONS
+    from sketchlib.spark.api import _plan_partitions
+
+    # same treatment as ngram.py: a single-file source plans 1-2
+    # partitions and would run every split/gram build there — spread
+    # the RAW docs (hash-by-id, never round-robin: that local-sorts
+    # the wide text rows) to the session's shuffle parallelism;
+    # no-op at scale
+    nparts = _plan_partitions(docs, PREFIX_MIN_PARTITIONS + 1)
+    target = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if nparts < target:
+        docs = docs.repartition(target, F.col(id_col))
     d = docs.na.drop(subset=[id_col]).select(
         F.col(id_col).alias("__id"),
         # NULL text behaves as '' (explicit, not via null-propagating
         # split/size which would yield NULL n_removed)
         F.coalesce(F.col(col), F.lit("")).alias("__text"),
     )
+    # four consumers read this lineage (gram counts, dup probe, word
+    # positions, the final rejoin): persist the ONE raw-text frame so
+    # the source scans collapse to one (the gram build itself runs
+    # twice from the cached text, but post-spread that is parallel
+    # and CPU-cheap next to re-scanning).  cache=None is adaptive on
+    # the partition gate like ngram.py: corpus-scale inputs skip the
+    # corpus-sized persist and recompute instead.
+    if cache is None:
+        cache = nparts <= PREFIX_MIN_PARTITIONS
+    if cache:
+        d = d.persist()
 
     sh = word_shingles("__text", w)
     if hash_grams:

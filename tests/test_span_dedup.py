@@ -59,7 +59,8 @@ def test_matches_python_oracle(spark, docs_df, hash_grams):
     got = {
         r["doc_id"]: (r["text"], r["n_removed"])
         for r in remove_duplicate_spans(
-            docs_df, w=5, hash_grams=hash_grams
+            # the hashed side also exercises the no-persist path
+            docs_df, w=5, hash_grams=hash_grams, cache=not hash_grams
         ).collect()
     }
     want = _py_clean(_mk_docs(), 5)
