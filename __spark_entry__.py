@@ -593,6 +593,30 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-1-day rolling count and value sum per user:
+    RANGE-frame window (tie-safe — all equal-instant rows share one
+    frame) in exact integer epoch-micros, full parity with the DuckDB
+    RANGE BETWEEN oracle."""
+    from sketchlib.spark.sessions import epoch_micros, with_rolling_stats
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = with_rolling_stats(
+        ev, ts_col="ts", key_col="user_id", window=86_400.0,
+        aggs={"rolling_value": F.sum("value")},
+    )
+    us = lambda c: epoch_micros(c, out.schema[c].dataType)  # noqa: E731
+    return out.select(
+        "event_id",
+        F.col("user_id").cast("long").alias("user_id"),
+        us("ts").alias("ts_us"),
+        "rolling_count",
+        F.round("rolling_value", 4).alias("rolling_value"),
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: every event picks the user's most recent purchase
     at-or-before its timestamp (marks deduped to one row per (user,
@@ -1551,6 +1575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram": q_dedup_ngram,
         "dedup_spans": q_dedup_spans,
         "sessionize": q_sessionize,
+        "rolling_stats": q_rolling_stats,
         "asof_join": q_asof_join,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
@@ -1755,6 +1780,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_events, "
             "round(sum(value), 4) AS sum_value "
             "FROM s GROUP BY 1, 2"
+        ),
+        "rolling_stats": (
+            # RANGE frame in integer epoch-micros: tie rows share one
+            # frame, so counts/sums are engine-independent
+            "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t, "
+            "  value FROM events WHERE ts IS NOT NULL) "
+            "SELECT event_id, CAST(user_id AS BIGINT) AS user_id, "
+            "t AS ts_us, CAST(count(*) OVER win AS BIGINT) AS "
+            "rolling_count, round(sum(value) OVER win, 4) AS "
+            "rolling_value FROM e WINDOW win AS (PARTITION BY user_id "
+            "ORDER BY t RANGE BETWEEN 86400000000 PRECEDING "
+            "AND CURRENT ROW)"
         ),
         "asof_join": (
             "WITH marks AS (SELECT user_id, ts, max(value) AS pv "

@@ -101,3 +101,43 @@ def sessionize(
         F.count("*").alias("n_events"),
         *[c.alias(n) for n, c in (aggs or {}).items()],
     )
+
+
+def with_rolling_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    window=3600.0,
+    aggs: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Trailing-window rolling aggregates per key: for every event,
+    aggregate over the key's events in ``[ts - window, ts]``
+    (inclusive both ends).  Appends ``rolling_count`` plus any
+    ``aggs`` (each aggregate expression is evaluated over the range
+    frame, e.g. ``{"rolling_value": F.sum("value")}``).
+
+    A RANGE frame, not ROWS: all rows tied on ``ts`` share one frame,
+    so the result is deterministic under ties (a ROWS frame would
+    depend on the engine's tie order).  Timestamp columns order and
+    bound in exact integer epoch-micros with ``window`` in SECONDS
+    (see ``sessionize``); numeric columns use raw units.  NULL
+    ``ts_col`` rows are dropped (same contract as ``sessionize``).
+
+    One shuffle (the per-key hash partitioning); the sliding frame is
+    a single O(rows-per-key) pass per key — bounded by each key's own
+    event count, never by the corpus."""
+    if "rolling_count" in events.columns:
+        raise ValueError("input already has a rolling_count column")
+    if "__t" in events.columns:
+        raise ValueError("input collides with internal column '__t'")
+    ord_expr, win_u = _order_expr(events, ts_col, window)
+    e = events.filter(F.col(ts_col).isNotNull()).withColumn("__t", ord_expr)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("__t")
+        .rangeBetween(-win_u, 0)
+    )
+    out = e.withColumn("rolling_count", F.count("*").over(w).cast("long"))
+    for name, expr in (aggs or {}).items():
+        out = out.withColumn(name, expr.over(w))
+    return out.drop("__t")

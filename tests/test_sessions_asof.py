@@ -256,6 +256,53 @@ def test_sessionize_ntz_timestamps(spark):
     assert idx == {1: 1, 2: 1, 3: 2}
 
 
+def test_rolling_stats_matches_python(spark, events_df):
+    from sketchlib.spark.sessions import with_rolling_stats
+
+    win = 3000
+    got = {
+        r["event_id"]: (r["rolling_count"], r["rolling_value"])
+        for r in with_rolling_stats(
+            events_df, ts_col="ts", key_col="k", window=win,
+            aggs={"rolling_value": F.sum("value")},
+        ).collect()
+    }
+    rows = _mk_events()
+    assert len(got) == len(rows)
+    bykey = {}
+    for eid, k, ts, v in rows:
+        bykey.setdefault(k, []).append((ts, v))
+    for eid, k, ts, v in rows:
+        inwin = [(t, x) for t, x in bykey[k] if ts - win <= t <= ts]
+        assert got[eid][0] == len(inwin), eid
+        assert got[eid][1] == pytest.approx(sum(x for _, x in inwin))
+    # the three tied rows share one RANGE frame: identical results
+    n = max(got) - 2
+    assert got[n] == got[n + 1] == got[n + 2]
+
+
+def test_rolling_stats_timestamp_and_validation(spark, events_df):
+    import datetime as dtm
+
+    from sketchlib.spark.sessions import with_rolling_stats
+
+    t0 = dtm.datetime(2026, 1, 1)
+    df = spark.createDataFrame(
+        [(1, 1, t0), (2, 1, t0 + dtm.timedelta(seconds=50)),
+         (3, 1, t0 + dtm.timedelta(seconds=200)), (4, 1, None)],
+        "event_id long, k long, ts timestamp",
+    )
+    got = {
+        r["event_id"]: r["rolling_count"]
+        for r in with_rolling_stats(df, key_col="k", window=60.0).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 1}  # null-ts dropped; 60s window
+    with pytest.raises(ValueError, match="rolling_count"):
+        with_rolling_stats(
+            with_rolling_stats(df, key_col="k"), key_col="k"
+        )
+
+
 def test_no_python_nodes(spark, asof_sides, events_df):
     _, _, ldf, rdf = asof_sides
     for df in (
