@@ -39,7 +39,11 @@ set and never pair.
 ``hash_grams=True`` replaces gram strings with ``xxhash64(gram)``
 throughout (ordering, joins, intersections) — narrows every shuffle
 row to 8 bytes for wide corpora at a ~n_grams^2 / 2^64 collision
-risk; results are otherwise identical (tested).
+risk; results are otherwise identical (tested).  Measured ~3x on the
+prefix plan at a 50k-doc stress (BASELINE.md round-5 stress section,
+which also pins the index/prefix crossover: uniform low df favors
+the index join, a df=20k boilerplate gram already flips it — the
+index's hot-gram join rows grow as df^2, prefix stays linear).
 """
 
 from __future__ import annotations
