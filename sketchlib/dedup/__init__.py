@@ -2,7 +2,13 @@
 MinHash+LSH and SimHash near-dup, n-gram Jaccard verification, and
 embedding-cosine near-dup (sketchlib.similarity)."""
 
+from sketchlib.dedup.decontaminate import decontaminate, word_shingles
 from sketchlib.dedup.exact import exact_duplicate_groups
+from sketchlib.dedup.incremental import (
+    build_seen_state,
+    filter_unseen,
+    ingest_batch,
+)
 from sketchlib.dedup.minhash import (
     exact_jaccard_pairs,
     lsh_candidate_pairs,
@@ -15,6 +21,11 @@ from sketchlib.dedup.simhash import simhash_near_duplicates, simhash_signatures
 
 __all__ = [
     "exact_duplicate_groups",
+    "decontaminate",
+    "word_shingles",
+    "build_seen_state",
+    "filter_unseen",
+    "ingest_batch",
     "ngram_jaccard_pairs",
     "remove_duplicate_spans",
     "minhash_signatures",

@@ -242,6 +242,69 @@ def job_pack(args) -> None:
     spark.stop()
 
 
+def job_spandedup(args) -> None:
+    """Exact duplicate-passage removal: rewrite the corpus with every
+    duplicated w-word span scrubbed; report words removed."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from sketchlib.dedup.spans import remove_duplicate_spans
+    from sketchlib.spark.io import read_table
+    from sketchlib.spark.session import get_spark
+
+    spark = get_spark(master=args.master)
+    docs = read_table(spark, args.input, args.format)
+    out = remove_duplicate_spans(
+        docs, col=args.col, id_col=args.id_col, w=args.span_w,
+        min_count=args.min_count, hash_grams=args.hash_grams,
+    )
+    obs = Observation()
+    out = out.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("n_removed").alias("removed_words"),
+        F.sum(
+            F.when(F.col(args.col) == "", 1).otherwise(0)
+        ).alias("scrubbed_empty"),
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    m = obs.get
+    print(json.dumps({
+        "output": args.output, "w": args.span_w,
+        "rows": int(m["rows"]),
+        "removed_words": int(m["removed_words"] or 0),
+        "scrubbed_empty": int(m["scrubbed_empty"] or 0),
+    }))
+    spark.stop()
+
+
+def job_ngram_dedup(args) -> None:
+    """Exact n-gram Jaccard near-dup pairs: write (id_a, id_b,
+    jaccard) and report the pair count."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from sketchlib.dedup.ngram import ngram_jaccard_pairs
+    from sketchlib.spark.io import read_table
+    from sketchlib.spark.session import get_spark
+
+    spark = get_spark(master=args.master)
+    docs = read_table(spark, args.input, args.format)
+    pairs = ngram_jaccard_pairs(
+        docs, col=args.col, id_col=args.id_col, w=args.gram_w,
+        threshold=args.threshold, method=args.method,
+        hash_grams=args.hash_grams,
+    )
+    obs = Observation()
+    pairs = pairs.observe(obs, F.count(F.lit(1)).alias("pairs"))
+    pairs.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({
+        "output": args.output, "w": args.gram_w,
+        "threshold": args.threshold, "pairs": int(obs.get["pairs"]),
+    }))
+    spark.stop()
+
+
 def job_decontam(args) -> None:
     """Eval-set decontamination: write the surviving train rows and
     report kept/removed counts."""
@@ -409,6 +472,31 @@ def main(argv=None) -> None:
     dc.add_argument("--method", default="exact", choices=["exact", "bloom"])
     dc.add_argument("--master", default=None)
     dc.set_defaults(fn=job_decontam)
+
+    sd = sub.add_parser("span-dedup")
+    sd.add_argument("--input", required=True)
+    sd.add_argument("--format", default="auto", choices=["auto", "parquet", "iceberg"])
+    sd.add_argument("--output", required=True)
+    sd.add_argument("--col", default="text")
+    sd.add_argument("--id-col", default="doc_id")
+    sd.add_argument("--span-w", type=int, default=5)
+    sd.add_argument("--min-count", type=int, default=2)
+    sd.add_argument("--hash-grams", action="store_true")
+    sd.add_argument("--master", default=None)
+    sd.set_defaults(fn=job_spandedup)
+
+    ng = sub.add_parser("ngram-dedup")
+    ng.add_argument("--input", required=True)
+    ng.add_argument("--format", default="auto", choices=["auto", "parquet", "iceberg"])
+    ng.add_argument("--output", required=True)
+    ng.add_argument("--col", default="text")
+    ng.add_argument("--id-col", default="doc_id")
+    ng.add_argument("--gram-w", type=int, default=3)
+    ng.add_argument("--threshold", type=float, default=0.5)
+    ng.add_argument("--method", default="auto", choices=["auto", "index", "prefix"])
+    ng.add_argument("--hash-grams", action="store_true")
+    ng.add_argument("--master", default=None)
+    ng.set_defaults(fn=job_ngram_dedup)
 
     p = sub.add_parser("package")
     p.add_argument("--output", default=None)
