@@ -103,23 +103,14 @@ def ngram_jaccard_pairs(
     if method not in ("auto", "index", "prefix"):
         raise ValueError(f"unknown method {method!r}")
 
-    from sketchlib.spark.api import _plan_partitions
+    from sketchlib.spark.api import _spread_and_gate
 
-    nparts = _plan_partitions(docs, prefix_min_partitions + 1)
+    # spread the raw docs before the shingle build (shared helper:
+    # hash-by-id repartition when under-parallel, plus the driver-side
+    # small-input verdict), then decide the plan
+    spread, _, small = _spread_and_gate(docs, id_col, prefix_min_partitions)
     if method == "auto":
-        method = "prefix" if nparts > prefix_min_partitions else "index"
-
-    # a single-file source plans 1-2 partitions and would run the
-    # shingle build on one core: repartition the RAW docs (the build
-    # sits above the Exchange, so it actually spreads) to the
-    # session's shuffle parallelism; no-op at scale, where the scan
-    # already plans more partitions
-    # hash-by-id, NOT round-robin: round-robin repartition local-sorts
-    # every (wide text) row first for retry determinism
-    target = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    spread = (
-        docs.repartition(target, F.col(id_col)) if nparts < target else docs
-    )
+        method = "index" if small else "prefix"
     base = _gram_sets(spread, col, id_col, w, hash_grams)
     # every plan reads the gram arrays 2-4x (df counts + both join
     # sides + the prefix verify): persist the ONE per-doc array frame
@@ -131,7 +122,7 @@ def ngram_jaccard_pairs(
     # the raw text, and force-materializing that to memory+disk at
     # 100 TB is worse than recomputing the build per consumer.
     if cache is None:
-        cache = nparts <= prefix_min_partitions
+        cache = small
     if cache:
         base = base.persist()
 

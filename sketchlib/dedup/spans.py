@@ -62,18 +62,12 @@ def remove_duplicate_spans(
         raise ValueError(f"span width must be >= 1, got {w}")
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
-    from sketchlib.dedup.ngram import PREFIX_MIN_PARTITIONS
-    from sketchlib.spark.api import _plan_partitions
+    from sketchlib.spark.api import _spread_and_gate
 
-    # same treatment as ngram.py: a single-file source plans 1-2
-    # partitions and would run every split/gram build there — spread
-    # the RAW docs (hash-by-id, never round-robin: that local-sorts
-    # the wide text rows) to the session's shuffle parallelism;
-    # no-op at scale
-    nparts = _plan_partitions(docs, PREFIX_MIN_PARTITIONS + 1)
-    target = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if nparts < target:
-        docs = docs.repartition(target, F.col(id_col))
+    # shared helper: spread the raw docs before the split/gram build
+    # when the source plans 1-2 partitions, and take the driver-side
+    # small-input verdict for the cache gate below
+    docs, _, small = _spread_and_gate(docs, id_col)
     d = docs.na.drop(subset=[id_col]).select(
         F.col(id_col).alias("__id"),
         # NULL text behaves as '' (explicit, not via null-propagating
@@ -88,7 +82,7 @@ def remove_duplicate_spans(
     # the partition gate like ngram.py: corpus-scale inputs skip the
     # corpus-sized persist and recompute instead.
     if cache is None:
-        cache = nparts <= PREFIX_MIN_PARTITIONS
+        cache = small
     if cache:
         d = d.persist()
 

@@ -552,6 +552,29 @@ def _plan_partitions(df: DataFrame, assume: int) -> int:
         return assume
 
 
+#: partition gate shared by the corpus operators that spread + cache
+#: (dedup/ngram.py, dedup/spans.py): at or below this planned
+#: partition count an input is "small" — worth persisting its derived
+#: frame, and cheap enough for the single-stage plans
+SPREAD_CACHE_MIN_PARTITIONS = 64
+
+
+def _spread_and_gate(
+    df: DataFrame, id_col: str, threshold: int = SPREAD_CACHE_MIN_PARTITIONS
+):
+    """(spread_df, nparts, small): hash-by-``id_col`` repartition to
+    the session's shuffle parallelism when the source plans fewer
+    partitions (a single-file scan plans 1-2 and would run every
+    downstream build there; hash, never round-robin — round-robin
+    local-sorts every wide row for retry determinism), plus the
+    driver-side small-input verdict both callers gate caching (and
+    ngram its plan choice) on.  No-op at scale."""
+    nparts = _plan_partitions(df, threshold + 1)
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    out = df.repartition(target, F.col(id_col)) if nparts < target else df
+    return out, nparts, nparts <= threshold
+
+
 def _order_and_bucket(
     df: DataFrame,
     order_col: str | None,

@@ -79,6 +79,12 @@ def sessionize(
         raise ValueError("input already has a session_idx column")
     if "__t" in events.columns:
         raise ValueError("input collides with internal column '__t'")
+    clash = sorted(
+        set(aggs or {})
+        & {key_col, "session_idx", "ts_start", "ts_end", "n_events"}
+    )
+    if clash:
+        raise ValueError(f"aggs names collide with session columns: {clash}")
     ord_expr, gap_u = _order_expr(events, ts_col, gap)
     e = events.filter(F.col(ts_col).isNotNull()).withColumn("__t", ord_expr)
     w = Window.partitionBy(key_col).orderBy("__t")
@@ -130,7 +136,26 @@ def with_rolling_stats(
         raise ValueError("input already has a rolling_count column")
     if "__t" in events.columns:
         raise ValueError("input collides with internal column '__t'")
+    clash = sorted(
+        set(aggs or {}) & (set(events.columns) | {"rolling_count", "__t"})
+    )
+    if clash:
+        # silently overwriting an input column would also feed LATER
+        # aggs entries the windowed values instead of the raw ones
+        raise ValueError(f"aggs names collide with existing columns: {clash}")
     ord_expr, win_u = _order_expr(events, ts_col, window)
+    if not isinstance(win_u, int):
+        # rangeBetween bounds must be integral (the py4j call has no
+        # float overload); a numeric ts_col passes the window through
+        # raw, so coerce integral floats (incl. the 3600.0 default)
+        # and fail loud on fractional ones
+        if float(win_u).is_integer():
+            win_u = int(win_u)
+        else:
+            raise ValueError(
+                f"numeric {ts_col!r} needs an integer window "
+                f"(RANGE bounds are integral), got {window!r}"
+            )
     e = events.filter(F.col(ts_col).isNotNull()).withColumn("__t", ord_expr)
     w = (
         Window.partitionBy(key_col)

@@ -303,6 +303,35 @@ def test_rolling_stats_timestamp_and_validation(spark, events_df):
         )
 
 
+def test_rolling_stats_numeric_window_coercion(spark, events_df):
+    # the DEFAULT window=3600.0 on a numeric ts_col must coerce to an
+    # int RANGE bound (rangeBetween has no float overload), and a
+    # fractional window on a numeric column fails loud
+    from sketchlib.spark.sessions import with_rolling_stats
+
+    out = with_rolling_stats(events_df, ts_col="ts", key_col="k")
+    assert out.count() == events_df.count()
+    with pytest.raises(ValueError, match="integer window"):
+        with_rolling_stats(events_df, ts_col="ts", key_col="k", window=0.5)
+
+
+def test_rolling_and_session_aggs_collisions(spark, events_df):
+    from sketchlib.spark.sessions import sessionize, with_rolling_stats
+
+    # an aggs name matching an input column would silently overwrite
+    # it AND feed later aggs the windowed values — must raise
+    with pytest.raises(ValueError, match="collide"):
+        with_rolling_stats(
+            events_df, ts_col="ts", key_col="k",
+            aggs={"value": F.avg("value")},
+        )
+    with pytest.raises(ValueError, match="collide"):
+        sessionize(
+            events_df, ts_col="ts", key_col="k", output="sessions",
+            aggs={"n_events": F.sum("value")},
+        )
+
+
 def test_no_python_nodes(spark, asof_sides, events_df):
     _, _, ldf, rdf = asof_sides
     for df in (

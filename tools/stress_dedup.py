@@ -54,6 +54,12 @@ def main(sf_dir: str) -> None:
     n = big.count()
     print(f"docs {n}")
 
+    # docs shorter than w words have no grams and pass through
+    # verbatim (the operator's documented contract) — only the rest
+    # must scrub to '' under 10x exact copies
+    scrubbable = big.filter(
+        F.size(F.split(F.coalesce("text", F.lit("")), " ")) >= 5
+    ).count()
     t = time.time()
     r = (
         remove_duplicate_spans(big, w=5)
@@ -66,9 +72,11 @@ def main(sf_dir: str) -> None:
     )
     print(
         f"spans_10x {time.time() - t:.2f}s rows {r[0]} "
-        f"removed {r[1]} scrubbed {r[2]}"
+        f"removed {r[1]} scrubbed {r[2]} scrubbable {scrubbable}"
     )
-    assert r[0] == r[2] == n, "10x copies must scrub every row"
+    assert r[0] == n and r[2] == scrubbable, (
+        "10x copies must scrub every >=w-word doc"
+    )
 
     for m in ("index", "prefix"):
         t = time.time()
