@@ -593,6 +593,39 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-powered percentile annotation: every event ranked by
+    the broadcast t-digest CDF, verified Spark-side against the exact
+    percent_rank (abs err <= 0.01, the rank-error bar) plus decile
+    balance; constant-shape oracle."""
+    from pyspark.sql.window import Window
+
+    from sketchlib.spark.api import with_quantile_rank
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "value")
+    out = with_quantile_rank(ev, "value", buckets=10)
+    exact = ev.withColumn(
+        "exact", F.percent_rank().over(Window.orderBy("value"))
+    ).select("event_id", "exact")
+    j = out.join(exact, "event_id")
+    n = ev.count()
+    worst = j.agg(
+        F.max(F.abs(F.col("q_rank") - F.col("exact")))
+    ).collect()[0][0]
+    sizes = [
+        r["count"]
+        for r in j.groupBy("q_bucket").count().collect()
+    ]
+    balanced = len(sizes) == 10 and all(
+        0.08 * n <= s <= 0.12 * n for s in sizes
+    )
+    rows = [
+        ("rank_abs_err_le_0.01", bool(worst <= 0.01)),
+        ("deciles_balanced", bool(balanced)),
+    ]
+    return spark.createDataFrame(rows, "metric string, ok boolean")
+
+
 def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event trailing-1-day rolling count and value sum per user:
     RANGE-frame window (tie-safe — all equal-instant rows share one
@@ -1576,6 +1609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,
         "sessionize": q_sessionize,
         "rolling_stats": q_rolling_stats,
+        "quantile_rank": q_quantile_rank,
         "asof_join": q_asof_join,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
@@ -1780,6 +1814,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_events, "
             "round(sum(value), 4) AS sum_value "
             "FROM s GROUP BY 1, 2"
+        ),
+        "quantile_rank": (
+            "SELECT * FROM (VALUES ('rank_abs_err_le_0.01', TRUE), "
+            "('deciles_balanced', TRUE)) AS t(metric, ok)"
         ),
         "rolling_stats": (
             # RANGE frame in integer epoch-micros: tie rows share one

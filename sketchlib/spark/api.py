@@ -371,6 +371,87 @@ def bloom_contains(df: DataFrame, col: str, bloom: BloomFilter, out_col: str = "
     return hashed.mapInArrow(fn, f"{schema}, {out_col} boolean")
 
 
+def with_quantile_rank(
+    df: DataFrame,
+    col: str,
+    sketch: str = "tdigest",
+    rank_col: str = "q_rank",
+    buckets: int | None = None,
+    bucket_col: str = "q_bucket",
+    **params,
+) -> DataFrame:
+    """Annotate every row with its approximate quantile rank — the
+    sketch CDF evaluated at the row's value — and, with ``buckets``,
+    a curriculum bucket ``min(floor(rank * buckets), buckets - 1)``
+    (the standard percentile-binning step, e.g. bucketing documents
+    by length percentile for curriculum ordering).
+
+    Two passes over ``df``: one distributed sketch build (an action;
+    the same t-digest/KLL path as ``approx_quantiles``, KB-sized
+    state), then the state ships broadcast inside the probe function
+    and every Arrow batch is ranked with one vectorized
+    ``quantile_at_value`` call — no shuffle, no per-row Python.
+    Accuracy carries the sketch's rank-error bar (BASELINE.md /
+    ACCURACY.md: ~0.005 mid-q for the defaults).  NULL values get
+    NULL rank/bucket."""
+    if rank_col in df.columns or (buckets and bucket_col in df.columns):
+        raise ValueError(f"{rank_col!r}/{bucket_col!r} already present")
+    if buckets is not None and buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    factory = _quantile_factory(sketch, **params)
+    sk = sketch_column(df, col, factory, KIND_DOUBLE)
+    if sk is None:  # empty input: keep schema, all-NULL annotations
+        out = df.withColumn(rank_col, F.lit(None).cast("double"))
+        if buckets is not None:
+            out = out.withColumn(bucket_col, F.lit(None).cast("int"))
+        return out
+    blob = sk.to_bytes()
+    cls = type(sk)
+    cols = df.columns
+
+    idx = cols.index(col)
+
+    def fn(batches):
+        s = cls.from_bytes(blob)
+        for b in batches:
+            # arrow cast keeps nulls; null/NaN inputs rank as NaN
+            # (mapped back to SQL NULL below), and are masked out of
+            # the probe so the CDF kernel only sees finite values
+            arr = b.column(idx).cast(pa.float64()).to_numpy(
+                zero_copy_only=False
+            )
+            mask = np.isnan(arr)
+            r = np.asarray(
+                s.quantile_at_value(np.where(mask, 0.0, arr)),
+                dtype=np.float64,
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column(i) for i in range(len(cols))]
+                + [pa.array(np.where(mask, np.nan, r), from_pandas=True)],
+                names=cols + [rank_col],
+            )
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    out = df.mapInArrow(fn, f"{schema}, {rank_col} double")
+    # arrow NaN -> SQL NULL for null inputs
+    out = out.withColumn(
+        rank_col, F.when(~F.isnan(rank_col), F.col(rank_col))
+    )
+    if buckets is not None:
+        out = out.withColumn(
+            bucket_col,
+            F.when(
+                F.col(rank_col).isNotNull(),
+                F.least(
+                    F.floor(F.col(rank_col) * buckets), F.lit(buckets - 1)
+                ),
+            ).cast("int"),
+        )
+    return out
+
+
 def cms_frequencies(
     cms: CountMinSketch, spark_df: DataFrame, col: str
 ) -> DataFrame:
