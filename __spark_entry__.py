@@ -183,6 +183,43 @@ def q_tdigest_orders_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DD_QS = [0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
+
+
+def q_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch (relative-error) quantiles of supplier.s_acctbal vs
+    exact — the column is signed (TPC-H acctbal spans [-999.99,
+    9999.99]), exercising all three stores (negative / zero / positive).
+
+    ok-condition: the estimate is within the sketch's RELATIVE bound of
+    the exact quantile, with rank-gap slack — DDSketch guarantees
+    alpha-relative error vs the data item at the queried rank, while
+    ``percentile``/``quantile_cont`` interpolate between ranks, so the
+    check allows ``2*alpha*|exact|`` plus the local value spacing
+    ``p[q+1.5/(n-1)] - p[q-1.5/(n-1)]`` (the same count-aware slack idea
+    as RANK_TOL, expressed in value space)."""
+    alpha = 0.01
+    df = _read(spark, sf_dir, "supplier").filter(F.col("s_acctbal").isNotNull())
+    ests, _sk = approx_quantiles(
+        df, "s_acctbal", DD_QS, sketch="dd", alpha=alpha
+    )
+    n = df.count()
+    d = 1.5 / max(n - 1, 1)
+    lo = [max(q - d, 0.0) for q in DD_QS]
+    hi = [min(q + d, 1.0) for q in DD_QS]
+    c = F.col("s_acctbal").cast("double")
+    row = df.agg(
+        F.percentile(c, F.array(*[F.lit(q) for q in DD_QS + lo + hi])).alias("p")
+    ).first()
+    k = len(DD_QS)
+    rows = []
+    for i, q in enumerate(DD_QS):
+        exact, p_lo, p_hi = row["p"][i], row["p"][k + i], row["p"][2 * k + i]
+        ok = abs(ests[i] - exact) <= 2 * alpha * abs(exact) + (p_hi - p_lo) + 1e-9
+        rows.append((float(q), float(round(exact, 4)), bool(ok)))
+    return spark.createDataFrame(rows, "q double, exact_value double, ok boolean")
+
+
 def q_grouped_doc_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language t-digest quantiles of documents.n_chars.
 
@@ -1589,6 +1626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_lineitem_quantiles": q_tdigest_lineitem,
         "kll_events_quantiles": q_kll_events,
         "tdigest_orders_quantiles_k1": q_tdigest_orders_total,
+        "ddsketch_supplier_quantiles": q_ddsketch_quantiles,
         "grouped_doc_quantiles": q_grouped_doc_quantiles,
         "hll_distinct": q_hll_distinct,
         "grouped_hll_distinct": q_grouped_hll_distinct,
@@ -1660,6 +1698,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "tdigest_orders_quantiles_k1": _quantile_oracle(
             "orders", "o_totalprice", [0.05, 0.25, 0.5, 0.75, 0.95]
+        ),
+        "ddsketch_supplier_quantiles": _quantile_oracle(
+            "supplier", "s_acctbal", DD_QS
         ),
         "grouped_doc_quantiles": (
             "SELECT lang, CAST(0.5 AS DOUBLE) AS q, "

@@ -2,6 +2,7 @@
 
 from sketchlib.core.tdigest import TDigest
 from sketchlib.core.kll import KLL
+from sketchlib.core.ddsketch import DDSketch
 from sketchlib.core.rc_sketch import RCSketch
 from sketchlib.core.hll import HyperLogLog
 from sketchlib.core.cms import CountMinSketch
@@ -15,6 +16,7 @@ from sketchlib.core.wrappers import RankCombinedGroup, SymDigest
 __all__ = [
     "TDigest",
     "KLL",
+    "DDSketch",
     "RCSketch",
     "HyperLogLog",
     "CountMinSketch",

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from sketchlib.core.bloom import BloomFilter
 from sketchlib.core.cms import CountMinSketch
+from sketchlib.core.ddsketch import DDSketch
 from sketchlib.core.hll import HyperLogLog
 from sketchlib.core.kll import KLL
 from sketchlib.core.rc_sketch import RCSketch
@@ -22,6 +23,7 @@ from sketchlib.core.tdigest import TDigest
 _BY_MAGIC = {
     b"TD01": TDigest,
     b"KL01": KLL,
+    b"DD01": DDSketch,
     b"RC01": RCSketch,
     b"HL02": HyperLogLog,
     b"CM02": CountMinSketch,
@@ -43,6 +45,7 @@ _BY_MAGIC = {
 KINDS = {
     "tdigest": TDigest,
     "kll": KLL,
+    "ddsketch": DDSketch,
     "rc": RCSketch,
     "hll": HyperLogLog,
     "cms": CountMinSketch,

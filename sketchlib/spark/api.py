@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from sketchlib import serde
 from sketchlib.core.bloom import BloomFilter
 from sketchlib.core.cms import CountMinSketch
+from sketchlib.core.ddsketch import DDSketch
 from sketchlib.core.hll import HyperLogLog
 from sketchlib.core.kll import KLL
 from sketchlib.core.tdigest import TDigest
@@ -38,6 +39,10 @@ def _quantile_factory(kind: str, **params):
         k = params.get("k", 200)
         seed = params.get("seed", 42)
         return lambda: KLL(k=k, seed=seed)
+    if kind in ("dd", "ddsketch"):
+        alpha = params.get("alpha", 0.01)
+        max_bins = params.get("max_bins", 2048)
+        return lambda: DDSketch(alpha=alpha, max_bins=max_bins)
     raise ValueError(f"unknown quantile sketch {kind!r}")
 
 

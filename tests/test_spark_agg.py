@@ -410,3 +410,39 @@ def test_grouped_distinct(spark, tokens_df):
     for src, d in exact.items():
         e, rse = est[src]
         assert abs(e - d) / max(d, 1) <= 4 * rse, (src, e, d)
+
+
+def test_ddsketch_distributed_build(spark, tokens_df):
+    """DDSketch through the full scan -> partials -> tree-merge path:
+    relative-error bound vs the true rank item, and the distributed
+    build is BIT-identical to a single local build (no collapse at
+    this bucket span, so merge order cannot matter)."""
+    from sketchlib.core.ddsketch import DDSketch
+
+    exact = np.sort(
+        np.array(tokens_df.select("n_tok").toPandas()["n_tok"], np.float64)
+    )
+    qs = [0.1, 0.5, 0.9, 0.99]
+    est, sk = approx_quantiles(tokens_df, "n_tok", qs, sketch="dd", alpha=0.01)
+    assert sk.count == N_ROWS
+    n = exact.size
+    for q, e in zip(qs, est):
+        r = q * (n - 1)
+        cands = [exact[int(np.floor(r))], exact[int(np.ceil(r))]]
+        assert any(abs(e - x) <= 0.01 * abs(x) + 1e-9 for x in cands), (q, e, cands)
+    local = DDSketch(alpha=0.01)
+    local.add_buffer(exact)
+    assert sk.to_bytes() == local.to_bytes()
+
+
+def test_ddsketch_flattened_tokens(spark, tokens_df):
+    """Array feed path (tokens array<int> flattened JVM-free): token
+    values ~ U[0, 50000) -> quantiles near q*50000 with relative slack."""
+    est, sk = approx_quantiles(
+        tokens_df, "tokens", [0.25, 0.5, 0.9], sketch="ddsketch",
+        is_array=True, alpha=0.02,
+    )
+    n_total = tokens_df.select(F.sum("n_tok")).first()[0]
+    assert sk.count == n_total
+    true = np.array([0.25, 0.5, 0.9]) * 50_000
+    assert np.all(np.abs(np.array(est) - true) / true <= 0.03)
