@@ -993,6 +993,41 @@ def q_materialize_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_freq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-40 tokens by frequency-share drift between the full corpus
+    and a 'next release' that dropped every doc_id % 10 == 0 document.
+    The ranking metric is the exact BIGINT cross-multiplied share
+    difference — full integer parity with the SQL oracle."""
+    from sketchlib.spark.drift import token_freq_drift
+
+    docs = _read(spark, sf_dir, "documents")
+    nxt = docs.filter(F.col("doc_id") % 10 != 0)
+    return token_freq_drift(docs, nxt, "text", k=40)
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic between the value distributions of
+    'click' and 'view' events — D carried as an exact integer numerator
+    (max |n_b*cumcount_a - n_a*cumcount_b| over pooled values), so the
+    whole statistic is engine-exact including the final division."""
+    from sketchlib.spark.drift import ks_2sample
+
+    ev = _read(spark, sf_dir, "events")
+    return ks_2sample(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "view"),
+        "value",
+    )
+
+
+def q_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token frequency-of-frequencies spectrum of the documents corpus
+    (count-of-counts: Heaps/Good-Turing view) — exact SQL parity."""
+    from sketchlib.text.analysis import freq_spectrum
+
+    return freq_spectrum(_read(spark, sf_dir, "documents"), "text")
+
+
 def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary with document frequencies (min_df=25):
     exact SQL parity — array_distinct-then-explode equals DuckDB's
@@ -1659,6 +1694,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "materialize_packed": q_materialize_packed,
         "vocabulary": q_vocabulary,
+        "token_freq_drift": q_token_freq_drift,
+        "ks_drift": q_ks_drift,
+        "freq_spectrum": q_freq_spectrum,
         "decontaminate": q_decontaminate,
         "text_repetition": q_text_repetition,
         "streaming_dedup": q_streaming_dedup,
@@ -2095,6 +2133,55 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term "
             "  FROM documents) "
             "WHERE term <> '' GROUP BY term HAVING count(*) >= 25"
+        ),
+        "token_freq_drift": (
+            "WITH ta AS (SELECT unnest(string_split(text, ' ')) AS token "
+            "  FROM documents), "
+            "ta2 AS (SELECT token FROM ta WHERE token <> ''), "
+            "tb AS (SELECT unnest(string_split(text, ' ')) AS token "
+            "  FROM documents WHERE doc_id % 10 <> 0), "
+            "tb2 AS (SELECT token FROM tb WHERE token <> ''), "
+            "fa AS (SELECT token, count(*) AS count_a FROM ta2 GROUP BY token), "
+            "fb AS (SELECT token, count(*) AS count_b FROM tb2 GROUP BY token), "
+            "j AS (SELECT COALESCE(fa.token, fb.token) AS token, "
+            "  COALESCE(count_a, 0) AS count_a, COALESCE(count_b, 0) AS count_b "
+            "  FROM fa FULL OUTER JOIN fb ON fa.token = fb.token) "
+            "SELECT token, CAST(count_a AS BIGINT) AS count_a, "
+            "CAST(count_b AS BIGINT) AS count_b, "
+            "CAST((SELECT count(*) FROM ta2) AS BIGINT) AS total_a, "
+            "CAST((SELECT count(*) FROM tb2) AS BIGINT) AS total_b, "
+            "CAST(abs(count_a * (SELECT count(*) FROM tb2) "
+            "  - count_b * (SELECT count(*) FROM ta2)) AS BIGINT) AS drift_num "
+            "FROM j ORDER BY drift_num DESC, token ASC LIMIT 40"
+        ),
+        "ks_drift": (
+            "WITH a AS (SELECT value AS v FROM events "
+            "  WHERE event_type = 'click' AND value IS NOT NULL "
+            "  AND NOT isnan(value)), "
+            "b AS (SELECT value AS v FROM events "
+            "  WHERE event_type = 'view' AND value IS NOT NULL "
+            "  AND NOT isnan(value)), "
+            "f AS (SELECT v, count(*) FILTER (src = 'a') AS ca, "
+            "  count(*) FILTER (src = 'b') AS cb FROM ("
+            "    SELECT v, 'a' AS src FROM a "
+            "    UNION ALL SELECT v, 'b' FROM b) GROUP BY v), "
+            "c AS (SELECT sum(ca) OVER (ORDER BY v) AS cum_a, "
+            "  sum(cb) OVER (ORDER BY v) AS cum_b FROM f), "
+            "t AS (SELECT (SELECT count(*) FROM a) AS n_a, "
+            "  (SELECT count(*) FROM b) AS n_b) "
+            "SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, "
+            "CAST(max(abs(n_b * cum_a - n_a * cum_b)) AS BIGINT) AS d_num, "
+            "CAST(max(abs(n_b * cum_a - n_a * cum_b)) AS DOUBLE) "
+            "  / (n_a * n_b) AS d "
+            "FROM c, t GROUP BY n_a, n_b"
+        ),
+        "freq_spectrum": (
+            "WITH t AS (SELECT unnest(string_split(text, ' ')) AS term "
+            "  FROM documents), "
+            "f AS (SELECT term, count(*) AS c FROM t WHERE term <> '' "
+            "  GROUP BY term) "
+            "SELECT CAST(c AS BIGINT) AS occurrences, "
+            "CAST(count(*) AS BIGINT) AS n_terms FROM f GROUP BY c"
         ),
         "decontaminate": (
             # shingle join: docs sharing any 5-word shingle with the

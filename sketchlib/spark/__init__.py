@@ -20,6 +20,7 @@ from sketchlib.spark.api import (
     build_cms,
     grouped_quantiles,
 )
+from sketchlib.spark.drift import ks_2sample, token_freq_drift
 
 __all__ = [
     "build_partials",
@@ -31,4 +32,6 @@ __all__ = [
     "build_cms",
     "build_bloom",
     "grouped_quantiles",
+    "token_freq_drift",
+    "ks_2sample",
 ]

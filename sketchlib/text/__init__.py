@@ -5,6 +5,7 @@ pandas/Arrow UDF; never per-row Python in the hot path."""
 
 from sketchlib.text.analysis import (
     LANG_MARKERS,
+    freq_spectrum,
     language_id,
     langid_oracle_case_sql,
     with_quality,
@@ -19,4 +20,5 @@ __all__ = [
     "langid_oracle_case_sql",
     "LANG_MARKERS",
     "document_fingerprints",
+    "freq_spectrum",
 ]

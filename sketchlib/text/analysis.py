@@ -168,6 +168,38 @@ def vocabulary(
     )
 
 
+def freq_spectrum(
+    df: DataFrame, col: str = "text", tokens: bool = False
+) -> DataFrame:
+    """Token frequency-of-frequencies spectrum:
+    ``DataFrame[occurrences, n_terms]`` — for each occurrence count c,
+    how many distinct terms appear exactly c times in the corpus.
+
+    This is the count-of-counts view behind Heaps/Zipf analysis,
+    Good-Turing smoothing mass (``n_terms`` at c=1), and dedup health
+    checks (a fat spectrum head after exact dedup means near-dup
+    leakage).  Plan shape at 100 TB: explode -> per-term counts (one
+    map-side-combinable shuffle, vocabulary-sized output) -> counts of
+    counts (second shuffle over a domain of ~thousands of distinct
+    occurrence values — trivially small).  Empty tokens are dropped
+    (same convention as ``vocabulary``)."""
+    terms = F.col(col) if tokens else F.split(F.col(col), " ")
+    per_term = (
+        df.select(F.explode(terms).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+    )
+    return (
+        per_term.groupBy("occurrences")
+        .agg(F.count(F.lit(1)).alias("n_terms"))
+        .select(
+            F.col("occurrences").cast("bigint").alias("occurrences"),
+            F.col("n_terms").cast("bigint").alias("n_terms"),
+        )
+    )
+
+
 def with_repetition_stats(df: DataFrame, col: str = "text") -> DataFrame:
     """Append the Gopher/RefinedWeb-style within-document repetition
     signals used to filter boilerplate and degenerate text:
