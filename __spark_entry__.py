@@ -1028,6 +1028,63 @@ def q_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return freq_spectrum(_read(spark, sf_dir, "documents"), "text")
 
 
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + redaction over the corpus with deterministically
+    injected emails/IPs/phone numbers (every doc_id % 7 == 0 document):
+    per-doc match counts AND the byte-exact redacted text must both
+    match the RE2 oracle — cross-engine regex-semantics parity."""
+    from sketchlib.text.pii import redact_pii, with_pii_flags
+
+    docs = _read(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".17 call 415-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    aug = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, injected)
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = redact_pii(with_pii_flags(aug, "text"), "text", out_col="redacted")
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_email", "n_ipv4", "n_phone", "has_pii", "redacted",
+    )
+
+
+def q_write_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sharded sink round-trip: write the corpus as 8
+    hash-assigned hive-partitioned shards, read it BACK from the files,
+    and emit per-shard stats — so membership, layout, and content all
+    have to survive the disk round-trip to match the oracle (which
+    computes the same stats straight from the source with the same
+    arithmetic shard key)."""
+    import tempfile
+
+    from sketchlib.spark.sink import SHARD_COL, read_sharded, write_sharded
+
+    docs = _read(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="sketchlib_shard_gate_") + "/data"
+    expr = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(8))
+    write_sharded(docs, path, 8, shard_expr=expr)
+    back = read_sharded(spark, path)
+    return (
+        back.groupBy(F.col(SHARD_COL).cast("bigint").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+        )
+    )
+
+
 def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary with document frequencies (min_df=25):
     exact SQL parity — array_distinct-then-explode equals DuckDB's
@@ -1694,6 +1751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "materialize_packed": q_materialize_packed,
         "vocabulary": q_vocabulary,
+        "pii_scan": q_pii_scan,
+        "write_sharded": q_write_sharded,
         "token_freq_drift": q_token_freq_drift,
         "ks_drift": q_ks_drift,
         "freq_spectrum": q_freq_spectrum,
@@ -1714,6 +1773,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_manifest_scan": q_iceberg_manifest_scan,
         "ivf_recall": q_ivf_recall,
     }
+
+
+def _pii_oracle_sql() -> str:
+    """DuckDB (RE2) mirror of q_pii_scan: same injection arithmetic,
+    same portable regex subset, global regexp_replace ('g' flag — Spark
+    replaces globally by default)."""
+    from sketchlib.text.pii import PII_PATTERNS, PII_REPLACEMENTS
+
+    inj = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || "
+        "'.17 call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    )
+    red = "text"
+    for name, pat in PII_PATTERNS.items():
+        red = (
+            f"regexp_replace({red}, '{pat}', "
+            f"'{PII_REPLACEMENTS[name]}', 'g')"
+        )
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS INT) AS n_{name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    flag = " OR ".join(
+        f"len(regexp_extract_all(text, '{pat}')) > 0"
+        for pat in PII_PATTERNS.values()
+    )
+    return (
+        f"WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 "
+        f"THEN {inj} ELSE text END AS text FROM documents) "
+        f"SELECT CAST(doc_id AS BIGINT) AS doc_id, {counts}, "
+        f"({flag}) AS has_pii, {red} AS redacted FROM aug"
+    )
 
 
 def _quantile_oracle(table: str, col: str, qs: list[float]) -> str:
@@ -2133,6 +2225,15 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term "
             "  FROM documents) "
             "WHERE term <> '' GROUP BY term HAVING count(*) >= 25"
+        ),
+        "pii_scan": _pii_oracle_sql(),
+        "write_sharded": (
+            "SELECT CAST((doc_id * 2654435761) % 8 AS BIGINT) AS shard, "
+            "CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+            "CAST(min(doc_id) AS BIGINT) AS min_doc, "
+            "CAST(max(doc_id) AS BIGINT) AS max_doc "
+            "FROM documents GROUP BY 1"
         ),
         "token_freq_drift": (
             "WITH ta AS (SELECT unnest(string_split(text, ' ')) AS token "

@@ -21,6 +21,7 @@ from sketchlib.spark.api import (
     grouped_quantiles,
 )
 from sketchlib.spark.drift import ks_2sample, token_freq_drift
+from sketchlib.spark.sink import read_sharded, write_sharded
 
 __all__ = [
     "build_partials",
@@ -34,4 +35,6 @@ __all__ = [
     "grouped_quantiles",
     "token_freq_drift",
     "ks_2sample",
+    "write_sharded",
+    "read_sharded",
 ]

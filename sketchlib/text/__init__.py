@@ -12,6 +12,12 @@ from sketchlib.text.analysis import (
     with_token_stats,
 )
 from sketchlib.text.fingerprint import document_fingerprints
+from sketchlib.text.pii import (
+    PII_PATTERNS,
+    PII_REPLACEMENTS,
+    redact_pii,
+    with_pii_flags,
+)
 
 __all__ = [
     "with_token_stats",
@@ -21,4 +27,8 @@ __all__ = [
     "LANG_MARKERS",
     "document_fingerprints",
     "freq_spectrum",
+    "with_pii_flags",
+    "redact_pii",
+    "PII_PATTERNS",
+    "PII_REPLACEMENTS",
 ]
