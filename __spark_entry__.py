@@ -977,6 +977,33 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return picked.select(F.col("doc_id").cast("bigint"), "lang")
 
 
+def q_split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 7/8 : 1/8 train/eval holdout split of documents.
+    Membership is a pure function of the row key (arithmetic Weyl key
+    here so both engines compute it identically; production default is
+    seeded xxhash64 — same plan), so the gate checks full row parity of
+    the labelled union: every doc in exactly one split, and the same
+    split both engines."""
+    from sketchlib.spark.api import split_by_weights
+
+    docs = _read(spark, sf_dir, "documents")
+    # 7/8 and 1/8 scale to exact integers at 2^20 (no rounding skew)
+    key = F.pmod(
+        F.col("doc_id").cast("long") * F.lit(2654435761), F.lit(1 << 20)
+    )
+    parts = split_by_weights(
+        docs, {"train": 0.875, "eval": 0.125}, key_expr=key
+    )
+    labelled = [
+        df.select(F.col("doc_id").cast("bigint"), F.lit(name).alias("split"))
+        for name, df in parts.items()
+    ]
+    out = labelled[0]
+    for df in labelled[1:]:
+        out = out.unionByName(df)
+    return out
+
+
 def q_materialize_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized packed training windows over whitespace-tokenized
     document text (L=128): every window's exact token list must match
@@ -1749,6 +1776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_temperature": q_sample_temperature,
         "pack_sequences": q_pack_sequences,
         "sample_stratified": q_sample_stratified,
+        "split_train_eval": q_split_train_eval,
         "materialize_packed": q_materialize_packed,
         "vocabulary": q_vocabulary,
         "pii_scan": q_pii_scan,
@@ -2202,6 +2230,13 @@ def oracle_sql() -> dict[str, str]:
             "WHERE lang IN ('en', 'fr') AND "
             "(doc_id * 2654435761) % 1048576 < "
             "(CASE lang WHEN 'en' THEN 524288 ELSE 262144 END)"
+        ),
+        "split_train_eval": (
+            # same Weyl key, train range [0, 7/8 * 2^20), eval the rest;
+            # both bounds are exact integers so no FP rounding skew
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "CASE WHEN (doc_id * 2654435761) % 1048576 < 917504 "
+            "THEN 'train' ELSE 'eval' END AS split FROM documents"
         ),
         "materialize_packed": (
             # concatenate whitespace tokens in doc_id order, chunk at

@@ -1078,6 +1078,81 @@ def materialize_packed(
     )
 
 
+def split_by_weights(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_cols: list[str] | None = None,
+    seed: int = 42,
+    key_expr=None,
+) -> dict[str, DataFrame]:
+    """Deterministic multi-way split (train/val/test & co): returns
+    ``{name: DataFrame}`` where each row lands in EXACTLY one split —
+    disjoint and exhaustive by construction, because every split
+    filters the same hash key against adjacent half-open ranges of
+    [0, 2^20).
+
+    The decision depends only on the row's key (seeded xxhash64 of
+    ``key_cols``, all columns when None), so membership is stable
+    under repartitioning, input growth (new rows never flip old
+    assignments), and re-runs — the properties an eval holdout must
+    have so test docs can never leak into training between releases.
+    Range boundaries follow ``weights``' insertion order; weights are
+    normalized to sum to 1.  ``key_expr`` overrides the hash with a
+    caller-supplied integer Column in [0, 2^20) (cross-engine
+    verification, curriculum keys).
+
+    100-TB shape: each split is ONE map-side filter on the scan — no
+    shuffle, no state, no action here; consuming all splits costs one
+    scan each (or cache the keyed frame once upstream)."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    for name, w in weights.items():
+        if not w > 0:
+            raise ValueError(f"weight for split {name!r} must be > 0")
+    scale = 1 << 20
+    total = float(sum(weights.values()))
+    if key_expr is not None:
+        h = key_expr
+    else:
+        keys = key_cols if key_cols is not None else list(df.columns)
+        h = F.pmod(
+            F.xxhash64(*[F.col(c) for c in keys], F.lit(seed)), F.lit(scale)
+        )
+    out: dict[str, DataFrame] = {}
+    cum = 0.0
+    lo = 0
+    names = list(weights)
+    for i, name in enumerate(names):
+        cum += float(weights[name]) / total
+        # the last range's upper bound is pinned to `scale` so rounding
+        # can never orphan the top of the hash domain
+        hi = scale if i == len(names) - 1 else int(round(scale * cum))
+        out[name] = df.filter((h >= F.lit(lo)) & (h < F.lit(hi)))
+        lo = hi
+    return out
+
+
+def split_train_eval(
+    df: DataFrame,
+    eval_fraction: float,
+    key_cols: list[str] | None = None,
+    seed: int = 42,
+    key_expr=None,
+):
+    """Two-way convenience wrapper over :func:`split_by_weights`:
+    returns ``(train_df, eval_df)``."""
+    if not 0.0 < eval_fraction < 1.0:
+        raise ValueError("eval_fraction must be in (0, 1)")
+    parts = split_by_weights(
+        df,
+        {"eval": eval_fraction, "train": 1.0 - eval_fraction},
+        key_cols=key_cols,
+        seed=seed,
+        key_expr=key_expr,
+    )
+    return parts["train"], parts["eval"]
+
+
 def sample_stratified(
     df: DataFrame,
     strata_cols: list[str],

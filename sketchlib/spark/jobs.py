@@ -35,6 +35,10 @@ def _make_factory(sketch: str, args):
         return lambda: TDigest(delta=args.delta, scale=args.scale)
     if sketch == "kll":
         return lambda: KLL(k=args.k, seed=args.seed)
+    if sketch == "dd":
+        from sketchlib.core.ddsketch import DDSketch
+
+        return lambda: DDSketch(alpha=args.alpha, max_bins=args.max_bins)
     if sketch == "hll":
         return lambda: HyperLogLog(p=args.p)
     if sketch == "cms":
@@ -47,7 +51,7 @@ def _make_factory(sketch: str, args):
 def _default_kind(sketch: str, kind: str) -> str:
     if kind != "auto":
         return kind
-    return "double" if sketch in ("tdigest", "kll") else "hash64"
+    return "double" if sketch in ("tdigest", "kll", "dd") else "hash64"
 
 
 def job_build(args) -> None:
@@ -116,7 +120,7 @@ def job_build(args) -> None:
     out: dict = {"sketch": args.sketch, "col": args.col, "metrics": metrics}
     if sk is None:
         out["empty"] = True
-    elif args.sketch in ("tdigest", "kll"):
+    elif args.sketch in ("tdigest", "kll", "dd"):
         qs = [float(q) for q in args.quantiles.split(",")]
         vals = sk.value_at_quantile(__import__("numpy").array(qs))
         out["quantiles"] = dict(zip(map(str, qs), map(float, vals)))
@@ -389,11 +393,13 @@ def main(argv=None) -> None:
     b.add_argument("--kind", default="auto",
                    choices=["auto", "double", "array", "hash64", "array_hash"])
     b.add_argument("--sketch", default="tdigest",
-                   choices=["tdigest", "kll", "hll", "cms", "bloom"])
+                   choices=["tdigest", "kll", "dd", "hll", "cms", "bloom"])
     b.add_argument("--master", default=None)
     b.add_argument("--delta", type=float, default=2000.0)
     b.add_argument("--scale", default="k2")
     b.add_argument("--k", type=int, default=200)
+    b.add_argument("--alpha", type=float, default=0.01)
+    b.add_argument("--max-bins", type=int, default=2048)
     b.add_argument("--seed", type=int, default=42)
     b.add_argument("--p", type=int, default=14)
     b.add_argument("--depth", type=int, default=5)
