@@ -1004,6 +1004,57 @@ def q_split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global curriculum rank + round-robin shard id over
+    documents ordered by (n_chars, doc_id) — the distributed two-phase
+    ranking (bucket counts -> broadcast offsets -> within-bucket
+    row_number) must equal a plain row_number() OVER (ORDER BY ...).
+    bucketed_min_partitions=0 forces the 100-TB plan at gate scale."""
+    from sketchlib.spark.api import with_global_rank
+
+    docs = _read(spark, sf_dir, "documents")
+    out = with_global_rank(
+        docs,
+        "n_chars",
+        tie_cols=["doc_id"],
+        n_shards=8,
+        bucketed_min_partitions=0,
+        order_buckets=64,
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint"),
+        F.col("rank").cast("bigint"),
+        F.col("shard").cast("bigint"),
+    )
+
+
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned fact-to-dim join: lineitem rows joined to URGENT
+    orders, with lineitem pruned by a broadcast Bloom of the order
+    keys BEFORE the shuffle.  Exact vs the plain SQL join: the Bloom
+    admits no false negatives and its false positives die in the real
+    join that follows."""
+    from sketchlib.spark.api import bloom_filtered_join
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    ords = (
+        _read(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            "o_totalprice",
+        )
+    )
+    out = bloom_filtered_join(li, ords, "l_orderkey", capacity=100_000)
+    return out.select(
+        F.col("l_orderkey").cast("bigint"),
+        "l_extendedprice",
+        "o_totalprice",
+    )
+
+
 def q_materialize_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized packed training windows over whitespace-tokenized
     document text (L=128): every window's exact token list must match
@@ -1777,6 +1828,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "sample_stratified": q_sample_stratified,
         "split_train_eval": q_split_train_eval,
+        "global_rank": q_global_rank,
+        "bloom_join": q_bloom_join,
         "materialize_packed": q_materialize_packed,
         "vocabulary": q_vocabulary,
         "pii_scan": q_pii_scan,
@@ -2237,6 +2290,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
             "CASE WHEN (doc_id * 2654435761) % 1048576 < 917504 "
             "THEN 'train' ELSE 'eval' END AS split FROM documents"
+        ),
+        "global_rank": (
+            # total order (n_chars, doc_id) -> ranks are deterministic;
+            # shard is round-robin striping by rank
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)"
+            " AS rank, "
+            "CAST((row_number() OVER (ORDER BY n_chars, doc_id) - 1) % 8"
+            " AS BIGINT) AS shard FROM documents"
+        ),
+        "bloom_join": (
+            "SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, "
+            "l_extendedprice, o_totalprice "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE o_orderpriority = '1-URGENT'"
         ),
         "materialize_packed": (
             # concatenate whitespace tokens in doc_id order, chunk at

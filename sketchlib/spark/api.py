@@ -1078,6 +1078,144 @@ def materialize_packed(
     )
 
 
+def with_global_rank(
+    df: DataFrame,
+    order_col: str,
+    tie_cols: Sequence[str] = (),
+    rank_col: str = "rank",
+    n_shards: int | None = None,
+    shard_col: str = "shard",
+    seed: int = 42,
+    order_buckets: int = 1024,
+    bucketed_min_partitions: int = 256,
+) -> DataFrame:
+    """Exact 1-based global rank of every row under ``ORDER BY
+    order_col, *tie_cols`` (ascending, nulls first) — the distributed
+    replacement for ``row_number() OVER (ORDER BY ...)``, whose naive
+    plan ships the ENTIRE table into one task's sort.  Optional
+    ``n_shards`` appends ``shard = (rank - 1) % n_shards``: round-robin
+    striping by rank, so every shard is a same-size interleaved sample
+    of the curriculum order (the standard layout for ordered training
+    shards — each reader sees the full difficulty spectrum).
+
+    Plan shape — classic two-phase distributed ranking: (1) a bucket
+    id MONOTONIC in ``order_col`` (sketch split points for numerics,
+    sampled order statistics for strings, via the shared
+    :func:`_order_and_bucket` — one tiny job), (2) per-bucket row
+    counts (map-side partial agg, ≤ ``order_buckets`` result rows)
+    collected once and turned into a broadcast LITERAL offset map —
+    no offsets self-join, no extra shuffle, and no Catalyst
+    inferred-filter hazard on an expression-rooted join key, (3)
+    ``row_number`` within each ~n/order_buckets-row bucket partition
+    plus the bucket's offset.  Below ``bucketed_min_partitions``
+    planned input partitions the single-window plan is taken verbatim
+    (driver-side gate, ~0.2ms, no counts job).
+
+    Ranks are deterministic only under a TOTAL order: include a unique
+    key (e.g. the doc id) in ``tie_cols``, otherwise tied rows receive
+    an arbitrary permutation of their tie range.  For descending
+    order, pass a negated numeric column (``df.withColumn("neg_score",
+    -F.col("score"))``).  Cross-engine note: ascending-nulls-first
+    matches Spark's default; DuckDB defaults to NULLS LAST — order on
+    non-null keys (or align the engine's null order) when comparing."""
+    if n_shards is not None and n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    for c in (rank_col, shard_col) if n_shards is not None else (rank_col,):
+        if c in df.columns:
+            raise ValueError(f"output column {c!r} already exists")
+    from pyspark.sql.window import Window
+
+    use_bucketed = order_buckets > 1 and (
+        _plan_partitions(df, assume=bucketed_min_partitions + 1)
+        >= bucketed_min_partitions
+    )
+    _, bucket = _order_and_bucket(
+        df, order_col, seed, order_buckets, use_bucketed
+    )
+    # materialize the composite order key as a real column (window
+    # ORDER BY on a struct expression resolves fine; a named column
+    # keeps the plan readable and prunes once)
+    keyed = df.withColumn(
+        "__ord", F.struct(F.col(order_col), *[F.col(c) for c in tie_cols])
+    )
+    if bucket is None:
+        ranked = keyed.withColumn(
+            rank_col,
+            F.row_number().over(Window.orderBy("__ord")).cast("long"),
+        )
+    else:
+        bucketed = keyed.withColumn("__ob", bucket)
+        counts = sorted(
+            (r["__ob"], r["n"])
+            for r in bucketed.groupBy("__ob")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        offsets, run = [], 0
+        for ob, n in counts:
+            offsets.append((ob, run))
+            run += n
+        off_map = F.create_map(
+            *[F.lit(x) for pair in offsets for x in pair]
+        ) if offsets else F.create_map()
+        within = F.row_number().over(
+            Window.partitionBy("__ob").orderBy("__ord")
+        )
+        ranked = bucketed.withColumn(
+            rank_col,
+            (
+                F.coalesce(off_map[F.col("__ob")], F.lit(0))
+                + within
+            ).cast("long"),
+        ).drop("__ob")
+    out = ranked.drop("__ord")
+    if n_shards is not None:
+        out = out.withColumn(
+            shard_col,
+            F.pmod(F.col(rank_col) - F.lit(1), F.lit(n_shards)),
+        )
+    return out
+
+
+def bloom_filtered_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    how: str = "inner",
+    capacity: int | None = None,
+    fpr: float = 0.001,
+) -> DataFrame:
+    """Join ``big`` to ``small`` on the shared key column ``on``,
+    pruning ``big`` with a broadcast Bloom filter of ``small``'s keys
+    BEFORE the join's shuffle — at 100 TB the win is that non-matching
+    fact rows (often >90% when the dim side is filtered) never enter
+    the Exchange.  The result is EXACT: the Bloom admits no false
+    negatives, and its false positives are eliminated by the real join
+    that follows; ``fpr`` trades filter size against leftover shuffle
+    volume only.
+
+    Only ``inner`` and ``left_semi`` joins are supported — outer/anti
+    flavors must keep the very rows the filter prunes.  ``capacity``
+    sizes the filter (default 1M distinct keys; oversizing is cheap —
+    bits scale ~1.2 bytes/key at 0.1% fpr).  The filter is built with
+    one aggregation over ``small`` (our own mergeable Bloom — usable
+    from the direct engine and any other runtime, unlike Spark's
+    internal runtime-filter injection, and reusable across joins via
+    :func:`build_bloom` + :func:`bloom_contains` directly).  Probing
+    is one vectorized Arrow pass appended to ``big``'s scan."""
+    if how not in ("inner", "left_semi"):
+        raise ValueError(
+            f"bloom_filtered_join supports inner/left_semi, got {how!r}"
+        )
+    bloom = build_bloom(small, on, capacity=capacity, fpr=fpr)
+    pruned = (
+        bloom_contains(big, on, bloom, out_col="__bf")
+        .filter(F.col("__bf"))
+        .drop("__bf")
+    )
+    return pruned.join(small, on=on, how=how)
+
+
 def split_by_weights(
     df: DataFrame,
     weights: dict[str, float],
