@@ -1055,6 +1055,30 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 longest documents per language (ties by doc_id):
+    the two-level salted plan (forced via two_level_min_partitions=0)
+    must equal a plain per-group row_number."""
+    from sketchlib.spark.api import top_k_per_group
+
+    docs = _read(spark, sf_dir, "documents")
+    out = top_k_per_group(
+        docs,
+        ["lang"],
+        5,
+        order_col="n_chars",
+        descending=True,
+        tie_cols=["doc_id"],
+        two_level_min_partitions=0,
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint"),
+        "lang",
+        F.col("n_chars").cast("bigint"),
+        F.col("rank").cast("bigint"),
+    )
+
+
 def q_materialize_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized packed training windows over whitespace-tokenized
     document text (L=128): every window's exact token list must match
@@ -1830,6 +1854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_train_eval": q_split_train_eval,
         "global_rank": q_global_rank,
         "bloom_join": q_bloom_join,
+        "top_per_group": q_top_per_group,
         "materialize_packed": q_materialize_packed,
         "vocabulary": q_vocabulary,
         "pii_scan": q_pii_scan,
@@ -2305,6 +2330,14 @@ def oracle_sql() -> dict[str, str]:
             "l_extendedprice, o_totalprice "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "WHERE o_orderpriority = '1-URGENT'"
+        ),
+        "top_per_group": (
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, "
+            "CAST(n_chars AS BIGINT) AS n_chars, "
+            "CAST(rn AS BIGINT) AS rank FROM ("
+            "SELECT doc_id, lang, n_chars, row_number() OVER ("
+            "PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn "
+            "FROM documents) WHERE rn <= 5"
         ),
         "materialize_packed": (
             # concatenate whitespace tokens in doc_id order, chunk at

@@ -1177,6 +1177,76 @@ def with_global_rank(
     return out
 
 
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    k: int,
+    order_col: str | None = None,
+    descending: bool = False,
+    tie_cols: Sequence[str] = (),
+    rank_col: str = "rank",
+    seed: int = 42,
+    pre_salt: int = 64,
+    two_level_min_partitions: int = 512,
+) -> DataFrame:
+    """Exact top-``k`` rows of every group under ``ORDER BY order_col
+    [DESC], *tie_cols`` — "the N longest docs per language", "the N
+    newest events per user".  ``order_col=None`` orders by a seeded
+    xxhash64 over ALL columns instead: a deterministic uniform draw of
+    ``k`` rows per group ("sample N docs per domain"), reproducible
+    across runs and repartitioning.
+
+    Scale shape: a single ``row_number`` window per group ships each
+    group's ENTIRE row set to one task — a 10^9-row group at 100 TB is
+    one straggler.  Above ``two_level_min_partitions`` planned input
+    partitions (driver-side check, ~0.2ms, mirroring the ann.py
+    two-level top-k) a first window over (group, task-salt) keeps each
+    salt's local top-k — partitions bounded near group_size/pre_salt —
+    and the final per-group window ranks at most ``pre_salt * k`` rows.
+    Top-k of per-salt top-ks is exactly the global top-k under a total
+    order, so both plans return identical rows; include a unique key
+    in ``tie_cols`` for deterministic ranks (hash order: ties are
+    byte-identical rows, whose content is interchangeable).
+
+    Appends ``rank_col`` (1-based within group) and returns the
+    winning rows; all input columns pass through."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if rank_col in df.columns:
+        raise ValueError(f"output column {rank_col!r} already exists")
+    from pyspark.sql.window import Window
+
+    if order_col is None:
+        base = F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
+        ordering = [base.desc() if descending else base.asc()]
+    else:
+        base = F.col(order_col)
+        ordering = [base.desc() if descending else base.asc()] + [
+            F.col(c).asc() for c in tie_cols
+        ]
+    groups = [F.col(c) for c in group_cols]
+    pre = df
+    # on accessor drift assume big: the two-level plan is the safe one
+    big = _plan_partitions(df, assume=two_level_min_partitions + 1)
+    if big > two_level_min_partitions:
+        salted = df.withColumn(
+            "__s", F.spark_partition_id() % F.lit(pre_salt)
+        )
+        w1 = Window.partitionBy(*groups, F.col("__s")).orderBy(*ordering)
+        pre = (
+            salted.withColumn("__r", F.row_number().over(w1))
+            .filter(F.col("__r") <= k)
+            .drop("__r", "__s")
+        )
+    w = Window.partitionBy(*groups).orderBy(*ordering)
+    return (
+        pre.withColumn(rank_col, F.row_number().over(w).cast("long"))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
 def bloom_filtered_join(
     big: DataFrame,
     small: DataFrame,

@@ -163,3 +163,64 @@ def test_bloom_join_actually_prunes(spark, scored_df):
         .count()
     )
     assert 10 <= kept <= 30  # FPs possible, but bounded way below 4000
+
+
+def test_top_k_per_group_both_plans(spark, scored_df):
+    from sketchlib.spark.api import top_k_per_group
+
+    grp = scored_df.withColumn("g", F.col("doc_id") % 7)
+    rows = grp.collect()
+    want = {}
+    for r in sorted(rows, key=lambda r: (-r["score"], r["doc_id"])):
+        want.setdefault(r["g"], []).append(r["doc_id"])
+    want = {g: ids[:5] for g, ids in want.items()}
+    for min_parts in (10**9, 0):  # single-window plan, two-level plan
+        out = top_k_per_group(
+            grp,
+            ["g"],
+            5,
+            order_col="score",
+            descending=True,
+            tie_cols=["doc_id"],
+            two_level_min_partitions=min_parts,
+        ).collect()
+        got = {}
+        for r in sorted(out, key=lambda r: (r["g"], r["rank"])):
+            got.setdefault(r["g"], []).append(r["doc_id"])
+        assert got == want
+
+
+def test_top_k_per_group_hash_sample_stable(spark, scored_df):
+    """order_col=None draws the SAME k rows per group regardless of
+    layout, and never more than the group holds."""
+    from sketchlib.spark.api import top_k_per_group
+
+    grp = scored_df.withColumn("g", F.col("doc_id") % 400)  # 10 rows/group
+    a = {
+        (r["g"], r["doc_id"])
+        for r in top_k_per_group(
+            grp, ["g"], 3, two_level_min_partitions=0
+        ).collect()
+    }
+    b = {
+        (r["g"], r["doc_id"])
+        for r in top_k_per_group(
+            grp.repartition(23), ["g"], 3, two_level_min_partitions=0
+        ).collect()
+    }
+    assert a == b
+    per_g = {}
+    for g, _ in a:
+        per_g[g] = per_g.get(g, 0) + 1
+    assert set(per_g.values()) == {3}
+
+
+def test_top_k_per_group_validation(spark, scored_df):
+    from sketchlib.spark.api import top_k_per_group
+
+    with pytest.raises(ValueError, match="k must"):
+        top_k_per_group(scored_df, ["doc_id"], 0)
+    with pytest.raises(ValueError, match="group_cols"):
+        top_k_per_group(scored_df, [], 1)
+    with pytest.raises(ValueError, match="already exists"):
+        top_k_per_group(scored_df, ["doc_id"], 1, rank_col="score")
