@@ -1145,26 +1145,30 @@ def with_global_rank(
         )
     else:
         bucketed = keyed.withColumn("__ob", bucket)
-        counts = sorted(
+        counts = dict(
             (r["__ob"], r["n"])
             for r in bucketed.groupBy("__ob")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         )
-        offsets, run = [], 0
-        for ob, n in counts:
-            offsets.append((ob, run))
-            run += n
-        off_map = F.create_map(
-            *[F.lit(x) for pair in offsets for x in pair]
-        ) if offsets else F.create_map()
+        # dense offset ARRAY, not a literal map: every bucket id from
+        # _order_and_bucket's non-hash paths is a count of bounds
+        # passed, i.e. 0..len(bounds) — and element_at on a
+        # constant-folded array literal is O(1) per row where
+        # GetMapValue on a literal map is a linear scan
+        maxb = max(counts) if counts else 0
+        offs, run = [], 0
+        for ob in range(maxb + 1):
+            offs.append(run)
+            run += counts.get(ob, 0)
+        off_arr = F.array(*[F.lit(o) for o in offs])
         within = F.row_number().over(
             Window.partitionBy("__ob").orderBy("__ord")
         )
         ranked = bucketed.withColumn(
             rank_col,
             (
-                F.coalesce(off_map[F.col("__ob")], F.lit(0))
+                F.element_at(off_arr, F.col("__ob") + F.lit(1))
                 + within
             ).cast("long"),
         ).drop("__ob")

@@ -246,6 +246,75 @@ def job_pack(args) -> None:
     spark.stop()
 
 
+def job_split(args) -> None:
+    """Deterministic train/val/test split: write one parquet directory
+    per split under --output/<name> (each split is a shuffle-free
+    filter of the same scan)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.api import split_by_weights
+    from sketchlib.spark.io import read_table
+    from sketchlib.spark.session import get_spark
+
+    weights = {}
+    for part in args.weights.split(","):
+        name, w = part.split("=", 1)
+        weights[name] = float(w)
+    key_cols = args.key_cols.split(",") if args.key_cols else None
+    spark = get_spark(master=args.master)
+    df = read_table(spark, args.input, args.format)
+    parts = split_by_weights(df, weights, key_cols=key_cols, seed=args.seed)
+    sizes = {}
+    for name, part_df in parts.items():
+        obs = Observation()
+        part_df = part_df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        part_df.write.mode("overwrite").parquet(
+            os.path.join(args.output, name)
+        )
+        sizes[name] = int(obs.get["rows"])
+    print(json.dumps({
+        "output": args.output, "weights": weights, "rows": sizes,
+    }))
+    spark.stop()
+
+
+def job_rank(args) -> None:
+    """Exact global curriculum ordering: append rank (and shard when
+    --n-shards is set) and write the ordered table."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.api import with_global_rank
+    from sketchlib.spark.io import read_table
+    from sketchlib.spark.session import get_spark
+
+    spark = get_spark(master=args.master)
+    df = read_table(spark, args.input, args.format)
+    tie_cols = args.tie_cols.split(",") if args.tie_cols else ()
+    ranked = with_global_rank(
+        df, args.order_col, tie_cols=tie_cols,
+        n_shards=args.n_shards, seed=args.seed,
+    )
+    obs = Observation()
+    ranked = ranked.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.max("rank").alias("max_rank"),
+    )
+    writer = ranked.write.mode("overwrite")
+    if args.n_shards:
+        writer = writer.partitionBy("shard")
+    writer.parquet(args.output)
+    rows = int(obs.get["rows"])
+    out = {"output": args.output, "rows": rows,
+           "max_rank": int(obs.get["max_rank"] or 0)}
+    if out["max_rank"] != rows:
+        out["warning"] = "max_rank != rows (non-total order?)"
+    print(json.dumps(out))
+    spark.stop()
+
+
 def job_spandedup(args) -> None:
     """Exact duplicate-passage removal: rewrite the corpus with every
     duplicated w-word span scrubbed; report words removed."""
@@ -478,6 +547,30 @@ def main(argv=None) -> None:
     dc.add_argument("--method", default="exact", choices=["exact", "bloom"])
     dc.add_argument("--master", default=None)
     dc.set_defaults(fn=job_decontam)
+
+    sl = sub.add_parser("split")
+    sl.add_argument("--input", required=True)
+    sl.add_argument("--format", default="auto", choices=["auto", "parquet", "iceberg"])
+    sl.add_argument("--output", required=True)
+    sl.add_argument("--weights", required=True,
+                    help="name=w[,name=w...] e.g. train=0.98,val=0.01,test=0.01")
+    sl.add_argument("--key-cols", default=None,
+                    help="comma-separated; default: all columns")
+    sl.add_argument("--seed", type=int, default=42)
+    sl.add_argument("--master", default=None)
+    sl.set_defaults(fn=job_split)
+
+    rk = sub.add_parser("rank")
+    rk.add_argument("--input", required=True)
+    rk.add_argument("--format", default="auto", choices=["auto", "parquet", "iceberg"])
+    rk.add_argument("--output", required=True)
+    rk.add_argument("--order-col", required=True)
+    rk.add_argument("--tie-cols", default=None,
+                    help="comma-separated unique tie-break key(s)")
+    rk.add_argument("--n-shards", type=int, default=None)
+    rk.add_argument("--seed", type=int, default=42)
+    rk.add_argument("--master", default=None)
+    rk.set_defaults(fn=job_rank)
 
     sd = sub.add_parser("span-dedup")
     sd.add_argument("--input", required=True)
