@@ -1113,14 +1113,21 @@ def with_global_rank(
 
     Ranks are deterministic only under a TOTAL order: include a unique
     key (e.g. the doc id) in ``tie_cols``, otherwise tied rows receive
-    an arbitrary permutation of their tie range.  For descending
+    an arbitrary permutation of their tie range.  The bucketed plan
+    evaluates the input in TWO jobs (counts, then ranking), so the
+    input must be deterministic — persist it first if it contains
+    ``rand()``/``sample()``/``limit()``; a bucket unseen by the counts
+    job fails the ranking job loudly rather than emitting wrong ranks.  For descending
     order, pass a negated numeric column (``df.withColumn("neg_score",
     -F.col("score"))``).  Cross-engine note: ascending-nulls-first
     matches Spark's default; DuckDB defaults to NULLS LAST — order on
     non-null keys (or align the engine's null order) when comparing."""
     if n_shards is not None and n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    for c in (rank_col, shard_col) if n_shards is not None else (rank_col,):
+    guarded = ("__ord", "__ob") + (
+        (rank_col, shard_col) if n_shards is not None else (rank_col,)
+    )
+    for c in guarded:
         if c in df.columns:
             raise ValueError(f"output column {c!r} already exists")
     from pyspark.sql.window import Window
@@ -1165,11 +1172,28 @@ def with_global_rank(
         within = F.row_number().over(
             Window.partitionBy("__ob").orderBy("__ord")
         )
+        # assert_true fails the JOB (instead of silently NULLing the
+        # rank) if the ranking job sees a bucket the counts job did
+        # not: the input re-evaluated differently between the two jobs
+        # — i.e. a nondeterministic frame (rand()/sample()/limit()
+        # upstream), which this two-job plan cannot rank correctly
+        det_guard = F.coalesce(
+            F.assert_true(
+                F.col("__ob") <= F.lit(maxb),
+                F.lit(
+                    "with_global_rank: unseen bucket id — the input "
+                    "is nondeterministic across jobs; persist it or "
+                    "remove rand()/sample()/limit() upstream"
+                ),
+            ).cast("long"),
+            F.lit(0),
+        )
         ranked = bucketed.withColumn(
             rank_col,
             (
                 F.element_at(off_arr, F.col("__ob") + F.lit(1))
                 + within
+                + det_guard
             ).cast("long"),
         ).drop("__ob")
     out = ranked.drop("__ord")
@@ -1209,8 +1233,9 @@ def top_k_per_group(
     and the final per-group window ranks at most ``pre_salt * k`` rows.
     Top-k of per-salt top-ks is exactly the global top-k under a total
     order, so both plans return identical rows; include a unique key
-    in ``tie_cols`` for deterministic ranks (hash order: ties are
-    byte-identical rows, whose content is interchangeable).
+    in ``tie_cols`` for deterministic ranks — in hash mode too, where
+    it breaks the (rare but real at 10^9-row groups) 64-bit hash
+    collision between distinct rows.
 
     Appends ``rank_col`` (1-based within group) and returns the
     winning rows; all input columns pass through."""
@@ -1218,18 +1243,21 @@ def top_k_per_group(
         raise ValueError(f"k must be >= 1, got {k}")
     if not group_cols:
         raise ValueError("group_cols must be non-empty")
-    if rank_col in df.columns:
-        raise ValueError(f"output column {rank_col!r} already exists")
+    for c in (rank_col, "__s", "__r"):
+        if c in df.columns:
+            raise ValueError(f"output column {c!r} already exists")
     from pyspark.sql.window import Window
 
     if order_col is None:
         base = F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
-        ordering = [base.desc() if descending else base.asc()]
     else:
         base = F.col(order_col)
-        ordering = [base.desc() if descending else base.asc()] + [
-            F.col(c).asc() for c in tie_cols
-        ]
+    # tie_cols apply in hash mode too: a 64-bit collision between two
+    # DISTINCT rows straddling rank k would otherwise order them
+    # arbitrarily, breaking run/plan reproducibility at scale
+    ordering = [base.desc() if descending else base.asc()] + [
+        F.col(c).asc() for c in tie_cols
+    ]
     groups = [F.col(c) for c in group_cols]
     pre = df
     # on accessor drift assume big: the two-level plan is the safe one
@@ -1281,6 +1309,8 @@ def bloom_filtered_join(
         raise ValueError(
             f"bloom_filtered_join supports inner/left_semi, got {how!r}"
         )
+    if "__bf" in big.columns:
+        raise ValueError("output column '__bf' already exists")
     bloom = build_bloom(small, on, capacity=capacity, fpr=fpr)
     pruned = (
         bloom_contains(big, on, bloom, out_col="__bf")
@@ -1309,28 +1339,41 @@ def split_by_weights(
     assignments), and re-runs — the properties an eval holdout must
     have so test docs can never leak into training between releases.
     Range boundaries follow ``weights``' insertion order; weights are
-    normalized to sum to 1.  ``key_expr`` overrides the hash with a
-    caller-supplied integer Column in [0, 2^20) (cross-engine
-    verification, curriculum keys).
+    normalized to sum to 1 (a weight so small its range rounds to zero
+    hash values raises — an eval split that can never receive a row is
+    a silent leak of its entire domain into the neighbouring split).
+    ``key_expr`` overrides the hash with a caller-supplied integer
+    Column (cross-engine verification, curriculum keys); it is reduced
+    ``pmod 2^20`` so any integer key keeps the split exhaustive.
 
     100-TB shape: each split is ONE map-side filter on the scan — no
     shuffle, no state, no action here; consuming all splits costs one
-    scan each (or cache the keyed frame once upstream)."""
+    scan each (or cache the keyed frame once upstream — or, to write
+    all splits in a single pass, :func:`with_split_label`)."""
+    ranges = _split_ranges(weights)
+    h = _split_key(df, key_cols, seed, key_expr)
+    return {
+        name: df.filter((h >= F.lit(lo)) & (h < F.lit(hi)))
+        for name, lo, hi in ranges
+    }
+
+
+#: hash-domain resolution of the deterministic splitters: membership
+#: ranges are half-open integer intervals of [0, 2^20)
+_SPLIT_SCALE = 1 << 20
+
+
+def _split_ranges(weights: dict[str, float]) -> list[tuple[str, int, int]]:
+    """(name, lo, hi) half-open ranges of [0, 2^20) in insertion
+    order, validated: every weight positive and wide enough to own at
+    least one hash value after rounding."""
     if not weights:
         raise ValueError("weights must be non-empty")
     for name, w in weights.items():
         if not w > 0:
             raise ValueError(f"weight for split {name!r} must be > 0")
-    scale = 1 << 20
     total = float(sum(weights.values()))
-    if key_expr is not None:
-        h = key_expr
-    else:
-        keys = key_cols if key_cols is not None else list(df.columns)
-        h = F.pmod(
-            F.xxhash64(*[F.col(c) for c in keys], F.lit(seed)), F.lit(scale)
-        )
-    out: dict[str, DataFrame] = {}
+    ranges: list[tuple[str, int, int]] = []
     cum = 0.0
     lo = 0
     names = list(weights)
@@ -1338,10 +1381,59 @@ def split_by_weights(
         cum += float(weights[name]) / total
         # the last range's upper bound is pinned to `scale` so rounding
         # can never orphan the top of the hash domain
-        hi = scale if i == len(names) - 1 else int(round(scale * cum))
-        out[name] = df.filter((h >= F.lit(lo)) & (h < F.lit(hi)))
+        hi = (
+            _SPLIT_SCALE
+            if i == len(names) - 1
+            else int(round(_SPLIT_SCALE * cum))
+        )
+        if hi <= lo:
+            raise ValueError(
+                f"weight for split {name!r} rounds to an empty hash "
+                f"range at 2^20 resolution (weight {weights[name]!r} of "
+                f"total {total!r}); use a weight >= ~2**-19 of the total"
+            )
+        ranges.append((name, lo, hi))
         lo = hi
-    return out
+    return ranges
+
+
+def _split_key(df, key_cols, seed, key_expr):
+    """The integer membership key in [0, 2^20): seeded xxhash64 of
+    ``key_cols`` (all columns when None), or the caller's ``key_expr``
+    reduced pmod 2^20 (identity for in-range keys; out-of-range /
+    negative keys fold into the domain instead of silently matching no
+    range)."""
+    if key_expr is not None:
+        return F.pmod(key_expr, F.lit(_SPLIT_SCALE))
+    keys = key_cols if key_cols is not None else list(df.columns)
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in keys], F.lit(seed)),
+        F.lit(_SPLIT_SCALE),
+    )
+
+
+def with_split_label(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_cols: list[str] | None = None,
+    seed: int = 42,
+    key_expr=None,
+    label_col: str = "split",
+) -> DataFrame:
+    """Append the split NAME each row belongs to — same membership rule
+    as :func:`split_by_weights` (identical ranges, key, and seed), as
+    one column instead of N filtered frames.  This is the single-scan
+    shape for materializing every split at once:
+    ``with_split_label(df, w).write.partitionBy("split")`` reads the
+    input ONCE where writing N filtered frames scans it N times."""
+    if label_col in df.columns:
+        raise ValueError(f"output column {label_col!r} already exists")
+    ranges = _split_ranges(weights)
+    h = _split_key(df, key_cols, seed, key_expr)
+    expr = F.lit(ranges[-1][0])  # the last range owns the top; chain
+    for name, lo, hi in reversed(ranges[:-1]):
+        expr = F.when(h < F.lit(hi), F.lit(name)).otherwise(expr)
+    return df.withColumn(label_col, expr)
 
 
 def split_train_eval(

@@ -247,13 +247,15 @@ def job_pack(args) -> None:
 
 
 def job_split(args) -> None:
-    """Deterministic train/val/test split: write one parquet directory
-    per split under --output/<name> (each split is a shuffle-free
-    filter of the same scan)."""
+    """Deterministic train/val/test split in ONE input scan: label
+    every row with its split and write partitioned by the label
+    (--output/split=<name>/...).  Writing N filtered frames instead
+    would scan the input N times — the 0.98-weight train split alone
+    re-reads everything."""
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
-    from sketchlib.spark.api import split_by_weights
+    from sketchlib.spark.api import with_split_label
     from sketchlib.spark.io import read_table
     from sketchlib.spark.session import get_spark
 
@@ -264,17 +266,26 @@ def job_split(args) -> None:
     key_cols = args.key_cols.split(",") if args.key_cols else None
     spark = get_spark(master=args.master)
     df = read_table(spark, args.input, args.format)
-    parts = split_by_weights(df, weights, key_cols=key_cols, seed=args.seed)
-    sizes = {}
-    for name, part_df in parts.items():
-        obs = Observation()
-        part_df = part_df.observe(obs, F.count(F.lit(1)).alias("rows"))
-        part_df.write.mode("overwrite").parquet(
-            os.path.join(args.output, name)
-        )
-        sizes[name] = int(obs.get["rows"])
+    labelled = with_split_label(
+        df, weights, key_cols=key_cols, seed=args.seed
+    )
+    obs = Observation()
+    labelled = labelled.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        *[
+            F.sum((F.col("split") == name).cast("long")).alias(name)
+            for name in weights
+        ],
+    )
+    labelled.write.mode("overwrite").partitionBy("split").parquet(
+        args.output
+    )
+    got = obs.get
     print(json.dumps({
-        "output": args.output, "weights": weights, "rows": sizes,
+        "output": args.output, "weights": weights,
+        "rows": {name: int(got[name] or 0) for name in weights},
+        "total": int(got["rows"]),
     }))
     spark.stop()
 

@@ -131,3 +131,41 @@ def test_seed_changes_assignment_but_keeps_partition(spark, ids_df):
     assert e1 != e2  # different seeds reshuffle membership...
     assert abs(len(e1) / 5000 - 0.5) < 0.03  # ...but keep calibration
     assert abs(len(e2) / 5000 - 0.5) < 0.03
+
+
+def test_tiny_weight_empty_range_raises(spark, ids_df):
+    """A weight whose range rounds to zero hash values must fail
+    loudly, not silently produce a permanently-empty split."""
+    with pytest.raises(ValueError, match="empty hash range"):
+        split_by_weights(ids_df, {"holdout": 4e-7, "train": 1.0})
+
+
+def test_key_expr_out_of_range_folds_not_drops(spark, ids_df):
+    """A raw (possibly negative / >2^20) integer key_expr is reduced
+    pmod 2^20, keeping the split exhaustive instead of dropping rows
+    that match no range."""
+    raw = F.xxhash64(F.col("doc_id"))  # full signed-64 range
+    parts = split_by_weights(ids_df, {"a": 0.5, "b": 0.5}, key_expr=raw)
+    total = sum(df.count() for df in parts.values())
+    assert total == 5000
+
+
+def test_with_split_label_matches_filters(spark, ids_df):
+    from sketchlib.spark.api import with_split_label
+
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    parts = split_by_weights(ids_df, w, key_cols=["doc_id"])
+    want = {
+        r[0]: name
+        for name, df in parts.items()
+        for r in df.select("doc_id").collect()
+    }
+    got = {
+        r["doc_id"]: r["split"]
+        for r in with_split_label(ids_df, w, key_cols=["doc_id"]).collect()
+    }
+    assert got == want
+    with pytest.raises(ValueError, match="already exists"):
+        with_split_label(
+            ids_df.withColumn("split", F.lit("x")), w, key_cols=["doc_id"]
+        )
