@@ -1224,13 +1224,15 @@ def top_k_per_group(
     ``k`` rows per group ("sample N docs per domain"), reproducible
     across runs and repartitioning.
 
-    Scale shape: a single ``row_number`` window per group ships each
-    group's ENTIRE row set to one task — a 10^9-row group at 100 TB is
-    one straggler.  Above ``two_level_min_partitions`` planned input
+    Scale shape: Spark 3.5+'s rank-limit pushdown (WindowGroupLimit)
+    already partial-top-ks each TASK before the shuffle, so even the
+    single-window plan moves at most tasks*k rows per group — but at
+    10^5 tasks that is still 10^5*k rows sorted in ONE task for a hot
+    group.  Above ``two_level_min_partitions`` planned input
     partitions (driver-side check, ~0.2ms, mirroring the ann.py
     two-level top-k) a first window over (group, task-salt) keeps each
-    salt's local top-k — partitions bounded near group_size/pre_salt —
-    and the final per-group window ranks at most ``pre_salt * k`` rows.
+    salt's local top-k, so the final per-group window ranks at most
+    ``pre_salt * k`` rows regardless of task count.
     Top-k of per-salt top-ks is exactly the global top-k under a total
     order, so both plans return identical rows; include a unique key
     in ``tie_cols`` for deterministic ranks — in hash mode too, where
