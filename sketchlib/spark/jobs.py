@@ -326,6 +326,39 @@ def job_rank(args) -> None:
     spark.stop()
 
 
+def job_lsh_dedup(args) -> None:
+    """End-to-end MinHash+LSH near-dedup: detect near-duplicate pairs,
+    cluster them transitively, keep one representative per cluster,
+    write the deduplicated corpus."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from sketchlib.dedup.cluster import keep_representatives
+    from sketchlib.dedup.minhash import minhash_near_duplicates
+    from sketchlib.spark.io import read_table
+    from sketchlib.spark.session import get_spark
+
+    spark = get_spark(master=args.master)
+    docs = read_table(spark, args.input, args.format)
+    pairs = minhash_near_duplicates(
+        docs, col=args.col, id_col=args.id_col,
+        threshold=args.threshold, num_perm=args.num_perm,
+        shingle_w=args.shingle_w, bands=args.bands,
+        rows_per_band=args.rows_per_band, seed=args.seed,
+    )
+    kept = keep_representatives(docs, pairs, id_col=args.id_col)
+    obs = Observation()
+    kept = kept.observe(obs, F.count(F.lit(1)).alias("rows"))
+    kept.write.mode("overwrite").parquet(args.output)
+    n_in = docs.count()
+    n_out = int(obs.get["rows"])
+    print(json.dumps({
+        "output": args.output, "rows_in": n_in, "rows_out": n_out,
+        "removed": n_in - n_out, "threshold": args.threshold,
+    }))
+    spark.stop()
+
+
 def job_spandedup(args) -> None:
     """Exact duplicate-passage removal: rewrite the corpus with every
     duplicated w-word span scrubbed; report words removed."""
@@ -582,6 +615,21 @@ def main(argv=None) -> None:
     rk.add_argument("--seed", type=int, default=42)
     rk.add_argument("--master", default=None)
     rk.set_defaults(fn=job_rank)
+
+    ld = sub.add_parser("lsh-dedup")
+    ld.add_argument("--input", required=True)
+    ld.add_argument("--format", default="auto", choices=["auto", "parquet", "iceberg"])
+    ld.add_argument("--output", required=True)
+    ld.add_argument("--col", default="text")
+    ld.add_argument("--id-col", default="doc_id")
+    ld.add_argument("--threshold", type=float, default=0.8)
+    ld.add_argument("--num-perm", type=int, default=64)
+    ld.add_argument("--shingle-w", type=int, default=3)
+    ld.add_argument("--bands", type=int, default=16)
+    ld.add_argument("--rows-per-band", type=int, default=4)
+    ld.add_argument("--seed", type=int, default=1)
+    ld.add_argument("--master", default=None)
+    ld.set_defaults(fn=job_lsh_dedup)
 
     sd = sub.add_parser("span-dedup")
     sd.add_argument("--input", required=True)
