@@ -1780,6 +1780,34 @@ def q_iceberg_manifest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine k-means over the embeddings table (k=8, seeded):
+    invariant gate in the ivf_recall style — every vector assigned
+    exactly once, all 8 clusters used, and the clustering beats the
+    1-means baseline (mean cosine to own centroid >= cosine to the
+    global mean + 0.05; measured 0.22-0.26 vs 0.02-0.05 at 3 sfs)."""
+    from sketchlib.similarity.ann import _normalize, cluster_embeddings
+
+    emb = _read(spark, sf_dir, "embeddings")
+    n = emb.count()
+    out, cents = cluster_embeddings(emb, n_clusters=8, seed=42)
+    rows = out.select("embedding", "cluster").toPandas()
+    m = _normalize(
+        np.array([np.asarray(v, dtype=np.float32) for v in rows["embedding"]])
+    )
+    c = _normalize(np.asarray(cents, dtype=np.float32))
+    self_cos = float((m * c[rows["cluster"].to_numpy()]).sum(1).mean())
+    g = _normalize(m.mean(0, keepdims=True))
+    glob_cos = float((m @ g.T).mean())
+    used = int(rows["cluster"].nunique())
+    checks = [
+        ("all_assigned", len(rows) == n),
+        ("k_clusters_used", used == 8),
+        ("kmeans_beats_global_mean", self_cos >= glob_cos + 0.05),
+    ]
+    return spark.createDataFrame(checks, "metric string, ok boolean")
+
+
 def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN recall vs the brute baseline (Spark-side check; oracle
     carries the constant shape)."""
@@ -1878,6 +1906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_quantiles": q_streaming_quantiles,
         "iceberg_manifest_scan": q_iceberg_manifest_scan,
         "ivf_recall": q_ivf_recall,
+        "embedding_clusters": q_embedding_clusters,
     }
 
 
@@ -2206,6 +2235,11 @@ def oracle_sql() -> dict[str, str]:
         "ivf_recall": (
             "SELECT * FROM (VALUES ('ivf_mean_recall_ge_0.6', TRUE)) "
             "AS t(metric, ok)"
+        ),
+        "embedding_clusters": (
+            "SELECT * FROM (VALUES ('all_assigned', TRUE), "
+            "('k_clusters_used', TRUE), "
+            "('kmeans_beats_global_mean', TRUE)) AS t(metric, ok)"
         ),
         "sampling_and_bounds": (
             "SELECT * FROM (VALUES ('range_bounds_balanced', TRUE), "

@@ -4,6 +4,7 @@ embedding-cosine near-duplicate pairs."""
 
 from sketchlib.similarity.ann import (
     brute_topk,
+    cluster_embeddings,
     embedding_near_duplicates,
     ivf_topk,
 )

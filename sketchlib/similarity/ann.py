@@ -238,6 +238,50 @@ def assign_buckets(
     return df.mapInArrow(fn, f"{schema}, bucket int")
 
 
+def cluster_embeddings(
+    df: DataFrame,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+    sample: int = 4096,
+    iters: int = 5,
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+):
+    """Cosine k-means clustering of an embedding column, end-to-end:
+    train centroids (seeded farthest-point init + Lloyd iterations on
+    a hash-order driver sample — deterministic for (data, seed)) and
+    append every row's nearest-centroid id.  Returns
+    ``(assigned_df, centroids)``; pass ``centroids`` to re-assign a
+    new table with a previously trained model (the cross-snapshot
+    shape: train once, assign every incoming partition).
+
+    100-TB shape: training touches only ``sample`` vectors (one
+    TakeOrderedAndProject job); assignment is one vectorized GEMM per
+    Arrow batch appended to the scan — no shuffle, no state.  This is
+    the standard pretraining-corpus recipe for topic bucketing,
+    cluster-balanced sampling (compose with ``top_k_per_group`` on the
+    cluster id), and semantic-dedup blocking."""
+    if n_clusters < 1:
+        raise ValueError(f"n_clusters must be >= 1, got {n_clusters}")
+    for c in {cluster_col, "bucket"}:
+        if c in df.columns:
+            raise ValueError(f"output column {c!r} already exists")
+    if centroids is None:
+        centroids = train_centroids(
+            df,
+            n_centroids=n_clusters,
+            vec_col=vec_col,
+            sample=sample,
+            iters=iters,
+            seed=seed,
+        )
+    out = assign_buckets(df, centroids, vec_col=vec_col)
+    if cluster_col != "bucket":
+        out = out.withColumnRenamed("bucket", cluster_col)
+    return out, centroids
+
+
 def ivf_topk(
     df: DataFrame,
     queries: np.ndarray,

@@ -278,3 +278,53 @@ def test_global_topk_adaptive_two_level(spark):
     rs = sorted(map(tuple, _global_topk(small, 3).collect()))
     rb = sorted(map(tuple, _global_topk(big, 3).collect()))
     assert rs == rb and len(rs) == 4 * 3
+
+
+def test_cluster_embeddings_assigns_all_deterministically(spark):
+    import numpy as np
+
+    from sketchlib.similarity.ann import cluster_embeddings
+
+    rng = np.random.default_rng(7)
+    # three well-separated blobs in 8-d
+    blobs = []
+    for i, center in enumerate(np.eye(3)):
+        pts = center.repeat(1)  # noqa: F841 (clarity)
+        base = np.zeros(8)
+        base[i] = 4.0
+        blobs.append(base + rng.normal(0, 0.05, size=(40, 8)))
+    m = np.concatenate(blobs)
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(m)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out, cents = cluster_embeddings(df, n_clusters=3, seed=11)
+    got = out.collect()
+    assert len(got) == 120
+    by_cluster = {}
+    for r in got:
+        by_cluster.setdefault(r["cluster"], set()).add(r["vec_id"] // 40)
+    # well-separated blobs: each cluster holds exactly one blob
+    assert len(by_cluster) == 3
+    assert all(len(srcs) == 1 for srcs in by_cluster.values())
+    # deterministic: same seed, same assignment; reuse trained centroids
+    out2, _ = cluster_embeddings(df, n_clusters=3, seed=11)
+    assert sorted((r["vec_id"], r["cluster"]) for r in got) == sorted(
+        (r["vec_id"], r["cluster"]) for r in out2.collect()
+    )
+    out3, _ = cluster_embeddings(df, n_clusters=3, centroids=cents)
+    assert sorted((r["vec_id"], r["cluster"]) for r in got) == sorted(
+        (r["vec_id"], r["cluster"]) for r in out3.collect()
+    )
+
+
+def test_cluster_embeddings_validation(spark):
+    from sketchlib.similarity.ann import cluster_embeddings
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="n_clusters"):
+        cluster_embeddings(df, n_clusters=0)
+    with pytest.raises(ValueError, match="already exists"):
+        cluster_embeddings(
+            df.withColumn("cluster", F.lit(1)), n_clusters=1
+        )
