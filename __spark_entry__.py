@@ -1028,6 +1028,30 @@ def q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous curriculum shards = SQL NTILE semantics (0-based):
+    documents ordered by (n_chars, doc_id) into 7 shards — 7 does not
+    divide the row count, so the ragged-tile boundary arithmetic is
+    exercised.  Forced bucketed plan."""
+    from sketchlib.spark.api import with_global_rank
+
+    docs = _read(spark, sf_dir, "documents")
+    out = with_global_rank(
+        docs,
+        "n_chars",
+        tie_cols=["doc_id"],
+        n_shards=7,
+        shard_mode="contiguous",
+        bucketed_min_partitions=0,
+        order_buckets=64,
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint"),
+        F.col("rank").cast("bigint"),
+        F.col("shard").cast("bigint"),
+    )
+
+
 def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-pruned fact-to-dim join: lineitem rows joined to URGENT
     orders, with lineitem pruned by a broadcast Bloom of the order
@@ -1881,6 +1905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "split_train_eval": q_split_train_eval,
         "global_rank": q_global_rank,
+        "curriculum_shards": q_curriculum_shards,
         "bloom_join": q_bloom_join,
         "top_per_group": q_top_per_group,
         "materialize_packed": q_materialize_packed,
@@ -2358,6 +2383,13 @@ def oracle_sql() -> dict[str, str]:
             " AS rank, "
             "CAST((row_number() OVER (ORDER BY n_chars, doc_id) - 1) % 8"
             " AS BIGINT) AS shard FROM documents"
+        ),
+        "curriculum_shards": (
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)"
+            " AS rank, "
+            "CAST(ntile(7) OVER (ORDER BY n_chars, doc_id) - 1 AS BIGINT)"
+            " AS shard FROM documents"
         ),
         "bloom_join": (
             "SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, "

@@ -1085,6 +1085,7 @@ def with_global_rank(
     rank_col: str = "rank",
     n_shards: int | None = None,
     shard_col: str = "shard",
+    shard_mode: str = "striped",
     seed: int = 42,
     order_buckets: int = 1024,
     bucketed_min_partitions: int = 256,
@@ -1093,10 +1094,16 @@ def with_global_rank(
     order_col, *tie_cols`` (ascending, nulls first) — the distributed
     replacement for ``row_number() OVER (ORDER BY ...)``, whose naive
     plan ships the ENTIRE table into one task's sort.  Optional
-    ``n_shards`` appends ``shard = (rank - 1) % n_shards``: round-robin
-    striping by rank, so every shard is a same-size interleaved sample
-    of the curriculum order (the standard layout for ordered training
-    shards — each reader sees the full difficulty spectrum).
+    ``n_shards`` appends a 0-based ``shard`` column in one of two
+    layouts: ``shard_mode="striped"`` (default) is round-robin by rank
+    (``(rank - 1) % n_shards``) — every shard a same-size interleaved
+    sample of the curriculum order, each reader seeing the full
+    difficulty spectrum; ``"contiguous"`` is SQL ``NTILE(n) - 1`` —
+    adjacent rank ranges, sizes differing by at most one, the layout
+    for staged curricula (shard 0 = the easiest slice).  Contiguous
+    needs the total row count: free in the bucketed plan (the counts
+    job already ran), one extra ``count()`` action in the small
+    single-window plan.
 
     Plan shape — classic two-phase distributed ranking: (1) a bucket
     id MONOTONIC in ``order_col`` (sketch split points for numerics,
@@ -1124,6 +1131,10 @@ def with_global_rank(
     non-null keys (or align the engine's null order) when comparing."""
     if n_shards is not None and n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if shard_mode not in ("striped", "contiguous"):
+        raise ValueError(
+            f"shard_mode must be striped/contiguous, got {shard_mode!r}"
+        )
     guarded = ("__ord", "__ob") + (
         (rank_col, shard_col) if n_shards is not None else (rank_col,)
     )
@@ -1145,6 +1156,7 @@ def with_global_rank(
     keyed = df.withColumn(
         "__ord", F.struct(F.col(order_col), *[F.col(c) for c in tie_cols])
     )
+    total: int | None = None
     if bucket is None:
         ranked = keyed.withColumn(
             rank_col,
@@ -1168,6 +1180,7 @@ def with_global_rank(
         for ob in range(maxb + 1):
             offs.append(run)
             run += counts.get(ob, 0)
+        total = run
         off_arr = F.array(*[F.lit(o) for o in offs])
         within = F.row_number().over(
             Window.partitionBy("__ob").orderBy("__ord")
@@ -1198,10 +1211,26 @@ def with_global_rank(
         ).drop("__ob")
     out = ranked.drop("__ord")
     if n_shards is not None:
-        out = out.withColumn(
-            shard_col,
-            F.pmod(F.col(rank_col) - F.lit(1), F.lit(n_shards)),
-        )
+        if shard_mode == "striped":
+            shard = F.pmod(F.col(rank_col) - F.lit(1), F.lit(n_shards))
+        else:
+            n_total = total if total is not None else df.count()
+            # NTILE(n)-1: the first (N % n) shards hold ceil(N/n) rows.
+            # `div` keeps the arithmetic integer-exact (a double
+            # division misrounds above 2^53)
+            q, rem = divmod(n_total, n_shards)
+            if q == 0:
+                shard = F.col(rank_col) - F.lit(1)
+            else:
+                cutoff = rem * (q + 1)
+                shard = F.when(
+                    F.col(rank_col) <= F.lit(cutoff),
+                    F.expr(f"(`{rank_col}` - 1) div {q + 1}"),
+                ).otherwise(
+                    F.lit(rem)
+                    + F.expr(f"(`{rank_col}` - 1 - {cutoff}) div {q}")
+                )
+        out = out.withColumn(shard_col, shard.cast("long"))
     return out
 
 

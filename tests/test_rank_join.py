@@ -224,3 +224,42 @@ def test_top_k_per_group_validation(spark, scored_df):
         top_k_per_group(scored_df, [], 1)
     with pytest.raises(ValueError, match="already exists"):
         top_k_per_group(scored_df, ["doc_id"], 1, rank_col="score")
+
+
+def _ntile0(n_rows, n_tiles, r):
+    q, rem = divmod(n_rows, n_tiles)
+    if q == 0:
+        return r - 1
+    cutoff = rem * (q + 1)
+    if r <= cutoff:
+        return (r - 1) // (q + 1)
+    return rem + (r - 1 - cutoff) // q
+
+
+@pytest.mark.parametrize("n_rows,n_tiles", [(4000, 8), (4000, 7), (5, 8)])
+def test_contiguous_shards_match_ntile(spark, scored_df, n_rows, n_tiles):
+    df = scored_df.filter(F.col("doc_id") < n_rows)
+    for min_parts in (10**9, 0):  # both plans
+        out = with_global_rank(
+            df,
+            "score",
+            tie_cols=["doc_id"],
+            n_shards=n_tiles,
+            shard_mode="contiguous",
+            bucketed_min_partitions=min_parts,
+            order_buckets=32,
+        ).collect()
+        for r in out:
+            assert r["shard"] == _ntile0(min(n_rows, 4000), n_tiles, r["rank"])
+        # contiguous: shard is monotone in rank, sizes differ by <= 1
+        sizes = {}
+        for r in out:
+            sizes[r["shard"]] = sizes.get(r["shard"], 0) + 1
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+def test_shard_mode_validation(spark, scored_df):
+    with pytest.raises(ValueError, match="shard_mode"):
+        with_global_rank(
+            scored_df, "score", n_shards=4, shard_mode="zigzag"
+        )
