@@ -186,6 +186,10 @@ def train_centroids(
         .limit(sample)
     )
     rows = picked.toPandas()[vec_col]
+    if len(rows) == 0:
+        # empty table: no centroids (callers decide whether that is an
+        # error) — np.array([]) is 1-d and _normalize would AxisError
+        return np.zeros((0, 0), dtype=np.float32)
     m = _normalize(np.array([np.asarray(r, dtype=np.float32) for r in rows]))
     k = min(n_centroids, m.shape[0])
     rng = np.random.default_rng(seed)
@@ -276,6 +280,18 @@ def cluster_embeddings(
             iters=iters,
             seed=seed,
         )
+        if centroids.shape[0] == 0:
+            raise ValueError("cannot cluster an empty table")
+        if centroids.shape[0] < n_clusters:
+            import warnings
+
+            warnings.warn(
+                f"cluster_embeddings: only {centroids.shape[0]} distinct "
+                f"sample vectors — returning that many clusters, not "
+                f"the requested {n_clusters}",
+                UserWarning,
+                stacklevel=2,
+            )
     out = assign_buckets(df, centroids, vec_col=vec_col)
     if cluster_col != "bucket":
         out = out.withColumnRenamed("bucket", cluster_col)

@@ -1103,7 +1103,10 @@ def with_global_rank(
     for staged curricula (shard 0 = the easiest slice).  Contiguous
     needs the total row count: free in the bucketed plan (the counts
     job already ran), one extra ``count()`` action in the small
-    single-window plan.
+    single-window plan — which makes contiguous mode two-job in EVERY
+    plan, so the nondeterministic-input caveat below applies to it
+    regardless of plan (guarded the same way: a rank beyond the
+    counted total fails loudly).
 
     Plan shape — classic two-phase distributed ranking: (1) a bucket
     id MONOTONIC in ``order_col`` (sketch split points for numerics,
@@ -1230,6 +1233,22 @@ def with_global_rank(
                     F.lit(rem)
                     + F.expr(f"(`{rank_col}` - 1 - {cutoff}) div {q}")
                 )
+            # contiguous mode makes EVERY plan two-job (the count is a
+            # separate action) — same nondeterminism hazard as the
+            # bucketed det_guard, same loud failure: a rank beyond the
+            # counted N means the input re-evaluated differently
+            shard = shard + F.coalesce(
+                F.assert_true(
+                    F.col(rank_col) <= F.lit(n_total),
+                    F.lit(
+                        "with_global_rank: rank exceeds the counted "
+                        "total — the input is nondeterministic across "
+                        "jobs; persist it or remove rand()/sample()/"
+                        "limit() upstream"
+                    ),
+                ).cast("long"),
+                F.lit(0),
+            )
         out = out.withColumn(shard_col, shard.cast("long"))
     return out
 

@@ -251,11 +251,18 @@ def test_contiguous_shards_match_ntile(spark, scored_df, n_rows, n_tiles):
         ).collect()
         for r in out:
             assert r["shard"] == _ntile0(min(n_rows, 4000), n_tiles, r["rank"])
-        # contiguous: shard is monotone in rank, sizes differ by <= 1
-        sizes = {}
-        for r in out:
-            sizes[r["shard"]] = sizes.get(r["shard"], 0) + 1
-        assert max(sizes.values()) - min(sizes.values()) <= 1
+        # independent oracle: Spark's own NTILE (so a shared bug in the
+        # divmod formula above cannot self-confirm)
+        from pyspark.sql.window import Window
+
+        w = Window.orderBy("score", "doc_id")
+        want = {
+            r["doc_id"]: r["nt"]
+            for r in df.withColumn(
+                "nt", F.ntile(n_tiles).over(w) - 1
+            ).collect()
+        }
+        assert {r["doc_id"]: r["shard"] for r in out} == want
 
 
 def test_shard_mode_validation(spark, scored_df):

@@ -288,8 +288,7 @@ def test_cluster_embeddings_assigns_all_deterministically(spark):
     rng = np.random.default_rng(7)
     # three well-separated blobs in 8-d
     blobs = []
-    for i, center in enumerate(np.eye(3)):
-        pts = center.repeat(1)  # noqa: F841 (clarity)
+    for i in range(3):
         base = np.zeros(8)
         base[i] = 4.0
         blobs.append(base + rng.normal(0, 0.05, size=(40, 8)))
@@ -328,3 +327,19 @@ def test_cluster_embeddings_validation(spark):
         cluster_embeddings(
             df.withColumn("cluster", F.lit(1)), n_clusters=1
         )
+
+
+def test_cluster_embeddings_degenerate_inputs(spark):
+    from sketchlib.similarity.ann import cluster_embeddings
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty table"):
+        cluster_embeddings(empty, n_clusters=4)
+    tiny = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.warns(UserWarning, match="distinct sample vectors"):
+        out, cents = cluster_embeddings(tiny, n_clusters=16)
+    assert cents.shape[0] == 2
+    assert out.count() == 2
