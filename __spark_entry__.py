@@ -1079,6 +1079,40 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full normalization recipe (lower -> NFC -> collapse whitespace
+    -> trim) over a case/whitespace-perturbed input synthesized from
+    the documents table (the raw text is already clean lowercase ASCII
+    so the perturbation makes every step observable).  NFC parity:
+    Python unicodedata vs DuckDB nfc_normalize."""
+    from sketchlib.text.normalize import normalize_text
+
+    docs = _read(spark, sf_dir, "documents")
+    raw = docs.withColumn(
+        "raw",
+        F.concat(
+            F.upper(F.col("lang")), F.lit("  "), F.col("text"), F.lit(" ")
+        ),
+    )
+    out = normalize_text(raw, col="raw", out_col="norm")
+    return out.select(F.col("doc_id").cast("bigint"), "norm")
+
+
+def q_split_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage explosion on a literal separator (' table ') with
+    1-based per-document ordinals, empties dropped: exact row parity
+    vs DuckDB string_split + generate_subscripts."""
+    from sketchlib.text.normalize import split_passages
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    out = split_passages(docs, sep=" table ")
+    return out.select(
+        F.col("doc_id").cast("bigint"),
+        F.col("passage_idx").cast("bigint"),
+        "passage",
+    )
+
+
 def q_top_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 longest documents per language (ties by doc_id):
     the two-level salted plan (forced via two_level_min_partitions=0)
@@ -1908,6 +1942,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_shards": q_curriculum_shards,
         "bloom_join": q_bloom_join,
         "top_per_group": q_top_per_group,
+        "text_normalize": q_text_normalize,
+        "split_passages": q_split_passages,
         "materialize_packed": q_materialize_packed,
         "vocabulary": q_vocabulary,
         "pii_scan": q_pii_scan,
@@ -2396,6 +2432,20 @@ def oracle_sql() -> dict[str, str]:
             "l_extendedprice, o_totalprice "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "WHERE o_orderpriority = '1-URGENT'"
+        ),
+        "text_normalize": (
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "trim(regexp_replace(nfc_normalize(lower("
+            "upper(lang) || '  ' || text || ' ')), "
+            "'[ \t\n\r]+', ' ', 'g')) AS norm FROM documents"
+        ),
+        "split_passages": (
+            "SELECT doc_id, passage_idx, passage FROM ("
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "CAST(generate_subscripts(string_split(text, ' table '), 1)"
+            " AS BIGINT) AS passage_idx, "
+            "unnest(string_split(text, ' table ')) AS passage "
+            "FROM documents) WHERE passage <> ''"
         ),
         "top_per_group": (
             "SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, "

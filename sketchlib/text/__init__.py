@@ -12,6 +12,7 @@ from sketchlib.text.analysis import (
     with_token_stats,
 )
 from sketchlib.text.fingerprint import document_fingerprints
+from sketchlib.text.normalize import normalize_text, split_passages
 from sketchlib.text.pii import (
     PII_PATTERNS,
     PII_REPLACEMENTS,
@@ -31,4 +32,6 @@ __all__ = [
     "redact_pii",
     "PII_PATTERNS",
     "PII_REPLACEMENTS",
+    "normalize_text",
+    "split_passages",
 ]
