@@ -1866,6 +1866,40 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(checks, "metric string, ok boolean")
 
 
+def q_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE train/encode/decode over documents: the decode of every
+    encoded doc must equal its whitespace-normalized text EXACTLY
+    (BPE only segments — the end-of-word marker restores boundaries),
+    and on this small-vocab corpus 256 requested merges exhaust every
+    word, so each word encodes to exactly one piece."""
+    from sketchlib.text.bpe import bpe_decode_column, bpe_encode, train_bpe
+
+    docs = _read(spark, sf_dir, "documents")
+    merges = train_bpe(docs, num_merges=256)
+    enc = bpe_encode(docs, merges)
+    agg = (
+        enc.withColumn("back", bpe_decode_column(F.col("bpe_tokens")))
+        .agg(
+            F.sum(
+                (
+                    F.col("back")
+                    == F.trim(F.regexp_replace("text", r"\s+", " "))
+                ).cast("long")
+            ).alias("rt"),
+            F.count("*").alias("n"),
+            F.sum(F.size("bpe_tokens")).alias("pieces"),
+            F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("words"),
+        )
+        .first()
+    )
+    checks = [
+        ("roundtrip_exact", int(agg["rt"]) == int(agg["n"])),
+        ("fully_fused", int(agg["pieces"]) == int(agg["words"])),
+        ("trained_merges", len(merges) > 0),
+    ]
+    return spark.createDataFrame(checks, "metric string, ok boolean")
+
+
 def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN recall vs the brute baseline (Spark-side check; oracle
     carries the constant shape)."""
@@ -1968,6 +2002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_manifest_scan": q_iceberg_manifest_scan,
         "ivf_recall": q_ivf_recall,
         "embedding_clusters": q_embedding_clusters,
+        "bpe_roundtrip": q_bpe_roundtrip,
     }
 
 
@@ -2301,6 +2336,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM (VALUES ('all_assigned', TRUE), "
             "('k_clusters_used', TRUE), "
             "('kmeans_beats_global_mean', TRUE)) AS t(metric, ok)"
+        ),
+        "bpe_roundtrip": (
+            "SELECT * FROM (VALUES ('roundtrip_exact', TRUE), "
+            "('fully_fused', TRUE), ('trained_merges', TRUE)) "
+            "AS t(metric, ok)"
         ),
         "sampling_and_bounds": (
             "SELECT * FROM (VALUES ('range_bounds_balanced', TRUE), "

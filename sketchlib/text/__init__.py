@@ -11,6 +11,7 @@ from sketchlib.text.analysis import (
     with_quality,
     with_token_stats,
 )
+from sketchlib.text.bpe import bpe_decode_column, bpe_encode, train_bpe
 from sketchlib.text.fingerprint import document_fingerprints
 from sketchlib.text.normalize import normalize_text, split_passages
 from sketchlib.text.pii import (
@@ -34,4 +35,7 @@ __all__ = [
     "PII_REPLACEMENTS",
     "normalize_text",
     "split_passages",
+    "train_bpe",
+    "bpe_encode",
+    "bpe_decode_column",
 ]
