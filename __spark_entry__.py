@@ -1877,18 +1877,28 @@ def q_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     merges = train_bpe(docs, num_merges=256)
     enc = bpe_encode(docs, merges)
+    # reference normalization/word count use the SAME Java-\s word
+    # boundaries as the library, null-safe, with phantom empty tokens
+    # from split filtered out (''.split -> [''])
+    txt = F.coalesce(F.col("text"), F.lit(""))
     agg = (
         enc.withColumn("back", bpe_decode_column(F.col("bpe_tokens")))
         .agg(
             F.sum(
                 (
                     F.col("back")
-                    == F.trim(F.regexp_replace("text", r"\s+", " "))
+                    == F.trim(F.regexp_replace(txt, r"\s+", " "))
                 ).cast("long")
             ).alias("rt"),
             F.count("*").alias("n"),
             F.sum(F.size("bpe_tokens")).alias("pieces"),
-            F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("words"),
+            F.sum(
+                F.size(
+                    F.filter(
+                        F.split(txt, r"\s+"), lambda x: x != F.lit("")
+                    )
+                )
+            ).alias("words"),
         )
         .first()
     )

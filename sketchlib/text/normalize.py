@@ -77,7 +77,7 @@ def split_passages(
     ``dedup/*``), retrieval corpora, and context-window packing.
     100-TB shape: split + posexplode on the scan — no shuffle; output
     rows stay co-partitioned with their document."""
-    for c in (passage_col, index_col):
+    for c in (passage_col, index_col, "__pos"):
         if c in df.columns:
             raise ValueError(f"output column {c!r} already exists")
     if not sep:

@@ -76,3 +76,59 @@ def test_validation(spark, corpus_df):
         train_bpe(corpus_df, num_merges=0)
     with pytest.raises(ValueError, match="already exists"):
         bpe_encode(corpus_df.withColumn("bpe_tokens", F.lit("x")), [])
+
+
+def test_marker_collision_rejected(spark):
+    """A word containing the literal end-of-word marker would decode
+    corrupted — train and encode must refuse loudly, and a custom
+    marker must sidestep it entirely."""
+    df = spark.createDataFrame(
+        [(0, "a</w>b plain")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="end-of-word marker"):
+        train_bpe(df, num_merges=1)
+    clean = spark.createDataFrame([(0, "aa ab")], "doc_id long, text string")
+    merges = train_bpe(clean, num_merges=2)
+    with pytest.raises(Exception, match="end-of-word marker"):
+        bpe_encode(df, merges).collect()  # kernel raises at runtime
+    # custom marker: the same corpus trains, encodes, and roundtrips
+    m2 = train_bpe(df, num_merges=2, eow="\x1f")
+    out = bpe_encode(df, m2, eow="\x1f").withColumn(
+        "back", bpe_decode_column(F.col("bpe_tokens"), eow="\x1f")
+    ).collect()[0]
+    assert out["back"] == "a</w>b plain"
+
+
+def test_ascii_whitespace_word_boundaries(spark):
+    """Word boundaries are Java-\\s (ASCII): U+00A0 stays INSIDE a
+    word on both the training split and the encode kernel, so
+    roundtrip still holds."""
+    df = spark.createDataFrame(
+        [(0, "a b a b cc")], "doc_id long, text string"
+    )
+    merges = train_bpe(df, num_merges=4)
+    out = bpe_encode(df, merges).withColumn(
+        "back", bpe_decode_column(F.col("bpe_tokens"))
+    ).collect()[0]
+    assert out["back"] == "a b a b cc"
+
+
+def test_incremental_trainer_matches_overlaps(spark):
+    """'aaaa' exercises overlapping-pair bookkeeping in the
+    incremental pair index (merge (a,a) twice within one word)."""
+    df = spark.createDataFrame(
+        [(0, "aaaa aaaa aa")], "doc_id long, text string"
+    )
+    merges = train_bpe(df, num_merges=3)
+    assert merges[0] == ("a", "a")
+    enc = bpe_encode(df, merges).withColumn(
+        "back", bpe_decode_column(F.col("bpe_tokens"))
+    ).collect()[0]
+    assert enc["back"] == "aaaa aaaa aa"
+
+
+def test_encode_quoted_column_names(spark, corpus_df):
+    merges = train_bpe(corpus_df, num_merges=4)
+    odd = corpus_df.withColumnRenamed("text", "my text")
+    out = bpe_encode(odd, merges, col="my text").collect()
+    assert all(len(r["bpe_tokens"]) > 0 for r in out)
