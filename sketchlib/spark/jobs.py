@@ -359,6 +359,53 @@ def job_lsh_dedup(args) -> None:
     spark.stop()
 
 
+def job_bpe(args) -> None:
+    """Tokenize a corpus with BPE: learn merges (one word-count agg +
+    driver merge loop), encode every document, write parquet with the
+    piece arrays; the merge table is saved as JSON next to the output
+    for reuse on later snapshots."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.io import read_table
+    from sketchlib.spark.session import get_spark
+    from sketchlib.text.bpe import bpe_encode, train_bpe
+
+    spark = get_spark(master=args.master)
+    docs = read_table(spark, args.input, args.format)
+    if args.merges_file and os.path.exists(args.merges_file):
+        with open(args.merges_file) as fh:
+            merges = [tuple(p) for p in json.load(fh)]
+        trained = False
+    else:
+        merges = train_bpe(
+            docs, col=args.col, num_merges=args.num_merges,
+            max_words=args.max_words,
+        )
+        trained = True
+    enc = bpe_encode(docs, merges, col=args.col)
+    obs = Observation()
+    enc = enc.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.size("bpe_tokens")).alias("pieces"),
+    )
+    enc.write.mode("overwrite").parquet(args.output)
+    merges_path = args.merges_file or os.path.join(
+        args.output, "_bpe_merges.json"
+    )
+    if trained:
+        with open(merges_path, "w") as fh:
+            json.dump([list(p) for p in merges], fh)
+    print(json.dumps({
+        "output": args.output, "merges": len(merges),
+        "merges_file": merges_path, "trained": trained,
+        "rows": int(obs.get["rows"]),
+        "pieces": int(obs.get["pieces"] or 0),
+    }))
+    spark.stop()
+
+
 def job_spandedup(args) -> None:
     """Exact duplicate-passage removal: rewrite the corpus with every
     duplicated w-word span scrubbed; report words removed."""
@@ -630,6 +677,18 @@ def main(argv=None) -> None:
     ld.add_argument("--seed", type=int, default=1)
     ld.add_argument("--master", default=None)
     ld.set_defaults(fn=job_lsh_dedup)
+
+    bp = sub.add_parser("bpe")
+    bp.add_argument("--input", required=True)
+    bp.add_argument("--format", default="auto", choices=["auto", "parquet", "iceberg"])
+    bp.add_argument("--output", required=True)
+    bp.add_argument("--col", default="text")
+    bp.add_argument("--num-merges", type=int, default=4096)
+    bp.add_argument("--max-words", type=int, default=65536)
+    bp.add_argument("--merges-file", default=None,
+                    help="reuse (if it exists) or save the merge table here")
+    bp.add_argument("--master", default=None)
+    bp.set_defaults(fn=job_bpe)
 
     sd = sub.add_parser("span-dedup")
     sd.add_argument("--input", required=True)
