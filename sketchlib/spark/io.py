@@ -69,9 +69,26 @@ def read_table(
         if snapshot_id is not None:
             raise ValueError("snapshot_id requires an Iceberg source")
         return spark.read.parquet(source)
+    if fmt in ("jsonl", "json"):
+        # JSON Lines (one object per line — the raw-web-corpus
+        # interchange format).  Spark's json reader is line-delimited
+        # by default, splittable, and pushes column pruning into the
+        # parse, so unprojected fields are never materialized.
+        if snapshot_id is not None:
+            raise ValueError("snapshot_id requires an Iceberg source")
+        return spark.read.json(source)
+    if fmt == "csv":
+        if snapshot_id is not None:
+            raise ValueError("snapshot_id requires an Iceberg source")
+        return spark.read.csv(source, header=True, inferSchema=True)
     if fmt == "auto":
         if os.path.isdir(source) and _is_iceberg_dir(source):
             return read_table(spark, source, fmt="iceberg", snapshot_id=snapshot_id)
+        low = source.lower()
+        if low.endswith((".jsonl", ".json", ".jsonl.gz", ".json.gz")):
+            return read_table(spark, source, fmt="jsonl")
+        if low.endswith((".csv", ".csv.gz")):
+            return read_table(spark, source, fmt="csv")
         looks_like_table = "/" not in source and source.count(".") >= 1
         if looks_like_table:
             reader = spark.read.format("iceberg")

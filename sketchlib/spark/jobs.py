@@ -548,7 +548,7 @@ def main(argv=None) -> None:
 
     b = sub.add_parser("build")
     b.add_argument("--input", required=True)
-    b.add_argument("--format", default="auto", choices=["auto", "parquet", "iceberg"])
+    b.add_argument("--format", default="auto", choices=["auto", "parquet", "iceberg", "jsonl", "csv"])
     b.add_argument("--col", required=True)
     b.add_argument("--kind", default="auto",
                    choices=["auto", "double", "array", "hash64", "array_hash"])
@@ -591,7 +591,7 @@ def main(argv=None) -> None:
 
     m = sub.add_parser("mix")
     m.add_argument("--input", required=True)
-    m.add_argument("--format", default="auto", choices=["auto", "parquet", "iceberg"])
+    m.add_argument("--format", default="auto", choices=["auto", "parquet", "iceberg", "jsonl", "csv"])
     m.add_argument("--output", required=True)
     m.add_argument("--budgets", required=True,
                    help="src=tokens[,src=tokens...]")
@@ -604,7 +604,7 @@ def main(argv=None) -> None:
 
     h = sub.add_parser("hh")
     h.add_argument("--input", required=True)
-    h.add_argument("--format", default="auto", choices=["auto", "parquet", "iceberg"])
+    h.add_argument("--format", default="auto", choices=["auto", "parquet", "iceberg", "jsonl", "csv"])
     h.add_argument("--col", required=True)
     h.add_argument("--group-by", default=None)
     h.add_argument("--topk", type=int, default=10)
@@ -614,7 +614,7 @@ def main(argv=None) -> None:
 
     pk = sub.add_parser("pack")
     pk.add_argument("--input", required=True)
-    pk.add_argument("--format", default="auto", choices=["auto", "parquet", "iceberg"])
+    pk.add_argument("--format", default="auto", choices=["auto", "parquet", "iceberg", "jsonl", "csv"])
     pk.add_argument("--output", required=True)
     pk.add_argument("--seq-len", type=int, required=True)
     pk.add_argument("--tokens-col", default="tokens")
@@ -629,7 +629,7 @@ def main(argv=None) -> None:
     dc = sub.add_parser("decontam")
     dc.add_argument("--input", required=True)
     dc.add_argument("--eval", required=True)
-    dc.add_argument("--format", default="auto", choices=["auto", "parquet", "iceberg"])
+    dc.add_argument("--format", default="auto", choices=["auto", "parquet", "iceberg", "jsonl", "csv"])
     dc.add_argument("--output", required=True)
     dc.add_argument("--col", default="text")
     dc.add_argument("--id-col", default="doc_id")
@@ -641,7 +641,7 @@ def main(argv=None) -> None:
 
     sl = sub.add_parser("split")
     sl.add_argument("--input", required=True)
-    sl.add_argument("--format", default="auto", choices=["auto", "parquet", "iceberg"])
+    sl.add_argument("--format", default="auto", choices=["auto", "parquet", "iceberg", "jsonl", "csv"])
     sl.add_argument("--output", required=True)
     sl.add_argument("--weights", required=True,
                     help="name=w[,name=w...] e.g. train=0.98,val=0.01,test=0.01")
@@ -653,7 +653,7 @@ def main(argv=None) -> None:
 
     rk = sub.add_parser("rank")
     rk.add_argument("--input", required=True)
-    rk.add_argument("--format", default="auto", choices=["auto", "parquet", "iceberg"])
+    rk.add_argument("--format", default="auto", choices=["auto", "parquet", "iceberg", "jsonl", "csv"])
     rk.add_argument("--output", required=True)
     rk.add_argument("--order-col", required=True)
     rk.add_argument("--tie-cols", default=None,
@@ -665,7 +665,7 @@ def main(argv=None) -> None:
 
     ld = sub.add_parser("lsh-dedup")
     ld.add_argument("--input", required=True)
-    ld.add_argument("--format", default="auto", choices=["auto", "parquet", "iceberg"])
+    ld.add_argument("--format", default="auto", choices=["auto", "parquet", "iceberg", "jsonl", "csv"])
     ld.add_argument("--output", required=True)
     ld.add_argument("--col", default="text")
     ld.add_argument("--id-col", default="doc_id")
@@ -680,7 +680,7 @@ def main(argv=None) -> None:
 
     bp = sub.add_parser("bpe")
     bp.add_argument("--input", required=True)
-    bp.add_argument("--format", default="auto", choices=["auto", "parquet", "iceberg"])
+    bp.add_argument("--format", default="auto", choices=["auto", "parquet", "iceberg", "jsonl", "csv"])
     bp.add_argument("--output", required=True)
     bp.add_argument("--col", default="text")
     bp.add_argument("--num-merges", type=int, default=4096)
@@ -692,7 +692,7 @@ def main(argv=None) -> None:
 
     sd = sub.add_parser("span-dedup")
     sd.add_argument("--input", required=True)
-    sd.add_argument("--format", default="auto", choices=["auto", "parquet", "iceberg"])
+    sd.add_argument("--format", default="auto", choices=["auto", "parquet", "iceberg", "jsonl", "csv"])
     sd.add_argument("--output", required=True)
     sd.add_argument("--col", default="text")
     sd.add_argument("--id-col", default="doc_id")
@@ -704,7 +704,7 @@ def main(argv=None) -> None:
 
     ng = sub.add_parser("ngram-dedup")
     ng.add_argument("--input", required=True)
-    ng.add_argument("--format", default="auto", choices=["auto", "parquet", "iceberg"])
+    ng.add_argument("--format", default="auto", choices=["auto", "parquet", "iceberg", "jsonl", "csv"])
     ng.add_argument("--output", required=True)
     ng.add_argument("--col", default="text")
     ng.add_argument("--id-col", default="doc_id")

@@ -292,3 +292,35 @@ def test_append_snapshot_commit(tmp_path, spark):
                    "n_tok": pa.array([3] * 10, pa.int64())})
     append_snapshot(loc, t3)
     assert sum(f.record_count for f in snapshot_data_files(loc)) == 160
+
+
+def test_read_table_jsonl_and_csv(spark, tmp_path):
+    """read_table reads JSON Lines and CSV sources (explicit fmt and
+    extension auto-detect) with values intact."""
+    from sketchlib.spark.io import read_table
+
+    jl = tmp_path / "docs.jsonl"
+    jl.write_text(
+        '{"doc_id": 1, "text": "hello world"}\n'
+        '{"doc_id": 2, "text": "bye"}\n'
+    )
+    for fmt in ("jsonl", "auto"):
+        got = {
+            r["doc_id"]: r["text"]
+            for r in read_table(spark, str(jl), fmt).collect()
+        }
+        assert got == {1: "hello world", 2: "bye"}
+
+    cv = tmp_path / "docs.csv"
+    cv.write_text("doc_id,text\n1,hello\n2,bye\n")
+    for fmt in ("csv", "auto"):
+        got = {
+            r["doc_id"]: r["text"]
+            for r in read_table(spark, str(cv), fmt).collect()
+        }
+        assert got == {1: "hello", 2: "bye"}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="snapshot_id"):
+        read_table(spark, str(jl), "jsonl", snapshot_id=1)
