@@ -1113,6 +1113,54 @@ def q_split_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style tumbling rollup: 15-minute event windows per
+    event_type (count + sum), window bounds as engine-neutral epoch
+    micros — exact parity vs DuckDB time_bucket."""
+    from sketchlib.spark.sessions import rollup_time_windows
+
+    ev = _read(spark, sf_dir, "events")
+    out = rollup_time_windows(
+        ev,
+        "ts",
+        "15 minutes",
+        {
+            "n": F.count(F.lit(1)).cast("bigint"),
+            "total": F.round(F.sum("value"), 4),
+        },
+        by=["event_type"],
+    )
+    return out.select(
+        "event_type", "window_start", "window_end", "n", "total"
+    )
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (point-in-interval): lineitem ship dates falling in
+    a 7-day window after a small subset of order dates — the bucketed
+    equi-join plan must equal the plain inequality join."""
+    from sketchlib.spark.sessions import interval_join
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    ivs = (
+        _read(spark, sf_dir, "orders")
+        .filter(F.pmod(F.col("o_orderkey"), F.lit(97)) == 0)
+        .select(
+            F.col("o_orderkey").alias("interval_id"),
+            F.col("o_orderdate").alias("lo"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("hi"),
+        )
+    )
+    out = interval_join(li, ivs, "l_shipdate", "lo", "hi", bucket="7 days")
+    return out.select(
+        F.col("l_orderkey").cast("bigint"),
+        F.col("l_linenumber").cast("bigint"),
+        F.col("interval_id").cast("bigint"),
+    )
+
+
 def q_top_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 longest documents per language (ties by doc_id):
     the two-level salted plan (forced via two_level_min_partitions=0)
@@ -1986,6 +2034,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_shards": q_curriculum_shards,
         "bloom_join": q_bloom_join,
         "top_per_group": q_top_per_group,
+        "time_rollup": q_time_rollup,
+        "interval_range_join": q_interval_join,
         "text_normalize": q_text_normalize,
         "split_passages": q_split_passages,
         "materialize_packed": q_materialize_packed,
@@ -2482,6 +2532,26 @@ def oracle_sql() -> dict[str, str]:
             "l_extendedprice, o_totalprice "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "WHERE o_orderpriority = '1-URGENT'"
+        ),
+        "time_rollup": (
+            "SELECT event_type, "
+            "epoch_us(time_bucket(INTERVAL '15 minutes', ts)) "
+            "AS window_start, "
+            "epoch_us(time_bucket(INTERVAL '15 minutes', ts) "
+            "+ INTERVAL '15 minutes') AS window_end, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "round(sum(value), 4) AS total "
+            "FROM events GROUP BY event_type, "
+            "time_bucket(INTERVAL '15 minutes', ts)"
+        ),
+        "interval_range_join": (
+            "SELECT CAST(l.l_orderkey AS BIGINT) AS l_orderkey, "
+            "CAST(l.l_linenumber AS BIGINT) AS l_linenumber, "
+            "CAST(o.o_orderkey AS BIGINT) AS interval_id "
+            "FROM lineitem l JOIN orders o "
+            "ON l.l_shipdate >= o.o_orderdate "
+            "AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY "
+            "WHERE o.o_orderkey % 97 = 0"
         ),
         "text_normalize": (
             "SELECT CAST(doc_id AS BIGINT) AS doc_id, "

@@ -166,3 +166,138 @@ def with_rolling_stats(
     for name, expr in (aggs or {}).items():
         out = out.withColumn(name, expr.over(w))
     return out.drop("__t")
+
+
+def rollup_time_windows(
+    events: DataFrame,
+    ts_col: str,
+    width: str,
+    aggs: dict[str, Column],
+    by: list[str] | None = None,
+    slide: str | None = None,
+) -> DataFrame:
+    """Hypertable-style event-time rollup: aggregate into tumbling
+    (or, with ``slide``, hopping) windows of ``width`` (a Spark
+    interval string, e.g. ``"15 minutes"``), optionally per ``by``
+    key.  Output carries ``window_start`` / ``window_end`` as exact
+    int64 epoch-microseconds (engine-neutral — DuckDB ``time_bucket``
+    produces the identical buckets) plus one column per ``aggs``
+    entry.
+
+    100-TB shape: ONE hash aggregate keyed on (by, window) — map-side
+    partial aggregation collapses each task to its distinct windows
+    before the shuffle, so the Exchange carries ~windows x keys rows,
+    not events.  This is the continuous-aggregate / downsampling
+    primitive: compose with write_sharded for materialized rollups."""
+    if not aggs:
+        raise ValueError("aggs must be non-empty")
+    clash = sorted(set(aggs) & {"window_start", "window_end"})
+    if clash:
+        raise ValueError(f"aggs names collide with outputs: {clash}")
+    dtype = events.schema[ts_col].dataType
+    if not isinstance(dtype, _TS_TYPES):
+        raise TypeError(f"{ts_col!r} is not a timestamp column: {dtype}")
+    win = (
+        F.window(F.col(ts_col), width, slide)
+        if slide
+        else F.window(F.col(ts_col), width)
+    )
+    grouped = events.groupBy(
+        *[F.col(c) for c in (by or [])], win.alias("__w")
+    ).agg(*[expr.alias(name) for name, expr in aggs.items()])
+    start_t = grouped.schema["__w"].dataType["start"].dataType
+    tmp = grouped.withColumn("__ws", F.col("__w.start")).withColumn(
+        "__we", F.col("__w.end")
+    )
+    return (
+        tmp.withColumn("window_start", epoch_micros("__ws", start_t))
+        .withColumn("window_end", epoch_micros("__we", start_t))
+        .drop("__w", "__ws", "__we")
+    )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    lo_col: str,
+    hi_col: str,
+    by: list[str] | None = None,
+    bucket: str = "7 days",
+) -> DataFrame:
+    """Range join: every (point, interval) pair with
+    ``lo <= ts < hi`` (half-open), optionally also matching ``by``
+    keys — the relational shape Spark would otherwise plan as a
+    BroadcastNestedLoopJoin (quadratic, or driver-OOM on a big build
+    side).
+
+    Plan: both sides bucket the time axis at ``bucket`` granularity —
+    points into their single containing bucket, each interval exploded
+    into the buckets it overlaps (``sequence`` — bounded by
+    interval_length/bucket + 1 rows) — then ONE equi-join on
+    (by, bucket) followed by the exact containment filter.  A point
+    lies in exactly one bucket, so each qualifying pair appears
+    exactly once: no dedup pass.  Size ``bucket`` near the typical
+    interval length: larger buckets inflate candidate pairs, smaller
+    ones inflate the interval explode.  Skewed hot buckets are
+    AQE-splittable (equi-join).  Degenerate intervals (hi <= lo)
+    match nothing, like the SQL predicate."""
+    by = list(by or [])
+    for c in ("__b", "__pb"):
+        if c in points.columns or c in intervals.columns:
+            raise ValueError(f"column {c!r} already exists")
+    overlap = set(points.columns) & set(intervals.columns) - set(by)
+    if overlap:
+        raise ValueError(
+            f"rename overlapping non-key columns: {sorted(overlap)}"
+        )
+    width_us = _interval_micros(points.sparkSession, bucket)
+    p_t = points.schema[ts_col].dataType
+    lo_t = intervals.schema[lo_col].dataType
+    hi_t = intervals.schema[hi_col].dataType
+    p_us = epoch_micros(ts_col, p_t)
+    lo_us = epoch_micros(lo_col, lo_t)
+    hi_us = epoch_micros(hi_col, hi_t)
+    pts = points.withColumn("__b", F.floor(p_us / F.lit(width_us)))
+    ivs = (
+        intervals.filter(lo_us < hi_us)
+        .withColumn(
+            "__b",
+            F.explode(
+                F.sequence(
+                    F.floor(lo_us / F.lit(width_us)),
+                    F.floor((hi_us - F.lit(1)) / F.lit(width_us)),
+                )
+            ),
+        )
+    )
+    joined = pts.join(ivs, on=by + ["__b"], how="inner")
+    # re-derive the bounds on the JOINED frame by name (the exact
+    # containment predicate), then drop the bucket
+    out = joined.filter(
+        (epoch_micros(ts_col, p_t) >= epoch_micros(lo_col, lo_t))
+        & (epoch_micros(ts_col, p_t) < epoch_micros(hi_col, hi_t))
+    )
+    return out.drop("__b")
+
+
+def _interval_micros(spark, interval: str) -> int:
+    """Resolve a Spark interval string to exact microseconds (one tiny
+    driver-side expression eval; rejects month/year intervals, whose
+    length is not constant)."""
+    low = interval.lower()
+    if "month" in low or "year" in low:
+        raise ValueError(
+            f"bucket interval must be fixed-length (no months/years): "
+            f"{interval!r}"
+        )
+    row = spark.range(1).select(
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP '1970-01-01', "
+            f"TIMESTAMP '1970-01-01' + INTERVAL {interval})"
+        ).alias("us")
+    ).first()
+    us = int(row["us"])
+    if us <= 0:
+        raise ValueError(f"bucket interval must be positive: {interval!r}")
+    return us
