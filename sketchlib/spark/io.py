@@ -42,6 +42,7 @@ def read_table(
     source: str,
     fmt: str = "auto",
     snapshot_id: int | None = None,
+    schema=None,
 ) -> DataFrame:
     """Read ``source`` as a DataFrame.
 
@@ -73,13 +74,17 @@ def read_table(
         # JSON Lines (one object per line — the raw-web-corpus
         # interchange format).  Spark's json reader is line-delimited
         # by default, splittable, and pushes column pruning into the
-        # parse, so unprojected fields are never materialized.
+        # parse, so unprojected fields are never materialized.  Pass
+        # ``schema`` on big corpora: inference is its own full scan,
+        # and lookalike values ('007') infer to the wrong type.
         if snapshot_id is not None:
             raise ValueError("snapshot_id requires an Iceberg source")
-        return spark.read.json(source)
+        return spark.read.json(source, schema=schema)
     if fmt == "csv":
         if snapshot_id is not None:
             raise ValueError("snapshot_id requires an Iceberg source")
+        if schema is not None:
+            return spark.read.csv(source, header=True, schema=schema)
         return spark.read.csv(source, header=True, inferSchema=True)
     if fmt == "auto":
         if os.path.isdir(source) and _is_iceberg_dir(source):

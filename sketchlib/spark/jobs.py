@@ -371,6 +371,12 @@ def job_bpe(args) -> None:
     from sketchlib.spark.session import get_spark
     from sketchlib.text.bpe import bpe_encode, train_bpe
 
+    for p in (args.output, args.merges_file or ""):
+        if "://" in p:
+            raise ValueError(
+                "bpe merges persistence uses the local filesystem; "
+                f"remote URI not supported here: {p!r}"
+            )
     spark = get_spark(master=args.master)
     docs = read_table(spark, args.input, args.format)
     if args.merges_file and os.path.exists(args.merges_file):
@@ -394,9 +400,12 @@ def job_bpe(args) -> None:
     merges_path = args.merges_file or os.path.join(
         args.output, "_bpe_merges.json"
     )
-    if trained:
-        with open(merges_path, "w") as fh:
-            json.dump([list(p) for p in merges], fh)
+    # ALWAYS (re)write after the parquet write: mode('overwrite') just
+    # wiped the output dir, so a reused merges file living inside it
+    # would otherwise be deleted while the metrics line still points
+    # at it
+    with open(merges_path, "w") as fh:
+        json.dump([list(p) for p in merges], fh)
     print(json.dumps({
         "output": args.output, "merges": len(merges),
         "merges_file": merges_path, "trained": trained,

@@ -175,14 +175,20 @@ def rollup_time_windows(
     aggs: dict[str, Column],
     by: list[str] | None = None,
     slide: str | None = None,
+    start_time: str | None = None,
 ) -> DataFrame:
     """Hypertable-style event-time rollup: aggregate into tumbling
     (or, with ``slide``, hopping) windows of ``width`` (a Spark
     interval string, e.g. ``"15 minutes"``), optionally per ``by``
     key.  Output carries ``window_start`` / ``window_end`` as exact
-    int64 epoch-microseconds (engine-neutral — DuckDB ``time_bucket``
-    produces the identical buckets) plus one column per ``aggs``
-    entry.
+    int64 epoch-microseconds plus one column per ``aggs`` entry.
+
+    Cross-engine bucket parity: for any width that divides 24 hours,
+    DuckDB ``time_bucket`` produces IDENTICAL buckets (both origins
+    are a midnight).  For multi-day widths the default origins differ
+    (Spark epoch 1970-01-01 vs DuckDB 2000-01-03) — pass
+    ``start_time`` (Spark's window offset, e.g. ``"4 days"`` for a
+    7-day width) to align, or an offset of your own.
 
     100-TB shape: ONE hash aggregate keyed on (by, window) — map-side
     partial aggregation collapses each task to its distinct windows
@@ -197,11 +203,9 @@ def rollup_time_windows(
     dtype = events.schema[ts_col].dataType
     if not isinstance(dtype, _TS_TYPES):
         raise TypeError(f"{ts_col!r} is not a timestamp column: {dtype}")
-    win = (
-        F.window(F.col(ts_col), width, slide)
-        if slide
-        else F.window(F.col(ts_col), width)
-    )
+    win = F.window(
+        F.col(ts_col), width, slide or width, start_time
+    ) if (slide or start_time) else F.window(F.col(ts_col), width)
     grouped = events.groupBy(
         *[F.col(c) for c in (by or [])], win.alias("__w")
     ).agg(*[expr.alias(name) for name, expr in aggs.items()])
@@ -243,15 +247,20 @@ def interval_join(
     AQE-splittable (equi-join).  Degenerate intervals (hi <= lo)
     match nothing, like the SQL predicate."""
     by = list(by or [])
-    for c in ("__b", "__pb"):
-        if c in points.columns or c in intervals.columns:
-            raise ValueError(f"column {c!r} already exists")
+    if "__b" in points.columns or "__b" in intervals.columns:
+        raise ValueError("column '__b' already exists")
     overlap = set(points.columns) & set(intervals.columns) - set(by)
     if overlap:
         raise ValueError(
             f"rename overlapping non-key columns: {sorted(overlap)}"
         )
     width_us = _interval_micros(points.sparkSession, bucket)
+    # DATE columns (the common range-join input on calendar data) are
+    # widened to timestamp_ntz (tz-free, exact midnight); anything
+    # else non-timestamp fails upfront NAMING the offending column
+    points = _as_timestamp(points, ts_col, "ts_col")
+    intervals = _as_timestamp(intervals, lo_col, "lo_col")
+    intervals = _as_timestamp(intervals, hi_col, "hi_col")
     p_t = points.schema[ts_col].dataType
     lo_t = intervals.schema[lo_col].dataType
     hi_t = intervals.schema[hi_col].dataType
@@ -279,6 +288,22 @@ def interval_join(
         & (epoch_micros(ts_col, p_t) < epoch_micros(hi_col, hi_t))
     )
     return out.drop("__b")
+
+
+def _as_timestamp(df: DataFrame, col: str, role: str) -> DataFrame:
+    """DATE -> TIMESTAMP_NTZ widening for the range-join columns, with
+    an upfront error that names the parameter at fault."""
+    from pyspark.sql.types import DateType
+
+    dtype = df.schema[col].dataType
+    if isinstance(dtype, DateType):
+        return df.withColumn(col, F.col(col).cast("timestamp_ntz"))
+    if not isinstance(dtype, _TS_TYPES):
+        raise TypeError(
+            f"{role}={col!r} must be a timestamp or date column, "
+            f"got {dtype}"
+        )
+    return df
 
 
 def _interval_micros(spark, interval: str) -> int:

@@ -54,8 +54,15 @@ def test_rollup_grouped_and_hopping(spark, events_df):
         events_df, "ts", "15 minutes", {"n": F.count(F.lit(1))},
         by=["event_type"],
     ).collect()
-    per_type = {(r["event_type"], r["window_start"] % (10**12)): r["n"] for r in grouped}
-    assert sum(r["n"] for r in grouped) == 5
+    m15 = 15 * 60 * 1_000_000
+    base = min(r["window_start"] for r in grouped)
+    per_type = {
+        (r["event_type"], (r["window_start"] - base) // m15): r["n"]
+        for r in grouped
+    }
+    # exact per-key window assignment: a: 2 in w0, 1 in w1; b: 1 in
+    # w1, 1 in w2 (see the fixture's minute offsets)
+    assert per_type == {("a", 0): 2, ("a", 1): 1, ("b", 1): 1, ("b", 2): 1}
     hopping = rollup_time_windows(
         events_df, "ts", "30 minutes", {"n": F.count(F.lit(1))},
         slide="15 minutes",
@@ -139,3 +146,36 @@ def test_interval_join_validation(spark, events_df, intervals_df):
         interval_join(
             events_df, intervals_df, "ts", "lo", "hi", bucket="1 month"
         )
+
+
+def test_interval_join_date_columns(spark):
+    """Native DATE columns (real TPC-H) are widened to timestamp_ntz
+    and just work; a non-temporal column fails naming the parameter."""
+    pts = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 5)), (2, dt.date(2024, 2, 1))],
+        "pid long, d date",
+    )
+    ivs = spark.createDataFrame(
+        [(10, dt.date(2024, 1, 1), dt.date(2024, 1, 8))],
+        "iid long, lo date, hi date",
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in interval_join(pts, ivs, "d", "lo", "hi", bucket="3 days").collect()
+    }
+    assert got == {(1, 10)}
+    with pytest.raises(TypeError, match="ts_col='pid'"):
+        interval_join(pts, ivs, "pid", "lo", "hi")
+
+
+def test_rollup_start_time_offset(spark, events_df):
+    """start_time shifts the tumbling origin (the DuckDB multi-day
+    alignment knob)."""
+    out = rollup_time_windows(
+        events_df, "ts", "15 minutes", {"n": F.count(F.lit(1))},
+        start_time="5 minutes",
+    ).collect()
+    m15 = 15 * 60 * 1_000_000
+    m5 = 5 * 60 * 1_000_000
+    assert all((r["window_start"] - m5) % m15 == 0 for r in out)
+    assert sum(r["n"] for r in out) == 5
