@@ -415,6 +415,40 @@ def job_bpe(args) -> None:
     spark.stop()
 
 
+def job_rollup(args) -> None:
+    """Materialize a tumbling-window rollup (downsampling job): count,
+    sum, min, max of --value-col per --width window (and --by key),
+    written as parquet."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.io import read_table
+    from sketchlib.spark.session import get_spark
+    from sketchlib.spark.sessions import rollup_time_windows
+
+    spark = get_spark(master=args.master)
+    ev = read_table(spark, args.input, args.format)
+    aggs = {
+        "n": F.count(F.lit(1)),
+        "total": F.sum(args.value_col),
+        "lo": F.min(args.value_col),
+        "hi": F.max(args.value_col),
+    }
+    by = args.by.split(",") if args.by else None
+    out = rollup_time_windows(
+        ev, args.ts_col, args.width, aggs, by=by, slide=args.slide,
+        start_time=args.start_time,
+    )
+    obs = Observation()
+    out = out.observe(obs, F.count(F.lit(1)).alias("windows"))
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({
+        "output": args.output, "width": args.width,
+        "windows": int(obs.get["windows"]),
+    }))
+    spark.stop()
+
+
 def job_spandedup(args) -> None:
     """Exact duplicate-passage removal: rewrite the corpus with every
     duplicated w-word span scrubbed; report words removed."""
@@ -698,6 +732,19 @@ def main(argv=None) -> None:
                     help="reuse (if it exists) or save the merge table here")
     bp.add_argument("--master", default=None)
     bp.set_defaults(fn=job_bpe)
+
+    ru = sub.add_parser("rollup")
+    ru.add_argument("--input", required=True)
+    ru.add_argument("--format", default="auto", choices=["auto", "parquet", "iceberg", "jsonl", "csv"])
+    ru.add_argument("--output", required=True)
+    ru.add_argument("--ts-col", default="ts")
+    ru.add_argument("--value-col", default="value")
+    ru.add_argument("--width", required=True, help='e.g. "15 minutes"')
+    ru.add_argument("--slide", default=None)
+    ru.add_argument("--start-time", default=None)
+    ru.add_argument("--by", default=None, help="comma-separated keys")
+    ru.add_argument("--master", default=None)
+    ru.set_defaults(fn=job_rollup)
 
     sd = sub.add_parser("span-dedup")
     sd.add_argument("--input", required=True)
