@@ -1113,6 +1113,52 @@ def q_split_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shuffle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle: the assigned positions must be a
+    strict permutation of 1..N, shards balanced within one row, and a
+    second independent evaluation (different partitioning) must
+    assign every doc the identical position (hash order is not
+    SQL-expressible, so the gate carries invariants in the constant
+    ivf_recall style)."""
+    from sketchlib.spark.api import shuffle_rows
+
+    docs = _read(spark, sf_dir, "documents")
+    n = docs.count()
+    a = shuffle_rows(
+        docs, seed=7, key_cols=["doc_id"], n_shards=8,
+        bucketed_min_partitions=0,
+    ).select("doc_id", "shuffle_rank", "shard")
+    stats = a.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct("shuffle_rank").alias("k"),
+        F.min("shuffle_rank").alias("lo"),
+        F.max("shuffle_rank").alias("hi"),
+    ).first()
+    sizes = [
+        r["n"]
+        for r in a.groupBy("shard").agg(F.count("*").alias("n")).collect()
+    ]
+    b = shuffle_rows(
+        docs.repartition(13), seed=7, key_cols=["doc_id"], n_shards=8,
+        bucketed_min_partitions=0,
+    ).select("doc_id", F.col("shuffle_rank").alias("r2"))
+    mism = (
+        a.join(b, "doc_id")
+        .filter(F.col("shuffle_rank") != F.col("r2"))
+        .count()
+    )
+    checks = [
+        (
+            "strict_permutation",
+            (stats["cnt"], stats["k"], stats["lo"], stats["hi"])
+            == (n, n, 1, n),
+        ),
+        ("shards_balanced", max(sizes) - min(sizes) <= 1),
+        ("layout_independent", mism == 0),
+    ]
+    return spark.createDataFrame(checks, "metric string, ok boolean")
+
+
 def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style tumbling rollup: 15-minute event windows per
     event_type (count + sum), window bounds as engine-neutral epoch
@@ -2036,6 +2082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_per_group": q_top_per_group,
         "time_rollup": q_time_rollup,
         "interval_range_join": q_interval_join,
+        "shuffle_rows": q_shuffle_rows,
         "text_normalize": q_text_normalize,
         "split_passages": q_split_passages,
         "materialize_packed": q_materialize_packed,
@@ -2532,6 +2579,11 @@ def oracle_sql() -> dict[str, str]:
             "l_extendedprice, o_totalprice "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "WHERE o_orderpriority = '1-URGENT'"
+        ),
+        "shuffle_rows": (
+            "SELECT * FROM (VALUES ('strict_permutation', TRUE), "
+            "('shards_balanced', TRUE), ('layout_independent', TRUE)) "
+            "AS t(metric, ok)"
         ),
         "time_rollup": (
             "SELECT event_type, "

@@ -1253,6 +1253,47 @@ def with_global_rank(
     return out
 
 
+def shuffle_rows(
+    df: DataFrame,
+    seed: int = 42,
+    key_cols: list[str] | None = None,
+    rank_col: str = "shuffle_rank",
+    n_shards: int | None = None,
+    shard_col: str = "shard",
+    order_buckets: int = 1024,
+    bucketed_min_partitions: int = 256,
+) -> DataFrame:
+    """Deterministic global shuffle — the "randomize the corpus before
+    training" step: every row gets a reproducible pseudo-random
+    position (1..N, a permutation) derived from a seeded xxhash64 of
+    ``key_cols`` (all columns when None), optionally striped into
+    ``n_shards`` balanced interleaved shards.  Same data + same seed =
+    same order, on any partitioning, across reruns — so a training run
+    is resumable and an ablation rerun sees the identical stream.
+
+    Implementation: :func:`with_global_rank` over the materialized
+    hash key — the exact two-phase ranking plan (hash high bits are
+    the monotonic order bucket; no single-task global sort).  Hash
+    ties are possible only between byte-identical key tuples; pass a
+    unique ``key_cols`` (e.g. the doc id) for a strict permutation."""
+    keys = key_cols if key_cols is not None else list(df.columns)
+    if "__shuf" in df.columns:
+        raise ValueError("column '__shuf' already exists")
+    keyed = df.withColumn(
+        "__shuf", F.xxhash64(*[F.col(c) for c in keys], F.lit(seed))
+    )
+    out = with_global_rank(
+        keyed,
+        "__shuf",
+        rank_col=rank_col,
+        n_shards=n_shards,
+        shard_col=shard_col,
+        order_buckets=order_buckets,
+        bucketed_min_partitions=bucketed_min_partitions,
+    )
+    return out.drop("__shuf")
+
+
 def top_k_per_group(
     df: DataFrame,
     group_cols: Sequence[str],

@@ -270,3 +270,49 @@ def test_shard_mode_validation(spark, scored_df):
         with_global_rank(
             scored_df, "score", n_shards=4, shard_mode="zigzag"
         )
+
+
+def test_shuffle_rows_permutation_deterministic(spark, scored_df):
+    from sketchlib.spark.api import shuffle_rows
+
+    out = shuffle_rows(
+        scored_df, seed=5, key_cols=["doc_id"], bucketed_min_partitions=0
+    ).collect()
+    ranks = sorted(r["shuffle_rank"] for r in out)
+    assert ranks == list(range(1, 4001))  # strict permutation
+    by_id = {r["doc_id"]: r["shuffle_rank"] for r in out}
+    # not the identity order (it's a hash order)
+    assert [by_id[i] for i in range(100)] != sorted(
+        by_id[i] for i in range(100)
+    )
+    # deterministic across reruns and repartitionings
+    again = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in shuffle_rows(
+            scored_df.repartition(13), seed=5, key_cols=["doc_id"],
+            bucketed_min_partitions=0,
+        ).collect()
+    }
+    assert again == by_id
+    # different seed -> different order
+    other = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in shuffle_rows(
+            scored_df, seed=6, key_cols=["doc_id"], bucketed_min_partitions=0
+        ).collect()
+    }
+    assert other != by_id
+
+
+def test_shuffle_rows_shards(spark, scored_df):
+    from sketchlib.spark.api import shuffle_rows
+
+    out = shuffle_rows(
+        scored_df, key_cols=["doc_id"], n_shards=16,
+        bucketed_min_partitions=0,
+    )
+    sizes = [
+        r["n"]
+        for r in out.groupBy("shard").agg(F.count("*").alias("n")).collect()
+    ]
+    assert len(sizes) == 16 and max(sizes) - min(sizes) <= 1
