@@ -100,3 +100,148 @@ def curate(
     report["distinct_ids_est"] = float(sketches[id_col].estimate())
     report["sketches"] = {k: v.to_bytes() for k, v in sketches.items()}
     return curated, report
+
+
+# ---------------------------------------------------------------- spec runner
+
+
+def _step_normalize(df, p, ctx):
+    from sketchlib.text.normalize import normalize_text
+
+    return normalize_text(
+        df, col=ctx["text_col"], nfc=bool(p.get("nfc", True))
+    )
+
+
+def _step_token_stats(df, p, ctx):
+    return with_token_stats(df, ctx["text_col"])
+
+
+def _step_quality_filter(df, p, ctx):
+    out = df if "quality_score" in df.columns else with_quality(
+        df, ctx["text_col"]
+    )
+    return out.filter(F.col("quality_score") >= float(p["min_score"]))
+
+
+def _step_language_filter(df, p, ctx):
+    out = df if "lang" in df.columns else language_id(df, ctx["text_col"])
+    return out.filter(F.col("lang").isin(list(p["keep"])))
+
+
+def _step_dedup_exact(df, p, ctx):
+    groups = exact_duplicate_groups(
+        df, col=ctx["text_col"], id_col=ctx["id_col"]
+    )
+    drop = groups.select(
+        F.explode(F.slice("ids", 2, 1_000_000)).alias(ctx["id_col"])
+    )
+    return df.join(drop, ctx["id_col"], "anti")
+
+
+def _step_dedup_minhash(df, p, ctx):
+    pairs = minhash_near_duplicates(
+        df, col=ctx["text_col"], id_col=ctx["id_col"],
+        threshold=float(p.get("threshold", 0.8)),
+    )
+    drop = pairs.select(
+        F.greatest("id_a", "id_b").alias(ctx["id_col"])
+    ).distinct()
+    return df.join(drop, ctx["id_col"], "anti")
+
+
+def _step_decontaminate(df, p, ctx):
+    from sketchlib.dedup.decontaminate import decontaminate
+    from sketchlib.spark.io import read_table
+
+    eval_df = read_table(df.sparkSession, p["eval_path"], p.get("format", "auto"))
+    return decontaminate(
+        df, eval_df, col=ctx["text_col"], id_col=ctx["id_col"],
+        shingle_w=int(p.get("shingle_w", 5)),
+        method=p.get("method", "exact"),
+    )
+
+
+def _step_pii_redact(df, p, ctx):
+    from sketchlib.text.pii import redact_pii
+
+    return redact_pii(df, col=ctx["text_col"])
+
+
+def _step_stratified_sample(df, p, ctx):
+    from sketchlib.spark.api import sample_stratified
+
+    return sample_stratified(
+        df, list(p["strata_cols"]), dict(p["fractions"]),
+        seed=int(p.get("seed", 42)),
+        default_fraction=float(p.get("default_fraction", 0.0)),
+    )
+
+
+def _step_split(df, p, ctx):
+    from sketchlib.spark.api import with_split_label
+
+    return with_split_label(
+        df, dict(p["weights"]), key_cols=[ctx["id_col"]],
+        seed=int(p.get("seed", 42)),
+    )
+
+
+def _step_shuffle(df, p, ctx):
+    from sketchlib.spark.api import shuffle_rows
+
+    return shuffle_rows(
+        df, seed=int(p.get("seed", 42)), key_cols=[ctx["id_col"]],
+        n_shards=p.get("n_shards"),
+    )
+
+
+#: spec-step registry: op name -> (df, params, ctx) -> df.  Every step
+#: is a pure DataFrame transform — the runner attaches ONE row-count
+#: observation per step, all fired by the single final write action.
+SPEC_STEPS = {
+    "normalize": _step_normalize,
+    "token_stats": _step_token_stats,
+    "quality_filter": _step_quality_filter,
+    "language_filter": _step_language_filter,
+    "dedup_exact": _step_dedup_exact,
+    "dedup_minhash": _step_dedup_minhash,
+    "decontaminate": _step_decontaminate,
+    "pii_redact": _step_pii_redact,
+    "stratified_sample": _step_stratified_sample,
+    "split": _step_split,
+    "shuffle": _step_shuffle,
+}
+
+
+def run_pipeline_spec(docs: DataFrame, spec: dict) -> tuple[DataFrame, list]:
+    """Interpret a declarative curation spec — ``{"steps": [{"op":
+    "normalize"}, {"op": "quality_filter", "min_score": 0.2}, ...]}``
+    — over a documents frame.  Returns ``(result_df, counters)`` where
+    ``counters`` is a list of (step_label, Observation) pairs: each
+    step's post-row-count rides an observe() node on the single
+    lineage, so ALL stage counts fire with the caller's one
+    materializing action (write/count), never one scan per stage.
+
+    Unknown ops fail upfront with the available names.  ``text_col``/
+    ``id_col`` default to text/doc_id and flow to every step."""
+    steps = spec.get("steps")
+    if not steps:
+        raise ValueError("spec.steps must be a non-empty list")
+    ctx = {
+        "text_col": spec.get("text_col", "text"),
+        "id_col": spec.get("id_col", "doc_id"),
+    }
+    unknown = [s["op"] for s in steps if s["op"] not in SPEC_STEPS]
+    if unknown:
+        raise ValueError(
+            f"unknown ops {unknown}; available: {sorted(SPEC_STEPS)}"
+        )
+    df = docs
+    counters: list = []
+    for i, step in enumerate(steps):
+        df = SPEC_STEPS[step["op"]](df, step, ctx)
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        counters.append((f"{i}:{step['op']}", obs))
+    return df, counters

@@ -74,7 +74,10 @@ def _global_topk(
         # JVM-side accessor: ~0.2ms and the planned queryExecution is
         # reused at execution.  (df.rdd would build the Python RDD
         # wrapper + serializer pipeline: ~160ms per query.)
-        nparts = partial._jdf.rdd().getNumPartitions()
+        # queryExecution().toRdd(), NOT Dataset.rdd: the latter posts
+        # a listener event with empty observed metrics that zeroes any
+        # un-fired upstream Observation (see api._plan_partitions).
+        nparts = partial._jdf.queryExecution().toRdd().getNumPartitions()
     except Exception:  # pragma: no cover - internal API drift
         nparts = two_level_min_partitions + 1  # assume big: safe plan
     if nparts > two_level_min_partitions:

@@ -631,9 +631,16 @@ def _plan_partitions(df: DataFrame, assume: int) -> int:
     """Planned partition count via the JVM-side accessor (~0.2ms; the
     queryExecution is reused at execution — df.rdd would build the
     Python RDD wrapper for ~160ms).  Falls back to ``assume`` on
-    internal API drift."""
+    internal API drift.
+
+    Goes through ``queryExecution().toRdd()`` and NOT ``Dataset.rdd``:
+    the latter wraps the conversion in a listener-visible execution
+    event whose observed metrics are EMPTY, and any un-fired
+    Observation upstream latches that first event — silently zeroing
+    the caller's metrics (found via the pipeline spec runner, where
+    every step count after a shuffle_rows read 0)."""
     try:
-        return df._jdf.rdd().getNumPartitions()
+        return df._jdf.queryExecution().toRdd().getNumPartitions()
     except Exception:  # pragma: no cover - internal API drift
         return assume
 

@@ -449,6 +449,35 @@ def job_rollup(args) -> None:
     spark.stop()
 
 
+def job_pipeline(args) -> None:
+    """Run a declarative curation pipeline from a JSON spec file (see
+    sketchlib.pipeline.SPEC_STEPS for the available ops), write the
+    result, and print per-step row counts — all counted on the single
+    write action."""
+    from sketchlib.pipeline import run_pipeline_spec
+    from sketchlib.spark.io import read_table
+    from sketchlib.spark.session import get_spark
+
+    with open(args.spec) as fh:
+        spec = json.load(fh)
+    spark = get_spark(master=args.master)
+    docs = read_table(
+        spark, args.input or spec["input"],
+        args.format or spec.get("format", "auto"),
+    )
+    out, counters = run_pipeline_spec(docs, spec)
+    output = args.output or spec["output"]
+    writer = out.write.mode("overwrite")
+    if "split" in out.columns:
+        writer = writer.partitionBy("split")
+    writer.parquet(output)
+    print(json.dumps({
+        "output": output,
+        "steps": {label: int(obs.get["rows"]) for label, obs in counters},
+    }))
+    spark.stop()
+
+
 def job_spandedup(args) -> None:
     """Exact duplicate-passage removal: rewrite the corpus with every
     duplicated w-word span scrubbed; report words removed."""
@@ -745,6 +774,15 @@ def main(argv=None) -> None:
     ru.add_argument("--by", default=None, help="comma-separated keys")
     ru.add_argument("--master", default=None)
     ru.set_defaults(fn=job_rollup)
+
+    pl = sub.add_parser("pipeline")
+    pl.add_argument("--spec", required=True, help="JSON pipeline spec")
+    pl.add_argument("--input", default=None, help="overrides spec.input")
+    pl.add_argument("--output", default=None, help="overrides spec.output")
+    pl.add_argument("--format", default=None,
+                    choices=["auto", "parquet", "iceberg", "jsonl", "csv"])
+    pl.add_argument("--master", default=None)
+    pl.set_defaults(fn=job_pipeline)
 
     sd = sub.add_parser("span-dedup")
     sd.add_argument("--input", required=True)

@@ -81,3 +81,23 @@ def test_with_quantile_rank_nulls_empty_validation(spark):
         with_quantile_rank(df.withColumn("q_rank", F.lit(1.0)), "v")
     with _pt.raises(ValueError, match="buckets"):
         with_quantile_rank(df, "v", buckets=0)
+
+
+def test_plan_partitions_does_not_zero_observations(spark):
+    """Regression: Dataset.rdd posts a listener event with EMPTY
+    observed metrics; an un-fired upstream Observation latched it and
+    silently read 0.  _plan_partitions must use the event-free
+    accessor, so adaptive-gate operators (rank/topk/sampler/ann) keep
+    caller observations intact."""
+    from pyspark.sql import Observation
+
+    from sketchlib.spark.api import _plan_partitions, shuffle_rows
+
+    df = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    obs = Observation()
+    o = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+    n = _plan_partitions(o, assume=1)
+    assert n >= 1
+    out = shuffle_rows(o, seed=1, key_cols=["doc_id"])
+    assert out.count() == 100
+    assert int(obs.get["rows"]) == 100

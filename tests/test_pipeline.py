@@ -95,3 +95,45 @@ def test_curate_idempotent(spark, corpus):
     curated2, report2 = curate(base, quality_min=0.2, near_dup_threshold=0.5)
     # running the pipeline on its own output drops nothing
     assert report2["input_rows"] == report2["after_near_dedup"]
+
+
+def test_run_pipeline_spec_end_to_end(spark):
+    from sketchlib.pipeline import run_pipeline_spec
+
+    rows = [
+        (0, "good document with plenty of words here to pass quality"),
+        (1, "good document with plenty of words here to pass quality"),
+        (2, "another fine long document of sufficient quality and size"),
+        (3, "x"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spec = {
+        "steps": [
+            {"op": "normalize"},
+            {"op": "quality_filter", "min_score": 0.5},
+            {"op": "dedup_exact"},
+            {"op": "split", "weights": {"train": 0.5, "eval": 0.5}},
+            {"op": "shuffle", "seed": 3},
+        ]
+    }
+    out, counters = run_pipeline_spec(docs, spec)
+    got = out.collect()  # the one action fires every counter
+    counts = {label: int(obs.get["rows"]) for label, obs in counters}
+    assert counts["0:normalize"] == 4
+    assert counts["1:quality_filter"] == 3  # 'x' dropped
+    assert counts["2:dedup_exact"] == 2     # doc 1 is an exact dup of 0
+    assert counts["4:shuffle"] == 2
+    ids = {r["doc_id"] for r in got}
+    assert ids == {0, 2}  # min-id survivors
+    assert {r["split"] for r in got} <= {"train", "eval"}
+    assert sorted(r["shuffle_rank"] for r in got) == [1, 2]
+
+
+def test_run_pipeline_spec_validation(spark):
+    from sketchlib.pipeline import run_pipeline_spec
+
+    docs = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="non-empty"):
+        run_pipeline_spec(docs, {"steps": []})
+    with pytest.raises(ValueError, match="unknown ops.*frobnicate"):
+        run_pipeline_spec(docs, {"steps": [{"op": "frobnicate"}]})
