@@ -48,10 +48,13 @@ def _merge_store(
     idx_a: np.ndarray, cnt_a: np.ndarray, idx_b: np.ndarray, cnt_b: np.ndarray
 ):
     """Union two sparse (index, count) stores, summing shared buckets."""
+    # copies, never views: the caller stores the result on self and
+    # _collapse mutates counts in place — returning the other sketch's
+    # arrays by reference would silently corrupt THAT sketch later
     if idx_a.size == 0:
-        return idx_b, cnt_b
+        return idx_b.copy(), cnt_b.copy()
     if idx_b.size == 0:
-        return idx_a, cnt_a
+        return idx_a.copy(), cnt_a.copy()
     idx = np.concatenate([idx_a, idx_b])
     cnt = np.concatenate([cnt_a, cnt_b])
     u, inv = np.unique(idx, return_inverse=True)

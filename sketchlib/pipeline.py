@@ -60,8 +60,13 @@ def curate(
 
     # exact dedup: drop every member except the minimum id
     groups = exact_duplicate_groups(filtered, col=text_col, id_col=id_col)
+    # size-derived slice length: a fixed cap would silently KEEP the
+    # excess copies of any duplicate group larger than the cap
+    # (boilerplate/empty-text groups exceed millions at corpus scale)
     drop_exact = groups.select(
-        F.explode(F.slice("ids", 2, 1_000_000)).alias(id_col)
+        F.explode(
+            F.expr("slice(ids, 2, greatest(size(ids) - 1, 0))")
+        ).alias(id_col)
     )
     obs_exact = Observation()
     deduped = filtered.join(drop_exact, id_col, "anti").observe(
@@ -69,13 +74,14 @@ def curate(
     )
 
     if run_near_dedup:
+        # cluster-consistent: keep one doc per connected component —
+        # pairwise greatest(id_a,id_b) dropping over-removes on chains
+        from sketchlib.dedup.cluster import keep_representatives
+
         pairs = minhash_near_duplicates(
             deduped, col=text_col, id_col=id_col, threshold=near_dup_threshold
         )
-        drop_near = pairs.select(
-            F.greatest("id_a", "id_b").alias(id_col)
-        ).distinct()
-        curated = deduped.join(drop_near, id_col, "anti")
+        curated = keep_representatives(deduped, pairs, id_col=id_col)
     else:
         curated = deduped
     obs_near = Observation()
@@ -134,20 +140,26 @@ def _step_dedup_exact(df, p, ctx):
         df, col=ctx["text_col"], id_col=ctx["id_col"]
     )
     drop = groups.select(
-        F.explode(F.slice("ids", 2, 1_000_000)).alias(ctx["id_col"])
+        F.explode(
+            F.expr("slice(ids, 2, greatest(size(ids) - 1, 0))")
+        ).alias(ctx["id_col"])
     )
     return df.join(drop, ctx["id_col"], "anti")
 
 
 def _step_dedup_minhash(df, p, ctx):
+    # cluster-consistent removal (same semantics as job_lsh_dedup):
+    # naive greatest(id_a,id_b) dropping over-removes on chains — in
+    # A<B<C with pairs (A,B),(B,C) it deletes C even though its only
+    # detected near-dup B is gone too.  keep_representatives keeps one
+    # doc per connected component instead.
+    from sketchlib.dedup.cluster import keep_representatives
+
     pairs = minhash_near_duplicates(
         df, col=ctx["text_col"], id_col=ctx["id_col"],
         threshold=float(p.get("threshold", 0.8)),
     )
-    drop = pairs.select(
-        F.greatest("id_a", "id_b").alias(ctx["id_col"])
-    ).distinct()
-    return df.join(drop, ctx["id_col"], "anti")
+    return keep_representatives(df, pairs, id_col=ctx["id_col"])
 
 
 def _step_decontaminate(df, p, ctx):

@@ -1096,6 +1096,7 @@ def with_global_rank(
     seed: int = 42,
     order_buckets: int = 1024,
     bucketed_min_partitions: int = 256,
+    bucket_expr=None,
 ) -> DataFrame:
     """Exact 1-based global rank of every row under ``ORDER BY
     order_col, *tie_cols`` (ascending, nulls first) — the distributed
@@ -1157,9 +1158,18 @@ def with_global_rank(
         _plan_partitions(df, assume=bucketed_min_partitions + 1)
         >= bucketed_min_partitions
     )
-    _, bucket = _order_and_bucket(
-        df, order_col, seed, order_buckets, use_bucketed
-    )
+    if bucket_expr is not None:
+        # caller-supplied bucket: must be MONOTONIC in the order key
+        # and land in a small non-negative integer range (the offsets
+        # array is dense over 0..max).  Lets hash-ordered callers
+        # (shuffle_rows) bucket by the hash's high bits — zero split-
+        # point jobs and O(1)/row instead of the O(order_buckets)/row
+        # bounds fold.  Misuse fails loudly via the det_guard below.
+        bucket = bucket_expr if use_bucketed else None
+    else:
+        _, bucket = _order_and_bucket(
+            df, order_col, seed, order_buckets, use_bucketed
+        )
     # materialize the composite order key as a real column (window
     # ORDER BY on a struct expression resolves fine; a named column
     # keeps the plan readable and prunes once)
@@ -1202,7 +1212,7 @@ def with_global_rank(
         # upstream), which this two-job plan cannot rank correctly
         det_guard = F.coalesce(
             F.assert_true(
-                F.col("__ob") <= F.lit(maxb),
+                (F.col("__ob") >= F.lit(0)) & (F.col("__ob") <= F.lit(maxb)),
                 F.lit(
                     "with_global_rank: unseen bucket id — the input "
                     "is nondeterministic across jobs; persist it or "
@@ -1283,12 +1293,26 @@ def shuffle_rows(
     the monotonic order bucket; no single-task global sort).  Hash
     ties are possible only between byte-identical key tuples; pass a
     unique ``key_cols`` (e.g. the doc id) for a strict permutation."""
+    import math
+
     keys = key_cols if key_cols is not None else list(df.columns)
     if "__shuf" in df.columns:
         raise ValueError("column '__shuf' already exists")
     keyed = df.withColumn(
         "__shuf", F.xxhash64(*[F.col(c) for c in keys], F.lit(seed))
     )
+    # the order key is a seeded hash, so its HIGH BITS are already a
+    # monotonic ~uniform bucket — no split-point sketch job and O(1)
+    # per-row bucketing (vs the O(order_buckets)/row bounds fold the
+    # generic numeric path needs).  shiftright is an arithmetic shift
+    # (keeps signed order); +2^(bits-1) normalizes to 0..2^bits-1 for
+    # the dense offsets array.
+    shift = min(
+        max(64 - math.ceil(math.log2(max(order_buckets, 2))), 1), 63
+    )
+    hash_bucket = (
+        F.shiftright(F.col("__shuf"), shift) + F.lit(1 << (63 - shift))
+    ).cast("int")
     out = with_global_rank(
         keyed,
         "__shuf",
@@ -1297,6 +1321,7 @@ def shuffle_rows(
         shard_col=shard_col,
         order_buckets=order_buckets,
         bucketed_min_partitions=bucketed_min_partitions,
+        bucket_expr=hash_bucket,
     )
     return out.drop("__shuf")
 

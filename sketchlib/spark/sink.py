@@ -55,6 +55,16 @@ def write_sharded(
     columns when None)."""
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
+    if mode == "append":
+        # the manifest is rebuilt from a post-write footer scan, so an
+        # append would fold pre-existing rows into "this run's" counts
+        # — misleading metadata.  Re-shard into a fresh directory
+        # instead (shard assignment is content-keyed and reproducible).
+        raise ValueError(
+            "write_sharded does not support mode='append': the manifest "
+            "counts the whole directory, not this run; write to a new "
+            "path (shard membership is deterministic) or use overwrite"
+        )
     if shard_expr is None:
         keys = key_cols if key_cols is not None else list(df.columns)
         shard_expr = shard_key(keys, n_shards, seed)
@@ -77,6 +87,10 @@ def write_sharded(
         .collect()
     )
     shards = {int(r[SHARD_COL]): int(r["count"]) for r in counts}
+    # a shard that received zero rows writes no directory — record it
+    # as 0 so readers always see exactly n_shards manifest entries
+    for i in range(n_shards):
+        shards.setdefault(i, 0)
     manifest = {
         "n_shards": int(n_shards),
         "total_rows": int(sum(shards.values())),

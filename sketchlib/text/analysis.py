@@ -263,6 +263,7 @@ def tfidf_keywords(
     min_df: int = 1,
     idf: str = "log",
     vocab: DataFrame | None = None,
+    max_broadcast_terms: int = 2_000_000,
 ) -> DataFrame:
     """Top-``k`` characteristic terms per document by tf-idf:
     DataFrame[id, rank, term, score].
@@ -288,9 +289,20 @@ def tfidf_keywords(
         raise ValueError(f"unknown idf {idf!r}")
     from pyspark.sql.window import Window
 
+    from pyspark import StorageLevel
+
     n_docs = df.count()
     if vocab is None:
         vocab = vocabulary(df, col, min_df=min_df)
+    # gate the broadcast on the ACTUAL vocabulary size: an unpruned
+    # corpus-scale vocabulary (default min_df=1) can blow past the
+    # broadcast/driver limits — fall back to a shuffle join then.
+    # Persist first so the count and the join share one evaluation.
+    vocab = vocab.persist(StorageLevel.MEMORY_AND_DISK)
+    n_terms = vocab.count()
+    vocab_side = (
+        F.broadcast(vocab) if n_terms <= max_broadcast_terms else vocab
+    )
     words = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.col(col), " ")).alias("term"),
@@ -299,7 +311,7 @@ def tfidf_keywords(
     # per-doc word count = sum of its term counts: derived from the tc
     # aggregate, so the text is tokenized exactly once
     nw = tc.groupBy("id").agg(F.sum("tc").alias("nw"))
-    counts = tc.join(nw, "id").join(F.broadcast(vocab), "term")
+    counts = tc.join(nw, "id").join(vocab_side, "term")
     ratio = (F.lit(float(n_docs + 1)) / (F.col("doc_freq") + F.lit(1.0)))
     idf_expr = (
         ratio if idf == "ratio" else (F.log(ratio) + F.lit(1.0))

@@ -179,3 +179,21 @@ def test_param_validation():
         DDSketch(alpha=1.0)
     with pytest.raises(ValueError):
         DDSketch(max_bins=1)
+
+
+def test_merge_into_empty_does_not_alias_other():
+    """Regression: _merge_store's empty-side early exit used to return
+    the OTHER sketch's arrays by reference; a later _collapse on self
+    then mutated them in place, corrupting the other sketch."""
+    rng = np.random.default_rng(11)
+    b = DDSketch(alpha=0.01, max_bins=4096)
+    b.add_buffer(rng.lognormal(3.0, 2.0, 3000))
+    b_bytes = b.to_bytes()
+    b_count = b.count
+
+    a = DDSketch(alpha=0.01, max_bins=64)  # tiny: merge WILL collapse
+    a.merge(b)
+    assert a.count == b_count
+    # b must be untouched: bytes identical, counts still consistent
+    assert b.to_bytes() == b_bytes
+    assert float(b.pos_cnt.sum() + b.neg_cnt.sum() + b.zero_count) == b_count

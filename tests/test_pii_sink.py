@@ -123,3 +123,20 @@ def test_write_sharded_validation(people, tmp_path):
     write_sharded(people, path, 2)
     with pytest.raises(Exception):
         write_sharded(people, path, 2)
+
+
+def test_write_sharded_manifest_covers_empty_shards(people, tmp_path):
+    """Regression: shards that received zero rows were missing from the
+    manifest — readers expecting n_shards entries got fewer."""
+    five = people.filter(F.col("k") < 5)
+    man = write_sharded(five, str(tmp_path / "sparse"), 16, key_cols=["k"])
+    assert len(man["shards"]) == 16
+    assert sum(man["shards"].values()) == 5
+    assert set(man["shards"]) == {str(i) for i in range(16)}
+
+
+def test_write_sharded_rejects_append(people, tmp_path):
+    """Regression: mode='append' folded pre-existing rows into the
+    manifest counts — now rejected loudly."""
+    with pytest.raises(ValueError, match="append"):
+        write_sharded(people, str(tmp_path / "app"), 2, mode="append")

@@ -137,3 +137,52 @@ def test_run_pipeline_spec_validation(spark):
         run_pipeline_spec(docs, {"steps": []})
     with pytest.raises(ValueError, match="unknown ops.*frobnicate"):
         run_pipeline_spec(docs, {"steps": [{"op": "frobnicate"}]})
+
+
+def test_spec_dedup_exact_slice_is_size_derived(spark):
+    """Regression: the drop-list slice used a fixed 1M length cap —
+    a duplicate group larger than the cap silently kept the excess.
+    The plan must derive the length from size(ids)."""
+    from sketchlib.pipeline import SPEC_STEPS
+
+    docs = spark.createDataFrame(
+        [(i, "same text repeated") for i in range(6)] + [(9, "unique doc")],
+        "doc_id long, text string",
+    )
+    out = SPEC_STEPS["dedup_exact"](
+        docs, {}, {"text_col": "text", "id_col": "doc_id"}
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [0, 9]
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "1000000" not in plan and "size(ids" in plan
+
+
+def test_spec_dedup_minhash_cluster_consistent(spark):
+    """The spec step must use cluster-representative semantics (one
+    survivor per connected component — same as job_lsh_dedup), not
+    pairwise greatest-id dropping."""
+    from sketchlib.dedup.minhash import minhash_near_duplicates
+    from sketchlib.dedup.cluster import keep_representatives
+    from sketchlib.pipeline import SPEC_STEPS
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    rows = [
+        (0, base * 4),
+        (1, base * 4 + "tail one"),
+        (2, base * 4 + "tail two"),
+        (7, "completely different content about spark shuffles and joins"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = SPEC_STEPS["dedup_minhash"](
+        docs, {"threshold": 0.5}, {"text_col": "text", "id_col": "doc_id"}
+    )
+    pairs = minhash_near_duplicates(
+        docs, col="text", id_col="doc_id", threshold=0.5
+    )
+    want = keep_representatives(docs, pairs, id_col="doc_id")
+    assert sorted(r["doc_id"] for r in got.collect()) == sorted(
+        r["doc_id"] for r in want.collect()
+    )
+    # the unique doc always survives; dup cluster keeps its minimum
+    kept = {r["doc_id"] for r in got.collect()}
+    assert 7 in kept and 0 in kept and len(kept) < 4

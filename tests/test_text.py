@@ -247,3 +247,24 @@ def test_tfidf_keywords(spark):
     }
     with pytest.raises(ValueError, match="idf"):
         tfidf_keywords(df, idf="nope")
+
+
+def test_tfidf_broadcast_gate(spark):
+    """Regression: tfidf_keywords forced F.broadcast(vocab) — an
+    unpruned corpus-scale vocabulary can exceed driver limits.  The
+    join must fall back to a shuffle join past max_broadcast_terms,
+    with identical results either way."""
+    from sketchlib.text.analysis import tfidf_keywords
+
+    rows = [
+        (1, "alpha beta gamma alpha"),
+        (2, "beta delta epsilon beta beta"),
+        (3, "gamma zeta alpha eta theta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bc = tfidf_keywords(df, k=2)
+    sj = tfidf_keywords(df, k=2, max_broadcast_terms=0)
+    key = lambda r: (r["id"], r["rank"], r["term"])
+    assert sorted(map(key, bc.collect())) == sorted(map(key, sj.collect()))
+    plan = sj._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan or "SortMergeJoin" in plan
