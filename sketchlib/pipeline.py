@@ -164,9 +164,18 @@ def _step_dedup_minhash(df, p, ctx):
 
 def _step_decontaminate(df, p, ctx):
     from sketchlib.dedup.decontaminate import decontaminate
-    from sketchlib.spark.io import read_table
 
-    eval_df = read_table(df.sparkSession, p["eval_path"], p.get("format", "auto"))
+    if "eval_filter" in p:
+        # eval set = a SQL-predicate slice of the step input (e.g. a
+        # held-out doc_id range of the same corpus); engine-portable
+        # and spec-serializable
+        eval_df = df.filter(F.expr(p["eval_filter"]))
+    else:
+        from sketchlib.spark.io import read_table
+
+        eval_df = read_table(
+            df.sparkSession, p["eval_path"], p.get("format", "auto")
+        )
     return decontaminate(
         df, eval_df, col=ctx["text_col"], id_col=ctx["id_col"],
         shingle_w=int(p.get("shingle_w", 5)),
@@ -183,19 +192,27 @@ def _step_pii_redact(df, p, ctx):
 def _step_stratified_sample(df, p, ctx):
     from sketchlib.spark.api import sample_stratified
 
+    # optional key_sql: a SQL expression string for the keep-decision
+    # key (engine-portable specs / cross-engine verification); the
+    # production default stays the seeded xxhash64 of the id column
+    key = F.expr(p["key_sql"]) if "key_sql" in p else None
     return sample_stratified(
         df, list(p["strata_cols"]), dict(p["fractions"]),
+        key_cols=None if key is not None else [ctx["id_col"]],
         seed=int(p.get("seed", 42)),
         default_fraction=float(p.get("default_fraction", 0.0)),
+        key_expr=key,
     )
 
 
 def _step_split(df, p, ctx):
     from sketchlib.spark.api import with_split_label
 
+    key = F.expr(p["key_sql"]) if "key_sql" in p else None
     return with_split_label(
         df, dict(p["weights"]), key_cols=[ctx["id_col"]],
         seed=int(p.get("seed", 42)),
+        key_expr=key,
     )
 
 
