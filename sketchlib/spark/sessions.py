@@ -228,6 +228,8 @@ def interval_join(
     hi_col: str,
     by: list[str] | None = None,
     bucket: str = "7 days",
+    max_bucket_pairs: int | None = None,
+    max_fine_split: int = 4096,
 ) -> DataFrame:
     """Range join: every (point, interval) pair with
     ``lo <= ts < hi`` (half-open), optionally also matching ``by``
@@ -243,9 +245,30 @@ def interval_join(
     lies in exactly one bucket, so each qualifying pair appears
     exactly once: no dedup pass.  Size ``bucket`` near the typical
     interval length: larger buckets inflate candidate pairs, smaller
-    ones inflate the interval explode.  Skewed hot buckets are
-    AQE-splittable (equi-join).  Degenerate intervals (hi <= lo)
-    match nothing, like the SQL predicate."""
+    ones inflate the interval explode.  Degenerate intervals
+    (hi <= lo) match nothing, like the SQL predicate.
+
+    Skew: AQE's skew-join split handles a hot bucket's shuffle VOLUME,
+    but not the candidate-pair blowup — all points and all intervals
+    of one time bucket still cross, the df^2 analogue of the ngram
+    hot-gram case (one viral week: 1M short intervals x 10M points =
+    10^13 candidates for few true pairs).  ``max_bucket_pairs`` opts
+    into the LSH-style mitigation: a cheap per-bucket count probe (two
+    map-side-combinable aggs; only keys whose pts*ivs product exceeds
+    the threshold are collected, so the probe result is bounded by
+    total_candidates / max_bucket_pairs rows), and every hot bucket is
+    SUB-SPLIT on a finer time grid (bucket/k, k sized so the worst
+    bucket fits the threshold, capped at ``max_fine_split``): points
+    land in one fine slot, intervals explode into the fine slots they
+    overlap, and the equi-join runs on (by, bucket, fine) — candidate
+    pairs shrink by ~(interval_len + bucket/k)/bucket while every
+    qualifying pair still appears exactly once.  Cold buckets keep the
+    coarse single-join plan verbatim (anti-join against the tiny
+    broadcast hot-key list).  Sub-splitting only pays off when
+    intervals are SHORT relative to the bucket; intervals genuinely
+    spanning the hot bucket cross every point regardless (that output
+    is the true result).  Default None = zero extra jobs.  Measured
+    crossover: tools/stress_interval.py + BASELINE.md."""
     by = list(by or [])
     if "__b" in points.columns or "__b" in intervals.columns:
         raise ValueError("column '__b' already exists")
@@ -280,7 +303,66 @@ def interval_join(
             ),
         )
     )
-    joined = pts.join(ivs, on=by + ["__b"], how="inner")
+    key = by + ["__b"]
+    hot_rows = []
+    if max_bucket_pairs is not None:
+        if max_bucket_pairs < 1:
+            raise ValueError("max_bucket_pairs must be >= 1")
+        pc = pts.groupBy(*key).agg(F.count(F.lit(1)).alias("__pn"))
+        ic = ivs.groupBy(*key).agg(F.count(F.lit(1)).alias("__in"))
+        hot_rows = (
+            pc.join(ic, key)
+            .withColumn("__pairs", F.col("__pn") * F.col("__in"))
+            .filter(F.col("__pairs") > max_bucket_pairs)
+            .select(*key, "__pairs")
+            .collect()
+        )
+    if not hot_rows:
+        joined = pts.join(ivs, on=key, how="inner")
+    else:
+        import math
+
+        spark = points.sparkSession
+        max_pairs = max(r["__pairs"] for r in hot_rows)
+        k = min(
+            int(math.ceil(max_pairs / max_bucket_pairs)), max_fine_split
+        )
+        w2 = max(width_us // k, 1)
+        hot_keys = F.broadcast(
+            spark.createDataFrame(
+                [tuple(r[c] for c in key) for r in hot_rows],
+                pts.select(*key).schema,
+            )
+        )
+        cold = pts.join(hot_keys, key, "left_anti").join(
+            ivs.join(hot_keys, key, "left_anti"), on=key, how="inner"
+        )
+        # fine grid inside the hot bucket: a point sits in exactly one
+        # fine slot; the interval's bucket-clipped span explodes into
+        # the slots it overlaps (<= k+1 rows) — each qualifying pair
+        # still appears exactly once, now keyed by (by, bucket, fine)
+        bs = F.col("__b") * F.lit(width_us)
+        pts_h = pts.join(hot_keys, key, "left_semi").withColumn(
+            "__f", F.floor((p_us - bs) / F.lit(w2))
+        )
+        ivs_h = ivs.join(hot_keys, key, "left_semi").withColumn(
+            "__f",
+            F.explode(
+                F.sequence(
+                    F.floor((F.greatest(lo_us, bs) - bs) / F.lit(w2)),
+                    F.floor(
+                        (
+                            F.least(hi_us, bs + F.lit(width_us))
+                            - F.lit(1)
+                            - bs
+                        )
+                        / F.lit(w2)
+                    ),
+                )
+            ),
+        )
+        hotj = pts_h.join(ivs_h, on=key + ["__f"], how="inner").drop("__f")
+        joined = cold.unionByName(hotj)
     # re-derive the bounds on the JOINED frame by name (the exact
     # containment predicate), then drop the bucket
     out = joined.filter(

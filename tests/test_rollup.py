@@ -179,3 +179,69 @@ def test_rollup_start_time_offset(spark, events_df):
     m5 = 5 * 60 * 1_000_000
     assert all((r["window_start"] - m5) % m15 == 0 for r in out)
     assert sum(r["n"] for r in out) == 5
+
+
+def test_interval_join_skew_subsplit_exact(spark, events_df, intervals_df):
+    """The sub-split plan (max_bucket_pairs) must return EXACTLY the
+    default plan's pairs — one hot bucket forced by a threshold of 1,
+    across bucket widths and with by-keys."""
+    want = _expected_pairs(
+        [(r["event_id"], r["ts"]) for r in events_df.collect()],
+        [(r["interval_id"], r["lo"], r["hi"]) for r in intervals_df.collect()],
+    )
+    for bucket in ("1 minute", "1 hour", "30 days"):
+        got = {
+            (r["event_id"], r["interval_id"])
+            for r in interval_join(
+                events_df, intervals_df, "ts", "lo", "hi",
+                bucket=bucket, max_bucket_pairs=1,
+            ).collect()
+        }
+        assert got == want, bucket
+    # with by-keys: hot detection per (key, bucket)
+    ivs = intervals_df.withColumn(
+        "event_type", F.when(F.col("interval_id") == 100, "a").otherwise("b")
+    )
+    base = {
+        (r["event_id"], r["interval_id"])
+        for r in interval_join(
+            events_df, ivs, "ts", "lo", "hi", by=["event_type"],
+            bucket="1 hour",
+        ).collect()
+    }
+    split = {
+        (r["event_id"], r["interval_id"])
+        for r in interval_join(
+            events_df, ivs, "ts", "lo", "hi", by=["event_type"],
+            bucket="1 hour", max_bucket_pairs=1,
+        ).collect()
+    }
+    assert split == base
+
+
+def test_interval_join_skew_plan_shape(spark, events_df, intervals_df):
+    """With a hot bucket the plan must be a UNION of the cold coarse
+    join and the fine-grid hot join — and still no
+    BroadcastNestedLoopJoin anywhere; with a high threshold (no hot
+    bucket) the single coarse join is kept verbatim."""
+    hot = interval_join(
+        events_df, intervals_df, "ts", "lo", "hi",
+        bucket="1 hour", max_bucket_pairs=1,
+    )
+    plan = hot._jdf.queryExecution().analyzed().toString()
+    assert "__f" in plan and "Union" in plan
+    phys = hot._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in phys
+    cold = interval_join(
+        events_df, intervals_df, "ts", "lo", "hi",
+        bucket="1 hour", max_bucket_pairs=10_000_000,
+    )
+    cplan = cold._jdf.queryExecution().analyzed().toString()
+    assert "__f" not in cplan and "Union" not in cplan
+
+
+def test_interval_join_skew_validation(spark, events_df, intervals_df):
+    with pytest.raises(ValueError, match="max_bucket_pairs"):
+        interval_join(
+            events_df, intervals_df, "ts", "lo", "hi", max_bucket_pairs=0
+        )
