@@ -132,3 +132,78 @@ def test_encode_quoted_column_names(spark, corpus_df):
     odd = corpus_df.withColumnRenamed("text", "my text")
     out = bpe_encode(odd, merges, col="my text").collect()
     assert all(len(r["bpe_tokens"]) > 0 for r in out)
+
+
+def _naive_train(words_freqs, num_merges):
+    """Reference trainer: full min() scan per merge — the spec the
+    heap-based loop must match exactly (count DESC, pair ASC)."""
+    words = [list(w) for w, _ in words_freqs]
+    freqs = [n for _, n in words_freqs]
+    merges = []
+    for _ in range(num_merges):
+        counts = {}
+        for syms, n in zip(words, freqs):
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged = best[0] + best[1]
+        for syms in words:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == best[0] and syms[i + 1] == best[1]:
+                    syms[i : i + 2] = [merged]
+                else:
+                    i += 1
+    return merges
+
+
+def test_heap_trainer_matches_naive_reference(spark):
+    """The lazy-heap best-pair selection must reproduce the naive
+    full-scan trainer's merge sequence exactly (same total order,
+    ties included) on a randomized corpus."""
+    import random
+
+    from sketchlib.text.bpe import train_bpe
+
+    rng = random.Random(0xBEEF)
+    vocab = ["".join(rng.choices("abcd", k=rng.randint(1, 6))) for _ in range(120)]
+    docs = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(1, 12))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = train_bpe(df, num_merges=64, max_words=1024)
+
+    # rebuild the trainer's exact word/freq input (same split, same eow)
+    from collections import Counter
+
+    cnt = Counter(w for _, t in docs for w in t.split())
+    wf = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    words_freqs = [
+        (tuple(w[:-1]) + (w[-1] + "</w>",), n) for w, n in wf
+    ]
+    want = _naive_train(words_freqs, 64)
+    assert got == want
+
+
+def test_train_bpe_warns_on_vocab_truncation(spark):
+    """Regression: the max_words cap silently dropped the vocabulary
+    tail; the trainer must warn when truncation actually happens and
+    stay silent when the vocab fits."""
+    import warnings
+
+    from sketchlib.text.bpe import train_bpe
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i + 1} shared") for i in range(40)],
+        "doc_id long, text string",
+    )
+    with pytest.warns(UserWarning, match="max_words"):
+        train_bpe(docs, num_merges=4, max_words=8)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        train_bpe(docs, num_merges=4, max_words=10_000)

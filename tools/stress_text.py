@@ -73,6 +73,53 @@ def main(sf_dir: str) -> None:
         f"({int(agg['pieces']) / t_enc / 1e6:.1f}M pieces/s) roundtrip=ALL"
     )
 
+    # realistic-vocab BPE: 32k merges over a synthetic vocab-rich
+    # corpus (~100k distinct words > max_words, so the cap warning
+    # fires and its effect is measured, and the merge loop has real
+    # room — the word-soup documents corpus exhausts after ~93
+    # merges).  The driver merge loop is the only non-distributed
+    # stage: document its wall and peak RSS so the cap story is
+    # quantified, not asserted.
+    import resource
+    import warnings
+
+    rich = spark.range(200_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(sequence(1, 20), "
+                "j -> concat('w', pmod(xxhash64(id, j), 100000)))"
+            ),
+        ).alias("text"),
+    ).persist()
+    n_rich = rich.count()
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    t0 = time.monotonic()
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        merges32k = train_bpe(rich, num_merges=32_768, max_words=65_536)
+    t_train32 = time.monotonic() - t0
+    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    truncated = any("max_words" in str(w.message) for w in caught)
+    assert truncated, "expected the vocabulary cap warning to fire"
+    t0 = time.monotonic()
+    pieces32 = (
+        bpe_encode(rich, merges32k)
+        .agg(F.sum(F.size("bpe_tokens")).alias("p"))
+        .first()["p"]
+    )
+    t_enc32 = time.monotonic() - t0
+    print(
+        f"bpe_32k: docs={n_rich} (4M words, ~100k vocab) "
+        f"merges={len(merges32k)} train={t_train32:.2f}s "
+        f"driver_rss_delta={(rss1 - rss0) / 1024:.0f}MB "
+        f"vocab_truncated={truncated} "
+        f"encode={t_enc32:.2f}s pieces={int(pieces32)} "
+        f"({int(pieces32) / t_enc32 / 1e6:.1f}M pieces/s)"
+    )
+    rich.unpersist()
+
     from sketchlib.text.normalize import normalize_text, split_passages
 
     t0 = time.monotonic()
