@@ -24,6 +24,7 @@ the (n-1)*q linear-interpolation convention).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 import numpy as np
@@ -566,9 +567,18 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("text"),
     )
-    n_injected = mutated.count()
-    data = docs.union(mutated)
+    # n_injected rides the main job as an observation (the mutated
+    # subtree occurs ONCE in the union, so the metric fires exactly
+    # once when minhash's persisted input materializes) — no separate
+    # count job
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    data = docs.union(
+        mutated.observe(obs, F.count(F.lit(1)).alias("n_injected"))
+    )
     pairs = minhash_near_duplicates(data, threshold=0.4).collect()
+    n_injected = int(obs.get["n_injected"])
     found = {(r["id_a"], r["id_b"]) for r in pairs}
     hits = sum(
         1 for a, b in found if b == a + 2_000_000 and a % 20 == 0
@@ -2103,6 +2113,75 @@ def q_pipeline_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "step string, value bigint")
 
 
+def q_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise corpus-overlap matrix (grouped theta/KMV sketches, one
+    scan, driver-side set algebra): which orders contain lineitems of
+    BOTH return flags — |keys(A)|, |keys(B)|, |A∩B| for every flag
+    pair.  The gate emits the EXACT values (Catalyst distinct
+    self-join, full DuckDB parity) plus ok flags asserting the sketch
+    estimates (k=4096, estimation mode at sf>=0.01) land within
+    5x/0.05 error bounds."""
+    from sketchlib.spark.api import overlap_matrix
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"), F.col("l_orderkey").alias("k")
+    )
+    est = overlap_matrix(li, "g", "k", k=4096)  # 3-row driver-built DF
+    w = li.distinct()
+    d = w.groupBy("g").agg(F.count(F.lit(1)).alias("nd"))
+    pairs = (
+        w.select(F.col("g").alias("ga"), "k")
+        .join(w.select(F.col("g").alias("gb"), "k"), "k")
+        .filter(F.col("ga") < F.col("gb"))
+        .groupBy(F.col("ga").alias("group_a"), F.col("gb").alias("group_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    rse = 1.0 / math.sqrt(4096 - 2)
+    return (
+        pairs.join(
+            d.select(F.col("g").alias("group_a"), F.col("nd").alias("nda")),
+            "group_a",
+        )
+        .join(
+            d.select(F.col("g").alias("group_b"), F.col("nd").alias("ndb")),
+            "group_b",
+        )
+        .join(
+            est.select(
+                "group_a",
+                "group_b",
+                F.col("distinct_a").alias("ea"),
+                F.col("distinct_b").alias("eb"),
+                F.col("intersection").alias("ei"),
+                F.col("jaccard").alias("ej"),
+            ),
+            ["group_a", "group_b"],
+        )
+        .select(
+            "group_a",
+            "group_b",
+            F.col("nda").cast("bigint").alias("distinct_a"),
+            F.col("ndb").cast("bigint").alias("distinct_b"),
+            F.col("inter").cast("bigint").alias("intersection"),
+            (
+                (F.abs(F.col("ea") - F.col("nda")) <= 5 * rse * F.col("nda"))
+                & (F.abs(F.col("eb") - F.col("ndb")) <= 5 * rse * F.col("ndb"))
+            ).alias("ok_distinct"),
+            (
+                F.abs(F.col("ei") - F.col("inter")) <= 5 * rse * F.col("inter")
+            ).alias("ok_intersection"),
+            (
+                F.abs(
+                    F.col("ej")
+                    - F.col("inter")
+                    / (F.col("nda") + F.col("ndb") - F.col("inter"))
+                )
+                <= 0.05
+            ).alias("ok_jaccard"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-source token-length quantiles over the token table
     at sf0.001 scale (grouped sketch end-to-end)."""
@@ -2125,6 +2204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new / fixed this round ---------------------------------
         "pipeline_spec": q_pipeline_spec,
         "materialize_packed": q_materialize_packed,
+        "overlap_matrix": q_overlap_matrix,
         # -- never driver-checked (r5 tail overflow) ----------------
         "freq_spectrum": q_freq_spectrum,
         "decontaminate": q_decontaminate,
@@ -2175,9 +2255,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "interval_range_join": q_interval_join,
-        "time_rollup": q_time_rollup,
         # ---- driver window ends here (entry 50) --------------------
         # -- r5-green tail: rotates into the window in r7 ------------
+        "time_rollup": q_time_rollup,
         "tdigest_orders_quantiles_k1": q_tdigest_orders_total,
         "corpus_overlap": q_corpus_overlap,
         "text_token_stats": q_text_token_stats,
@@ -2345,6 +2425,22 @@ def oracle_sql() -> dict[str, str]:
             r"FROM documents"
         ),
         "pipeline_spec": _pipeline_spec_oracle_sql(),
+        "overlap_matrix": (
+            "WITH w AS (SELECT DISTINCT l_returnflag AS g, l_orderkey AS k "
+            "  FROM lineitem), "
+            "d AS (SELECT g, count(*) AS nd FROM w GROUP BY g), "
+            "p AS (SELECT a.g AS group_a, b.g AS group_b, "
+            "  count(*) AS intersection FROM w a "
+            "  JOIN w b ON a.k = b.k AND a.g < b.g GROUP BY 1, 2) "
+            "SELECT p.group_a, p.group_b, "
+            "CAST(da.nd AS BIGINT) AS distinct_a, "
+            "CAST(db.nd AS BIGINT) AS distinct_b, "
+            "CAST(p.intersection AS BIGINT) AS intersection, "
+            "TRUE AS ok_distinct, TRUE AS ok_intersection, "
+            "TRUE AS ok_jaccard "
+            "FROM p JOIN d da ON da.g = p.group_a "
+            "JOIN d db ON db.g = p.group_b"
+        ),
         "text_quality": _quality_oracle_sql(),
         "text_language_id": _langid_oracle_query(),
         "dedup_exact": (

@@ -458,6 +458,13 @@ def minhash_near_duplicates(
     should treat the default ``UserWarning`` (or a nonzero
     ``overflow_rows`` on their own observation) as the signal that
     pair-level recall may be reduced."""
+    # NOTE on under-planned sources: unlike ngram/spans (whose
+    # Catalyst shingle build measurably serializes on a 1-2 partition
+    # single-file scan), a _spread_and_gate repartition here was
+    # measured NEUTRAL-to-NEGATIVE at gate scale (r6 sweep 0/4/8/16/32
+    # partitions: 2.7-5.9s, all inside the VM noise band — the Arrow
+    # UDF's per-task overhead cancels the parallelism win), so the
+    # source partitioning is left to the caller.
     # one tokenize+hash pass feeds BOTH the LSH and verify stages
     both = _signatures_and_shingles(
         df, col, id_col, num_perm, shingle_w, seed, tokens=tokens

@@ -105,3 +105,58 @@ def test_corpus_overlap_spark(spark):
     assert abs(rep["intersection"] - 10_000) / 10_000 <= 0.15
     assert abs(rep["jaccard"] - 0.2) <= 0.05
     assert abs(rep["a_minus_b"] - 20_000) / 20_000 <= 0.15
+
+
+def test_overlap_matrix_spark(spark):
+    """3 groups with known pairwise overlaps, one scan: every pair's
+    distinct/intersection/jaccard estimate lands within sketch error,
+    pairs come out (group_a < group_b)-ordered and exhaustive."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.api import overlap_matrix
+
+    # A = [0, 30k), B = [20k, 50k), C = [45k, 55k)
+    spans = {"a": (0, 30_000), "b": (20_000, 50_000), "c": (45_000, 55_000)}
+    parts = [
+        spark.range(lo, hi).select(
+            F.lit(g).alias("src"),
+            F.format_string("doc-%08d", F.col("id")).alias("key"),
+        )
+        for g, (lo, hi) in spans.items()
+    ]
+    df = parts[0].union(parts[1]).union(parts[2]).repartition(8)
+    out = overlap_matrix(df, "src", "key", k=4096).collect()
+    assert [(r["group_a"], r["group_b"]) for r in out] == [
+        ("a", "b"), ("a", "c"), ("b", "c"),
+    ]
+    exact = {("a", "b"): 10_000, ("a", "c"): 0, ("b", "c"): 5_000}
+    sizes = {g: hi - lo for g, (lo, hi) in spans.items()}
+    for r in out:
+        pair = (r["group_a"], r["group_b"])
+        assert abs(r["distinct_a"] - sizes[pair[0]]) / sizes[pair[0]] <= 0.07
+        assert abs(r["distinct_b"] - sizes[pair[1]]) / sizes[pair[1]] <= 0.07
+        want = exact[pair]
+        if want == 0:
+            assert r["intersection"] <= 300  # near-zero, no false mass
+        else:
+            assert abs(r["intersection"] - want) / want <= 0.2
+        uni = sizes[pair[0]] + sizes[pair[1]] - want
+        assert abs(r["union"] - uni) / uni <= 0.07
+        assert abs(r["jaccard"] - want / uni) <= 0.05
+
+
+def test_overlap_matrix_single_group(spark):
+    """One group -> no pairs, but a well-formed empty frame."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.api import overlap_matrix
+
+    df = spark.range(100).select(
+        F.lit("only").alias("src"), F.col("id").alias("key")
+    )
+    out = overlap_matrix(df, "src", "key")
+    assert out.columns == [
+        "group_a", "group_b", "distinct_a", "distinct_b",
+        "intersection", "union", "jaccard", "rse",
+    ]
+    assert out.count() == 0
