@@ -811,6 +811,7 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
     )
     distinct_fps = orig.select("fingerprint").distinct().count()
+    fps.unpersist()  # don't leak cache across the driver's gate session
     rows = [
         ("fingerprint_copy_recall_exact", bool(matched == n_copies)),
         ("fingerprint_collision_rate_low", bool(distinct_fps >= 0.9 * n_docs)),
@@ -1189,7 +1190,12 @@ def q_shuffle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.lit("layout_independent").alias("metric"), "ok")
     )
-    return perm.unionByName(bal).unionByName(layout)
+    rows = [
+        (r["metric"], bool(r["ok"]))
+        for r in perm.unionByName(bal).unionByName(layout).collect()
+    ]
+    a.unpersist()  # don't leak cache across the driver's 50-gate session
+    return spark.createDataFrame(rows, "metric string, ok boolean")
 
 
 def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

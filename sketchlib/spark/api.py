@@ -371,8 +371,10 @@ def overlap_matrix(
     group_b in sort order, ordered (group_a, group_b).  ``rse`` is the
     per-sketch relative standard error ~ 1/sqrt(k-2); intersection
     error additionally scales with 1/jaccard (theta-sketch algebra —
-    tiny overlaps need a larger k).  NULL group keys form their own
-    group, reported last."""
+    tiny overlaps need a larger k).  Rows with a NULL group key are
+    EXCLUDED (``grouped_sketch`` drops null-key rows, matching
+    pd.factorize); ``fillna`` the group column upstream to give the
+    unlabeled slice its own row."""
     from sketchlib.core.theta import ThetaSketch
 
     rows = grouped_sketch(
@@ -386,7 +388,7 @@ def overlap_matrix(
             sks[g] = sks[g].merge(sk)  # defensive: duplicate state rows
         else:
             sks[g] = sk
-    groups = sorted(sks, key=lambda g: (g is None, g))
+    groups = sorted(sks)  # no None keys: grouped_sketch drops null-key rows
     out = []
     for i, ga in enumerate(groups):
         for gb in groups[i + 1 :]:
@@ -735,6 +737,24 @@ def _spread_and_gate(
     return out, nparts, nparts <= threshold
 
 
+def _hash_bucket_expr(order, order_buckets: int, normalized: bool = False):
+    """Monotonic ~uniform bucket id from a 64-bit hash order key's
+    HIGH BITS (signed arithmetic shiftright keeps ordering).  With
+    ``normalized=True`` the id is offset from the signed range into
+    [0, 2^bits) — required by dense-offset consumers (element_at
+    indexing / with_global_rank's ``bucket_expr`` >=0 guard); the
+    default keeps the raw signed id (ordering-only consumers).  The
+    ONE definition of the shift formula — keep the two ranges from
+    drifting apart."""
+    import math
+
+    shift = min(
+        max(64 - math.ceil(math.log2(max(order_buckets, 2))), 1), 63
+    )
+    bucket = F.shiftright(order, shift)
+    return (bucket + F.lit(1 << (63 - shift))) if normalized else bucket
+
+
 def _order_and_bucket(
     df: DataFrame,
     order_col: str | None,
@@ -755,12 +775,7 @@ def _order_and_bucket(
         order = F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
         if not use_bucketed:
             return order, None
-        # signed arithmetic shift keeps ordering: the hash's high bits
-        # are a monotonic, ~uniform partition of the order domain
-        shift = min(
-            max(64 - math.ceil(math.log2(max(order_buckets, 2))), 1), 63
-        )
-        return order, F.shiftright(order, shift)
+        return order, _hash_bucket_expr(order, order_buckets)
     order = F.col(order_col)
     if not use_bucketed:
         return order, None
@@ -1360,8 +1375,6 @@ def shuffle_rows(
     the monotonic order bucket; no single-task global sort).  Hash
     ties are possible only between byte-identical key tuples; pass a
     unique ``key_cols`` (e.g. the doc id) for a strict permutation."""
-    import math
-
     keys = key_cols if key_cols is not None else list(df.columns)
     if "__shuf" in df.columns:
         raise ValueError("column '__shuf' already exists")
@@ -1371,14 +1384,10 @@ def shuffle_rows(
     # the order key is a seeded hash, so its HIGH BITS are already a
     # monotonic ~uniform bucket — no split-point sketch job and O(1)
     # per-row bucketing (vs the O(order_buckets)/row bounds fold the
-    # generic numeric path needs).  shiftright is an arithmetic shift
-    # (keeps signed order); +2^(bits-1) normalizes to 0..2^bits-1 for
-    # the dense offsets array.
-    shift = min(
-        max(64 - math.ceil(math.log2(max(order_buckets, 2))), 1), 63
-    )
-    hash_bucket = (
-        F.shiftright(F.col("__shuf"), shift) + F.lit(1 << (63 - shift))
+    # generic numeric path needs); normalized into [0, 2^bits) for
+    # the dense offsets array (shared _hash_bucket_expr definition)
+    hash_bucket = _hash_bucket_expr(
+        F.col("__shuf"), order_buckets, normalized=True
     ).cast("int")
     out = with_global_rank(
         keyed,

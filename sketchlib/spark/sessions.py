@@ -270,8 +270,9 @@ def interval_join(
     is the true result).  Default None = zero extra jobs.  Measured
     crossover: tools/stress_interval.py + BASELINE.md."""
     by = list(by or [])
-    if "__b" in points.columns or "__b" in intervals.columns:
-        raise ValueError("column '__b' already exists")
+    for scratch in ("__b", "__f"):
+        if scratch in points.columns or scratch in intervals.columns:
+            raise ValueError(f"column '{scratch}' already exists")
     overlap = set(points.columns) & set(intervals.columns) - set(by)
     if overlap:
         raise ValueError(

@@ -292,13 +292,19 @@ def tfidf_keywords(
     from pyspark import StorageLevel
 
     n_docs = df.count()
-    if vocab is None:
-        vocab = vocabulary(df, col, min_df=min_df)
     # gate the broadcast on the ACTUAL vocabulary size: an unpruned
     # corpus-scale vocabulary (default min_df=1) can blow past the
     # broadcast/driver limits — fall back to a shuffle join then.
-    # Persist first so the count and the join share one evaluation.
-    vocab = vocab.persist(StorageLevel.MEMORY_AND_DISK)
+    # The INTERNAL vocab is persisted so the count and the join share
+    # one evaluation (session-lifetime cache, one frame per call —
+    # loops over many corpora should spark.catalog.clearCache()); a
+    # CALLER-supplied vocab is never persisted here (that would be a
+    # visible side effect on their frame — persist it yourself when
+    # reusing it across calls).
+    if vocab is None:
+        vocab = vocabulary(df, col, min_df=min_df).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     n_terms = vocab.count()
     vocab_side = (
         F.broadcast(vocab) if n_terms <= max_broadcast_terms else vocab

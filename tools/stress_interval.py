@@ -70,8 +70,23 @@ def main(n_points: int, n_intervals: int) -> None:
     pts, ivs = frames(iv_spread_weeks=1)  # everything in ONE bucket
     pts.count(), ivs.count()
 
+    def pair_sig(out):
+        """(count, order-independent pair-set checksum) in ONE action:
+        count equality alone would pass a drop-one-duplicate-another
+        bug; the xxhash64 sum over (pid, iid) pins the multiset."""
+        # decimal(38,0) sum: a long sum of int64 hashes overflows
+        # under ANSI mode; decimal comfortably holds 1e9 * 2^63
+        r = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("pid", "iid").cast("decimal(38,0)")),
+                F.lit(0),
+            ).alias("sig"),
+        ).first()
+        return int(r["n"]), int(r["sig"])
+
     t = time.time()
-    n_coarse = interval_join(pts, ivs, "ts", "lo", "hi").count()
+    n_coarse, sig_coarse = pair_sig(interval_join(pts, ivs, "ts", "lo", "hi"))
     t_coarse = time.time() - t
     print(
         f"hot-bucket coarse: {n_points}x{n_intervals} "
@@ -80,29 +95,33 @@ def main(n_points: int, n_intervals: int) -> None:
     )
 
     t = time.time()
-    n_split = interval_join(
-        pts, ivs, "ts", "lo", "hi", max_bucket_pairs=1_000_000
-    ).count()
+    n_split, sig_split = pair_sig(
+        interval_join(pts, ivs, "ts", "lo", "hi", max_bucket_pairs=1_000_000)
+    )
     t_split = time.time() - t
-    assert n_split == n_coarse, (n_split, n_coarse)
+    assert (n_split, sig_split) == (n_coarse, sig_coarse), (
+        (n_split, sig_split), (n_coarse, sig_coarse)
+    )
     print(
         f"hot-bucket sub-split (max_bucket_pairs=1e6): {n_split} pairs "
         f"in {t_split:.2f}s ({t_coarse / max(t_split, 1e-9):.1f}x) "
-        f"[identical pair count]"
+        f"[identical pair multiset: count + xxhash64 checksum]"
     )
 
     pts.unpersist(), ivs.unpersist()
     pts_u, ivs_u = frames(iv_spread_weeks=52)  # uniform control
     pts_u.count(), ivs_u.count()
     t = time.time()
-    n_plain = interval_join(pts_u, ivs_u, "ts", "lo", "hi").count()
+    n_plain, sig_plain = pair_sig(
+        interval_join(pts_u, ivs_u, "ts", "lo", "hi")
+    )
     t_plain = time.time() - t
     t = time.time()
-    n_probe = interval_join(
-        pts_u, ivs_u, "ts", "lo", "hi", max_bucket_pairs=1_000_000
-    ).count()
+    n_probe, sig_probe = pair_sig(
+        interval_join(pts_u, ivs_u, "ts", "lo", "hi", max_bucket_pairs=1_000_000)
+    )
     t_probe = time.time() - t
-    assert n_probe == n_plain
+    assert (n_probe, sig_probe) == (n_plain, sig_plain)
     print(
         f"uniform control: {n_plain} pairs, plain {t_plain:.2f}s vs "
         f"probe-enabled {t_probe:.2f}s (probe overhead "
