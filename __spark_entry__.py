@@ -796,7 +796,11 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bound is a rate, not zero).  Verified Spark-side."""
     from sketchlib.text.fingerprint import document_fingerprints
 
-    data = _dedup_dataset(spark, sf_dir)  # docs + exact copies of every 10th
+    # docs + exact copies of every 10th; the single-file scan plans 2
+    # partitions and would run the CPU-bound fingerprint UDF there —
+    # spread it (gate-input choice, same as decontaminate; measured
+    # 2.9-4.4s -> ~1s at sf0.1)
+    data = _dedup_dataset(spark, sf_dir).repartition(16, F.col("doc_id"))
     fps = document_fingerprints(data).select("doc_id", "fingerprint").persist()
     n_docs = _read(spark, sf_dir, "documents").count()
     n_copies = n_docs // 10
