@@ -350,6 +350,7 @@ def overlap_matrix(
     group_col: str,
     col: str,
     k: int = 4096,
+    is_array: bool = False,
 ) -> DataFrame:
     """Pairwise set-overlap estimates between every pair of groups of
     one table — "how much does each source's key set overlap every
@@ -374,11 +375,17 @@ def overlap_matrix(
     tiny overlaps need a larger k).  Rows with a NULL group key are
     EXCLUDED (``grouped_sketch`` drops null-key rows, matching
     pd.factorize); ``fillna`` the group column upstream to give the
-    unlabeled slice its own row."""
+    unlabeled slice its own row.
+
+    ``is_array=True`` treats ``col`` as a token array (the
+    pre-tokenized training-sequence shape): the per-group sets are the
+    DISTINCT TOKENS of each group, hashed element-wise in the Arrow
+    feeder — no explode, no shuffle of exploded rows."""
     from sketchlib.core.theta import ThetaSketch
 
+    kind = KIND_ARRAY_HASH if is_array else KIND_HASH64
     rows = grouped_sketch(
-        df, [group_col], col, lambda: ThetaSketch(k=k), KIND_HASH64
+        df, [group_col], col, lambda: ThetaSketch(k=k), kind
     ).collect()
     sks: dict = {}
     for r in rows:

@@ -597,6 +597,32 @@ def job_hh(args) -> None:
     spark.stop()
 
 
+def job_overlap(args) -> None:
+    """Pairwise per-group overlap matrix (theta-sketch set algebra)
+    as one JSON line — ``--array`` treats --col as a token array."""
+    from sketchlib.spark.api import overlap_matrix
+    from sketchlib.spark.io import read_table
+    from sketchlib.spark.session import get_spark
+
+    spark = get_spark(master=args.master)
+    df = read_table(spark, args.input, args.format)
+    rows = overlap_matrix(
+        df, args.group_by, args.col, k=args.k, is_array=args.array
+    ).collect()
+    print(
+        json.dumps(
+            {
+                "group_by": args.group_by,
+                "col": args.col,
+                "k": args.k,
+                "pairs": [r.asDict() for r in rows],
+            },
+            default=str,
+        )
+    )
+    spark.stop()
+
+
 def job_package(args) -> None:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     repo = os.path.dirname(root)
@@ -808,6 +834,16 @@ def main(argv=None) -> None:
     ng.add_argument("--hash-grams", action="store_true")
     ng.add_argument("--master", default=None)
     ng.set_defaults(fn=job_ngram_dedup)
+
+    ov = sub.add_parser("overlap")
+    ov.add_argument("--input", required=True)
+    ov.add_argument("--format", default="auto", choices=["auto", "parquet", "iceberg", "jsonl", "csv"])
+    ov.add_argument("--group-by", required=True)
+    ov.add_argument("--col", required=True)
+    ov.add_argument("--k", type=int, default=4096)
+    ov.add_argument("--array", action="store_true")
+    ov.add_argument("--master", default=None)
+    ov.set_defaults(fn=job_overlap)
 
     p = sub.add_parser("package")
     p.add_argument("--output", default=None)

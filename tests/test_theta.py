@@ -160,3 +160,34 @@ def test_overlap_matrix_single_group(spark):
         "intersection", "union", "jaccard", "rse",
     ]
     assert out.count() == 0
+
+
+def test_overlap_matrix_token_arrays(spark):
+    """is_array=True: per-group sets are the distinct TOKENS of the
+    group's sequences (the pre-tokenized training-sequence shape).
+    Groups with engineered token-range overlap must estimate within
+    sketch error; token arrays never explode into a row shuffle."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.api import overlap_matrix
+
+    # src a: tokens [0, 20k); src b: tokens [10k, 30k) -> 10k overlap
+    def seqs(name, lo, hi, n_docs=2000):
+        per = (hi - lo) // n_docs
+        return spark.range(n_docs).select(
+            F.lit(name).alias("source"),
+            F.expr(
+                f"transform(sequence(0, {per - 1}), "
+                f"j -> cast({lo} + id * {per} + j AS INT))"
+            ).alias("tokens"),
+        )
+
+    df = seqs("a", 0, 20_000).union(seqs("b", 10_000, 30_000)).repartition(8)
+    out = overlap_matrix(df, "source", "tokens", k=4096, is_array=True).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["group_a"], r["group_b"]) == ("a", "b")
+    assert abs(r["distinct_a"] - 20_000) / 20_000 <= 0.07
+    assert abs(r["distinct_b"] - 20_000) / 20_000 <= 0.07
+    assert abs(r["intersection"] - 10_000) / 10_000 <= 0.2
+    assert abs(r["jaccard"] - 1 / 3) <= 0.05
