@@ -804,18 +804,21 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = document_fingerprints(data).select("doc_id", "fingerprint").persist()
     n_docs = _read(spark, sf_dir, "documents").count()
     n_copies = n_docs // 10
-    orig = fps.filter(F.col("doc_id") < 1_000_000)
-    copies = fps.filter(F.col("doc_id") >= 1_000_000).select(
-        (F.col("doc_id") - 1_000_000).alias("doc_id"),
-        F.col("fingerprint").alias("fp_copy"),
-    )
-    matched = (
-        orig.join(copies, "doc_id")
-        .filter(F.col("fingerprint") == F.col("fp_copy"))
-        .count()
-    )
-    distinct_fps = orig.select("fingerprint").distinct().count()
-    fps.unpersist()  # don't leak cache across the driver's gate session
+    try:
+        orig = fps.filter(F.col("doc_id") < 1_000_000)
+        copies = fps.filter(F.col("doc_id") >= 1_000_000).select(
+            (F.col("doc_id") - 1_000_000).alias("doc_id"),
+            F.col("fingerprint").alias("fp_copy"),
+        )
+        matched = (
+            orig.join(copies, "doc_id")
+            .filter(F.col("fingerprint") == F.col("fp_copy"))
+            .count()
+        )
+        distinct_fps = orig.select("fingerprint").distinct().count()
+    finally:
+        # exception-safe: never leak cache across the driver's session
+        fps.unpersist()
     rows = [
         ("fingerprint_copy_recall_exact", bool(matched == n_copies)),
         ("fingerprint_collision_rate_low", bool(distinct_fps >= 0.9 * n_docs)),
@@ -1194,11 +1197,14 @@ def q_shuffle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.lit("layout_independent").alias("metric"), "ok")
     )
-    rows = [
-        (r["metric"], bool(r["ok"]))
-        for r in perm.unionByName(bal).unionByName(layout).collect()
-    ]
-    a.unpersist()  # don't leak cache across the driver's 50-gate session
+    try:
+        rows = [
+            (r["metric"], bool(r["ok"]))
+            for r in perm.unionByName(bal).unionByName(layout).collect()
+        ]
+    finally:
+        # exception-safe: never leak cache across the driver's session
+        a.unpersist()
     return spark.createDataFrame(rows, "metric string, ok boolean")
 
 
