@@ -249,3 +249,53 @@ def test_streaming_dedup_exact(spark, tmp_path):
     got = spark.sql("SELECT doc_id FROM dedup_sink").collect()
     ids = sorted(r["doc_id"] for r in got)
     assert ids == [1, 10, 11, 12]  # doc 1 emitted exactly once
+
+
+def test_streaming_cardinality_hll_and_theta(spark, tmp_path):
+    """The foreachBatch ledger machinery is sketch-generic: the same
+    stream maintains an HLL (cardinality, within the published RSE
+    bound) and a theta sketch (EXACT below k) with no code specific
+    to either — factory + kind are the only knobs."""
+    from sketchlib.core.hll import HyperLogLog
+    from sketchlib.core.theta import ThetaSketch
+    from sketchlib.spark.aggregate import KIND_HASH64
+
+    src = str(tmp_path / "src")
+    # 3 files with overlapping id ranges: distinct = [0, 12000)
+    spans = [(0, 6000), (4000, 9000), (7000, 12000)]
+    for i, (lo, hi) in enumerate(spans):
+        spark.range(lo, hi).select(
+            F.format_string("id-%06d", F.col("id")).alias("k")
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/f{i}")
+    stream = (
+        spark.readStream.schema("k string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    for name, factory, check in (
+        (
+            "hll",
+            lambda: HyperLogLog(p=12),
+            # p=12 -> RSE 1.04/sqrt(4096) ~= 1.6%; 4x margin
+            lambda est: abs(est - 12_000) / 12_000 <= 0.065,
+        ),
+        (
+            "theta",
+            lambda: ThetaSketch(k=16384),
+            # 12k distinct < k: exact mode, digit-exact
+            lambda est: est == 12_000,
+        ),
+    ):
+        ledger = str(tmp_path / f"ledger_{name}")
+        ckpt = str(tmp_path / f"ckpt_{name}")
+        q = run_streaming_sketch(
+            stream, "k", factory, ledger, ckpt, kind=KIND_HASH64,
+            query_name=f"card_{name}",
+        )
+        try:
+            _wait_done(q)
+        finally:
+            q.stop()
+        sk = current_sketch(spark, ledger)
+        assert sk is not None
+        assert check(float(sk.estimate())), (name, sk.estimate())

@@ -191,3 +191,38 @@ def test_overlap_matrix_token_arrays(spark):
     assert abs(r["distinct_b"] - 20_000) / 20_000 <= 0.07
     assert abs(r["intersection"] - 10_000) / 10_000 <= 0.2
     assert abs(r["jaccard"] - 1 / 3) <= 0.05
+
+
+def test_exact_mode_set_algebra_property():
+    """Below k the retained hashes ARE the (hashed) sets, so every
+    set-operation estimate must be digit-exact against python sets —
+    randomized over overlap layouts, duplicates, and empty sides."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ids = st.lists(st.integers(min_value=0, max_value=5_000), max_size=400)
+
+    @settings(max_examples=60, deadline=None)
+    @given(ids, ids)
+    def check(a_ids, b_ids):
+        sa, sb = set(a_ids), set(b_ids)
+        a = ThetaSketch(k=8192)
+        b = ThetaSketch(k=8192)
+        if a_ids:
+            a.add_hashes(hash_i64(np.array(a_ids, dtype=np.int64), seed=1))
+        if b_ids:
+            b.add_hashes(hash_i64(np.array(b_ids, dtype=np.int64), seed=1))
+        assert a.estimate() == float(len(sa))
+        assert a.intersect_estimate(b) == float(len(sa & sb))
+        assert a.union_estimate(b) == float(len(sa | sb))
+        assert a.difference_estimate(b) == float(len(sa - sb))
+        if sa or sb:
+            assert a.jaccard_estimate(b) == pytest.approx(
+                len(sa & sb) / len(sa | sb)
+            )
+        # merge == union, state-exactly
+        m = ThetaSketch(k=8192)
+        m.merge(a).merge(b)
+        assert m.estimate() == float(len(sa | sb))
+
+    check()
