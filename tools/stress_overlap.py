@@ -62,7 +62,10 @@ def main(n_rows: int, n_groups: int) -> None:
     t_sketch = time.time() - t0
 
     t0 = time.time()
-    w = df.distinct()
+    # persist the distinct frame: BOTH exact actions (counts + self
+    # join) read it — without this the distinct shuffle re-executes
+    # and the exact baseline is unfairly slow (review catch)
+    w = df.distinct().persist()
     d = {
         r["source"]: r["nd"]
         for r in w.groupBy("source").agg(F.count(F.lit(1)).alias("nd")).collect()
@@ -79,6 +82,7 @@ def main(n_rows: int, n_groups: int) -> None:
         )
     }
     t_exact = time.time() - t0
+    w.unpersist()
 
     worst_d = worst_i = 0.0
     for r in est:
