@@ -2198,6 +2198,120 @@ def q_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level duplicate-passage removal (Lee et al. directly on
+    the pre-tokenized sequence shape): an 8-token boilerplate span is
+    injected at the head of ~1/5 of the sequences; tokens-mode
+    `remove_duplicate_spans` must (a) conserve tokens exactly
+    (kept + removed == input, all rows present), (b) scrub >= 8
+    tokens from every injected row and 0 from the rest (vocab 50k ->
+    natural 8-gram dupes have ~0 probability), and (c) agree EXACTLY
+    with the text-mode implementation run on the rendered strings —
+    a full cross-implementation equivalence check on real data.  The
+    oracle carries the constant shape (DuckDB cannot see the token
+    table)."""
+    from sketchlib.dedup.spans import remove_duplicate_spans
+
+    # capped corpus: the gate checks SEMANTICS (conservation, scrub,
+    # cross-mode equality), which 4k x <=48-token sequences exercise
+    # fully — scale wall-time evidence lives in the spans_10x stress.
+    # Both span pipelines are ~12 shuffle stages of KB data, so the
+    # session shuffle width is dropped to 8 (restored below) and ALL
+    # checks ride ONE action over a single three-way join — the
+    # token-mode output is never evaluated twice.
+    n = min(_sf_rows(sf_dir), 4_000)
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    inj = None
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        base = token_sequences(spark, n, seed=11).select(
+            "doc_id", F.slice("tokens", 1, 48).alias("tokens")
+        )
+        boiler = [17, 3, 94, 5, 42, 77, 8, 61]
+        binj = F.array(*[F.lit(x) for x in boiler])
+        is_inj = F.pmod(F.xxhash64("doc_id"), F.lit(5)) == 0
+        inj = base.select(
+            "doc_id",
+            F.when(is_inj, F.concat(binj, F.col("tokens")))
+            .otherwise(F.col("tokens"))
+            .alias("tokens"),
+        ).persist()
+        out = remove_duplicate_spans(
+            inj, col="tokens", id_col="doc_id", w=8, tokens=True
+        )
+        txt = inj.select(
+            "doc_id",
+            F.array_join(F.col("tokens").cast("array<string>"), " ").alias(
+                "text"
+            ),
+        )
+        out_txt = remove_duplicate_spans(txt, col="text", id_col="doc_id", w=8)
+        j = (
+            inj.select(
+                "doc_id",
+                F.size("tokens").alias("n_in"),
+                is_inj.alias("inj"),
+            )
+            .join(
+                out.select(
+                    "doc_id",
+                    F.size("tokens").alias("n_kept"),
+                    F.array_join(
+                        F.col("tokens").cast("array<string>"), " "
+                    ).alias("r_tok"),
+                    F.col("n_removed").alias("nr_tok"),
+                ),
+                "doc_id",
+                "full",
+            )
+            .join(
+                out_txt.select(
+                    "doc_id",
+                    F.col("text").alias("r_txt"),
+                    F.col("n_removed").alias("nr_txt"),
+                ),
+                "doc_id",
+                "full",
+            )
+        )
+        agg = j.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(
+                (
+                    F.col("n_in").isNull()
+                    | F.col("n_kept").isNull()
+                    | (F.col("n_kept") + F.col("nr_tok") != F.col("n_in"))
+                ).cast("long")
+            ).alias("bad_conserve"),
+            F.sum(
+                F.when(
+                    F.col("inj"), (F.col("nr_tok") < 8).cast("long")
+                ).otherwise((F.col("nr_tok") != 0).cast("long"))
+            ).alias("bad_removed"),
+            F.sum(F.col("inj").cast("long")).alias("n_inj"),
+            F.sum(
+                (
+                    ~F.col("r_tok").eqNullSafe(F.col("r_txt"))
+                    | ~F.col("nr_tok").eqNullSafe(F.col("nr_txt"))
+                ).cast("long")
+            ).alias("mismatches"),
+        ).first()
+    finally:
+        if inj is not None:
+            inj.unpersist()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    rows = [
+        ("rows_present", bool(agg["rows"] == n)),
+        ("tokens_conserved", bool(agg["bad_conserve"] == 0)),
+        (
+            "injected_scrubbed_only",
+            bool(agg["bad_removed"] == 0 and agg["n_inj"] > 0),
+        ),
+        ("token_text_mode_equal", bool(agg["mismatches"] == 0)),
+    ]
+    return spark.createDataFrame(rows, "metric string, ok boolean")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-source token-length quantiles over the token table
     at sf0.001 scale (grouped sketch end-to-end)."""
@@ -2221,6 +2335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_spec": q_pipeline_spec,
         "materialize_packed": q_materialize_packed,
         "overlap_matrix": q_overlap_matrix,
+        "dedup_token_spans": q_dedup_token_spans,
         # -- never driver-checked (r5 tail overflow) ----------------
         "freq_spectrum": q_freq_spectrum,
         "decontaminate": q_decontaminate,
@@ -2269,10 +2384,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_normalize": q_text_normalize,
         "sessionize": q_sessionize,
-        "asof_join": q_asof_join,
         "interval_range_join": q_interval_join,
         # ---- driver window ends here (entry 50) --------------------
         # -- r5-green tail: rotates into the window in r7 ------------
+        "asof_join": q_asof_join,
         "time_rollup": q_time_rollup,
         "tdigest_orders_quantiles_k1": q_tdigest_orders_total,
         "corpus_overlap": q_corpus_overlap,
@@ -2441,6 +2556,14 @@ def oracle_sql() -> dict[str, str]:
             r"FROM documents"
         ),
         "pipeline_spec": _pipeline_spec_oracle_sql(),
+        "dedup_token_spans": (
+            "SELECT * FROM (VALUES "
+            "('rows_present', TRUE), "
+            "('tokens_conserved', TRUE), "
+            "('injected_scrubbed_only', TRUE), "
+            "('token_text_mode_equal', TRUE)) "
+            "AS t(metric, ok)"
+        ),
         "overlap_matrix": (
             "WITH w AS (SELECT DISTINCT l_returnflag AS g, l_orderkey AS k "
             "  FROM lineitem), "

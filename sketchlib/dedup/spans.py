@@ -52,12 +52,21 @@ def remove_duplicate_spans(
     min_count: int = 2,
     hash_grams: bool = False,
     cache: bool | None = None,
+    tokens: bool = False,
 ) -> DataFrame:
     """Rewrite ``col`` with every duplicated ``w``-word span removed.
     Output: all non-NULL-id input rows as (``id_col``, ``col``,
     ``n_removed`` long); rows keep their id even when scrubbed empty.
     ``min_count`` is the occurrence threshold that convicts a span
-    (default 2 = "appears anywhere else")."""
+    (default 2 = "appears anywhere else").
+
+    ``tokens=True`` operates directly on a TOKEN-ARRAY column (the
+    pre-tokenized training-sequence shape): spans are ``w``-token
+    windows, the rebuilt column is the surviving token array in
+    original order, and the plan is identical except there is no
+    whitespace split — semantics match the text mode exactly on a
+    rendering (tests assert tokens-mode == text-mode on space-joined
+    token strings)."""
     if w < 1:
         raise ValueError(f"span width must be >= 1, got {w}")
     if min_count < 2:
@@ -68,12 +77,23 @@ def remove_duplicate_spans(
     # when the source plans 1-2 partitions, and take the driver-side
     # small-input verdict for the cache gate below
     docs, _, small = _spread_and_gate(docs, id_col)
-    d = docs.na.drop(subset=[id_col]).select(
-        F.col(id_col).alias("__id"),
-        # NULL text behaves as '' (explicit, not via null-propagating
-        # split/size which would yield NULL n_removed)
-        F.coalesce(F.col(col), F.lit("")).alias("__text"),
-    )
+    if tokens:
+        # NULL array behaves as [] — same explicit default as text ''
+        elem = docs.schema[col].dataType.simpleString()
+        d = docs.na.drop(subset=[id_col]).select(
+            F.col(id_col).alias("__id"),
+            F.coalesce(F.col(col), F.expr(f"CAST(array() AS {elem})")).alias(
+                "__toks"
+            ),
+        )
+    else:
+        d = docs.na.drop(subset=[id_col]).select(
+            F.col(id_col).alias("__id"),
+            # NULL text behaves as '' (explicit, not via
+            # null-propagating split/size which would yield NULL
+            # n_removed)
+            F.coalesce(F.col(col), F.lit("")).alias("__text"),
+        )
     # four consumers read this lineage (gram counts, dup probe, word
     # positions, the final rejoin): persist the ONE raw-text frame so
     # the source scans collapse to one (the gram build itself runs
@@ -86,7 +106,19 @@ def remove_duplicate_spans(
     if cache:
         d = d.persist()
 
-    sh = word_shingles("__text", w)
+    if tokens:
+        arr = F.col("__toks")
+        # w-token windows as array slices (empty below w tokens) —
+        # the token-array analogue of word_shingles
+        sh = F.when(
+            F.size(arr) >= w,
+            F.transform(
+                F.sequence(F.lit(0), F.size(arr) - w),
+                lambda i: F.slice(arr, i + 1, w),
+            ),
+        ).otherwise(F.expr("array()").cast(f"array<{elem}>"))
+    else:
+        sh = word_shingles("__text", w)
     if hash_grams:
         sh = F.transform(sh, lambda s: F.xxhash64(s))
     # (doc, 0-based start position, gram) for every full window
@@ -106,28 +138,36 @@ def remove_duplicate_spans(
     ).distinct()
 
     words = d.select(
-        "__id", F.posexplode(F.split("__text", " ")).alias("__p", "__w")
+        "__id",
+        F.posexplode(
+            F.col("__toks") if tokens else F.split("__text", " ")
+        ).alias("__p", "__w"),
     )
     kept = words.join(cov, ["__id", "__p"], "left_anti")
     # bounded per-doc reassembly (collect/sort/transform, the
     # materialize_packed pattern); docs scrubbed to nothing drop out
     # of the groupBy and are restored by the left join below
+    sorted_kept = F.transform(
+        F.array_sort(F.collect_list(F.struct("__p", "__w"))),
+        lambda s: s["__w"],
+    )
     rebuilt = kept.groupBy("__id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__p", "__w"))),
-                lambda s: s["__w"],
-            ),
-            " ",
+        (
+            sorted_kept if tokens else F.array_join(sorted_kept, " ")
         ).alias("__clean"),
         F.count("*").alias("__n_kept"),
     )
-    n_words = F.size(F.split("__text", " "))
+    if tokens:
+        n_words = F.size("__toks")
+        empty = F.expr("array()").cast(elem)
+    else:
+        n_words = F.size(F.split("__text", " "))
+        empty = F.lit("")
     out = (
         d.join(rebuilt, "__id", "left")
         .select(
             F.col("__id").alias(id_col),
-            F.coalesce("__clean", F.lit("")).alias(col),
+            F.coalesce("__clean", empty).alias(col),
             (n_words - F.coalesce("__n_kept", F.lit(0)))
             .cast("long")
             .alias("n_removed"),

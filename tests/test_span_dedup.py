@@ -110,3 +110,81 @@ def test_no_python_nodes(spark, docs_df):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_token_mode_matches_text_mode(spark):
+    """tokens=True over int arrays must produce exactly the arrays
+    whose space-joined rendering the text mode produces — randomized
+    corpora with planted duplicated spans, repeats-within-one-doc,
+    short docs, empty and NULL rows."""
+    import random
+
+    rng = random.Random(0x5EED)
+    docs = []
+    boiler = [rng.randrange(50) for _ in range(7)]
+    for i in range(60):
+        toks = [rng.randrange(50) for _ in range(rng.randint(0, 20))]
+        if i % 3 == 0:
+            pos = rng.randint(0, len(toks))
+            toks = toks[:pos] + boiler + toks[pos:]
+        if i % 7 == 0:
+            toks = toks + toks[:6]  # within-doc repeat fodder
+        docs.append((i, toks))
+    docs.append((1000, None))  # NULL array row
+    tok_df = spark.createDataFrame(docs, "doc_id long, tokens array<int>")
+    txt_df = spark.createDataFrame(
+        [(i, " ".join(map(str, t)) if t else "" if t is not None else None)
+         for i, t in docs],
+        "doc_id long, text string",
+    )
+    for w in (3, 5):
+        got_tok = {
+            r["doc_id"]: (list(r["tokens"]), r["n_removed"])
+            for r in remove_duplicate_spans(
+                tok_df, col="tokens", w=w, tokens=True
+            ).collect()
+        }
+        got_txt = {
+            r["doc_id"]: (r["text"], r["n_removed"])
+            for r in remove_duplicate_spans(txt_df, col="text", w=w).collect()
+        }
+        assert set(got_tok) == set(got_txt)
+        for d, (toks, nrem) in got_tok.items():
+            txt, nrem_t = got_txt[d]
+            if docs_empty_or_null(dict(docs).get(d)):
+                # text mode renders [] as '' whose split is [''] (one
+                # pseudo-word); token mode has genuinely zero tokens —
+                # compare only the token-mode contract here
+                assert toks == [] and nrem == 0
+                continue
+            assert " ".join(map(str, toks)) == txt, (w, d)
+            assert nrem == nrem_t, (w, d)
+
+
+def docs_empty_or_null(t):
+    return t is None or t == []
+
+
+def test_token_mode_hash_grams_identical(spark):
+    rows = [
+        (1, [1, 2, 3, 4, 5, 9, 9]),
+        (2, [7, 1, 2, 3, 4, 5, 8]),
+        (3, [6, 6, 6]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    plain = {
+        r["doc_id"]: list(r["tokens"])
+        for r in remove_duplicate_spans(
+            df, col="tokens", w=5, tokens=True
+        ).collect()
+    }
+    hashed = {
+        r["doc_id"]: list(r["tokens"])
+        for r in remove_duplicate_spans(
+            df, col="tokens", w=5, tokens=True, hash_grams=True
+        ).collect()
+    }
+    assert plain == hashed
+    # the shared [1,2,3,4,5] span is scrubbed from both docs
+    assert plain[1] == [9, 9] and plain[2] == [7, 8]
+    assert plain[3] == [6, 6, 6]
