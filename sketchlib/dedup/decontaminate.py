@@ -52,6 +52,24 @@ def word_shingles(col: str, w: int):
     ).otherwise(F.array().cast("array<string>"))
 
 
+def array_shingles(arr, w: int, elem_type: str):
+    """Array of the ``w``-element windows of an ARRAY column (empty
+    below ``w`` elements) — the token-array analogue of
+    ``word_shingles``, sharing its short-input guard (``sequence``
+    with a negative stop would generate a DESCENDING range, not an
+    empty one).  ``elem_type`` is the array column's simpleString
+    (e.g. ``"array<int>"``), used to type the empty branch."""
+    if w < 1:
+        raise ValueError(f"shingle width must be >= 1, got {w}")
+    return F.when(
+        F.size(arr) >= w,
+        F.transform(
+            F.sequence(F.lit(0), F.size(arr) - w),
+            lambda i: F.slice(arr, i + 1, w),
+        ),
+    ).otherwise(F.expr("array()").cast(f"array<{elem_type}>"))
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,

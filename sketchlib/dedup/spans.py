@@ -65,12 +65,24 @@ def remove_duplicate_spans(
     windows, the rebuilt column is the surviving token array in
     original order, and the plan is identical except there is no
     whitespace split — semantics match the text mode exactly on a
-    rendering (tests assert tokens-mode == text-mode on space-joined
-    token strings)."""
+    rendering whose elements contain no spaces (tests assert
+    tokens-mode == text-mode on space-joined int arrays; a
+    space-bearing array<string> column renders to different word
+    boundaries and voids that equivalence, not the op's own
+    semantics)."""
     if w < 1:
         raise ValueError(f"span width must be >= 1, got {w}")
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
+    if tokens:
+        from pyspark.sql.types import ArrayType
+
+        dt = docs.schema[col].dataType
+        if not isinstance(dt, ArrayType):
+            raise ValueError(
+                f"tokens=True requires an ARRAY column; {col!r} is "
+                f"{dt.simpleString()}"
+            )
     from sketchlib.spark.api import _spread_and_gate
 
     # shared helper: spread the raw docs before the split/gram build
@@ -80,11 +92,10 @@ def remove_duplicate_spans(
     if tokens:
         # NULL array behaves as [] — same explicit default as text ''
         elem = docs.schema[col].dataType.simpleString()
+        empty_arr = F.expr("array()").cast(elem)
         d = docs.na.drop(subset=[id_col]).select(
             F.col(id_col).alias("__id"),
-            F.coalesce(F.col(col), F.expr(f"CAST(array() AS {elem})")).alias(
-                "__toks"
-            ),
+            F.coalesce(F.col(col), empty_arr).alias("__toks"),
         )
     else:
         d = docs.na.drop(subset=[id_col]).select(
@@ -107,16 +118,9 @@ def remove_duplicate_spans(
         d = d.persist()
 
     if tokens:
-        arr = F.col("__toks")
-        # w-token windows as array slices (empty below w tokens) —
-        # the token-array analogue of word_shingles
-        sh = F.when(
-            F.size(arr) >= w,
-            F.transform(
-                F.sequence(F.lit(0), F.size(arr) - w),
-                lambda i: F.slice(arr, i + 1, w),
-            ),
-        ).otherwise(F.expr("array()").cast(f"array<{elem}>"))
+        from sketchlib.dedup.decontaminate import array_shingles
+
+        sh = array_shingles(F.col("__toks"), w, elem)
     else:
         sh = word_shingles("__text", w)
     if hash_grams:
@@ -159,7 +163,7 @@ def remove_duplicate_spans(
     )
     if tokens:
         n_words = F.size("__toks")
-        empty = F.expr("array()").cast(elem)
+        empty = empty_arr
     else:
         n_words = F.size(F.split("__text", " "))
         empty = F.lit("")

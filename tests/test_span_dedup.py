@@ -149,20 +149,13 @@ def test_token_mode_matches_text_mode(spark):
             for r in remove_duplicate_spans(txt_df, col="text", w=w).collect()
         }
         assert set(got_tok) == set(got_txt)
+        # empty/NULL rows need no carve-out for w >= 2: text mode's ''
+        # splits to one gram-less pseudo-word and outputs ('', 0),
+        # which equals the rendered token-mode ([], 0)
         for d, (toks, nrem) in got_tok.items():
             txt, nrem_t = got_txt[d]
-            if docs_empty_or_null(dict(docs).get(d)):
-                # text mode renders [] as '' whose split is [''] (one
-                # pseudo-word); token mode has genuinely zero tokens —
-                # compare only the token-mode contract here
-                assert toks == [] and nrem == 0
-                continue
             assert " ".join(map(str, toks)) == txt, (w, d)
             assert nrem == nrem_t, (w, d)
-
-
-def docs_empty_or_null(t):
-    return t is None or t == []
 
 
 def test_token_mode_hash_grams_identical(spark):
