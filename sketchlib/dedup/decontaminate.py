@@ -81,17 +81,43 @@ def decontaminate(
     fpr: float = 1e-6,
     return_contaminated: bool = False,
     broadcast_eval: bool = True,
+    tokens: bool = False,
 ) -> DataFrame:
     """Return the rows of ``train`` sharing fewer than ``threshold``
     ``shingle_w``-word shingles with ``eval_df`` (or only the
     contaminated rows with ``return_contaminated=True``).  Documents
     shorter than ``shingle_w`` words have no shingles and always
-    survive."""
+    survive.
+
+    ``tokens=True`` decontaminates directly on TOKEN-ARRAY columns
+    (the pre-tokenized training-sequence shape): shingles are
+    ``shingle_w``-token windows of both sides' arrays — no whitespace
+    split, no rendering round-trip.  Both columns must be arrays of
+    the same element type."""
     if threshold < 1:
         raise ValueError(f"threshold must be >= 1, got {threshold}")
     if method not in ("exact", "bloom"):
         raise ValueError(f"unknown method {method!r}")
-    sh = word_shingles(col, shingle_w)
+    if tokens:
+        from pyspark.sql.types import ArrayType
+
+        dt_t = train.schema[col].dataType
+        dt_e = eval_df.schema[col].dataType
+        for side, dt in (("train", dt_t), ("eval_df", dt_e)):
+            if not isinstance(dt, ArrayType):
+                raise ValueError(
+                    f"tokens=True requires ARRAY columns; {side}.{col!r} "
+                    f"is {dt.simpleString()}"
+                )
+        if dt_t.simpleString() != dt_e.simpleString():
+            raise ValueError(
+                f"token element types differ: train {dt_t.simpleString()} "
+                f"vs eval {dt_e.simpleString()} — shingle equality would "
+                "silently never match"
+            )
+        sh = array_shingles(F.col(col), shingle_w, dt_t.simpleString())
+    else:
+        sh = word_shingles(col, shingle_w)
     ev = eval_df.select(F.explode(sh).alias("__sh")).distinct()
     if method == "exact":
         tr = train.select(

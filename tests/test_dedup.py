@@ -574,3 +574,74 @@ def test_incremental_dedup_rejects_geometry_args_with_state(spark):
         ingest_batch(df, "key", state, fpr=1e-9)
     with pytest.raises(ValueError, match="geometry"):
         ingest_batch(df, "key", state, capacity=123)
+
+
+def test_decontaminate_token_mode_matches_text_mode(spark):
+    """tokens=True (exact + bloom) must keep exactly the ids the text
+    mode keeps on the space-joined rendering, and the upfront type
+    checks must reject non-array / mismatched-element inputs."""
+    import random
+
+    from sketchlib.dedup.decontaminate import decontaminate
+
+    rng = random.Random(0xD0C)
+    leak = [rng.randrange(100) for _ in range(6)]
+    rows = []
+    for i in range(80):
+        toks = [rng.randrange(100) for _ in range(rng.randint(0, 15))]
+        if i % 9 == 0:
+            pos = rng.randint(0, len(toks))
+            toks = toks[:pos] + leak + toks[pos:]
+        rows.append((i, toks))
+    train_tok = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    eval_tok = spark.createDataFrame(
+        [(1000, leak + [1, 2, 3])], "doc_id long, tokens array<int>"
+    )
+    train_txt = spark.createDataFrame(
+        [(i, " ".join(map(str, t))) for i, t in rows],
+        "doc_id long, text string",
+    )
+    eval_txt = spark.createDataFrame(
+        [(1000, " ".join(map(str, leak + [1, 2, 3])))],
+        "doc_id long, text string",
+    )
+    want = {
+        r["doc_id"]
+        for r in decontaminate(
+            train_txt, eval_txt, shingle_w=6, threshold=1
+        ).collect()
+    }
+    assert want != {i for i, _ in rows}  # some contamination happened
+    for method in ("exact", "bloom"):
+        got = {
+            r["doc_id"]
+            for r in decontaminate(
+                train_tok,
+                eval_tok,
+                col="tokens",
+                shingle_w=6,
+                threshold=1,
+                method=method,
+                fpr=1e-9,
+                tokens=True,
+            ).collect()
+        }
+        assert got == want, method
+    # contaminated complement
+    bad = {
+        r["doc_id"]
+        for r in decontaminate(
+            train_tok, eval_tok, col="tokens", shingle_w=6,
+            threshold=1, tokens=True, return_contaminated=True,
+        ).collect()
+    }
+    assert bad == {i for i, _ in rows} - want
+    with pytest.raises(ValueError, match="ARRAY"):
+        decontaminate(train_txt, eval_txt, col="text", tokens=True)
+    eval_big = eval_tok.select(
+        "doc_id", F.col("tokens").cast("array<bigint>").alias("tokens")
+    )
+    with pytest.raises(ValueError, match="element types differ"):
+        decontaminate(
+            train_tok, eval_big, col="tokens", tokens=True
+        )
