@@ -1231,6 +1231,15 @@ def with_global_rank(
     non-null keys (or align the engine's null order) when comparing."""
     if n_shards is not None and n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if not 1 <= order_buckets <= (1 << 20):
+        # the per-bucket offsets ship as a driver-built literal array
+        # dense over 0..max bucket (~order_buckets entries), and the
+        # hash-bucket path casts the bucket to int — a huge value
+        # would overflow the cast / bloat the plan obscurely instead
+        # of failing here
+        raise ValueError(
+            f"order_buckets must be in [1, 2^20], got {order_buckets}"
+        )
     if shard_mode not in ("striped", "contiguous"):
         raise ValueError(
             f"shard_mode must be striped/contiguous, got {shard_mode!r}"

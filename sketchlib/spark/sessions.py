@@ -32,6 +32,14 @@ from pyspark.sql.window import Window
 #: both timestamp flavors (parquet without timezone reads as NTZ)
 _TS_TYPES = (TimestampType, TimestampNTZType)
 
+#: default hot-bucket threshold for interval_join(max_bucket_pairs=
+#: "auto"): candidate pairs per (by, bucket) key above which the fine
+#: sub-split grid beats the coarse single join.  Measured with
+#: tools/stress_interval.py on the 32-vCPU reference box (crossover
+#: ~5e9 candidates/bucket; 3.1x ahead by 24e9) — set slightly below so
+#: the mitigation engages by the time it pays.
+AUTO_MAX_BUCKET_PAIRS = 4_000_000_000
+
 
 def epoch_micros(col_name: str, dtype) -> Column:
     """Exact int64 epoch-microseconds.  TIMESTAMP uses unix_micros;
@@ -228,7 +236,7 @@ def interval_join(
     hi_col: str,
     by: list[str] | None = None,
     bucket: str = "7 days",
-    max_bucket_pairs: int | None = None,
+    max_bucket_pairs: int | None | str = "auto",
     max_fine_split: int = 4096,
 ) -> DataFrame:
     """Range join: every (point, interval) pair with
@@ -252,11 +260,12 @@ def interval_join(
     but not the candidate-pair blowup — all points and all intervals
     of one time bucket still cross, the df^2 analogue of the ngram
     hot-gram case (one viral week: 1M short intervals x 10M points =
-    10^13 candidates for few true pairs).  ``max_bucket_pairs`` opts
-    into the LSH-style mitigation: a cheap per-bucket count probe (two
-    map-side-combinable aggs; only keys whose pts*ivs product exceeds
-    the threshold are collected, so the probe result is bounded by
-    total_candidates / max_bucket_pairs rows), and every hot bucket is
+    10^13 candidates for few true pairs).  ``max_bucket_pairs``
+    controls the LSH-style mitigation: a cheap per-bucket count probe
+    (two map-side-combinable aggs; only keys whose pts*ivs product
+    exceeds the threshold are collected, so the probe result is
+    bounded by total_candidates / max_bucket_pairs rows), and every
+    hot bucket is
     SUB-SPLIT on a finer time grid (bucket/k, k sized so the worst
     bucket fits the threshold, capped at ``max_fine_split``): points
     land in one fine slot, intervals explode into the fine slots they
@@ -267,9 +276,23 @@ def interval_join(
     broadcast hot-key list).  Sub-splitting only pays off when
     intervals are SHORT relative to the bucket; intervals genuinely
     spanning the hot bucket cross every point regardless (that output
-    is the true result).  Default None = zero extra jobs.  Measured
+    is the true result).
+
+    Default ``"auto"`` = the probe runs with the measured crossover
+    threshold (:data:`AUTO_MAX_BUCKET_PAIRS`, ~where sub-splitting
+    starts beating the coarse join on tools/stress_interval.py), so a
+    skewed time axis takes the mitigation WITHOUT a caller flag at the
+    cost of one tiny probe job; pass an int to tune the threshold or
+    ``None`` to skip the probe entirely (zero extra jobs).  Measured
     crossover: tools/stress_interval.py + BASELINE.md."""
     by = list(by or [])
+    if isinstance(max_bucket_pairs, str):
+        if max_bucket_pairs != "auto":
+            raise ValueError(
+                f"max_bucket_pairs must be an int, None or 'auto', "
+                f"got {max_bucket_pairs!r}"
+            )
+        max_bucket_pairs = AUTO_MAX_BUCKET_PAIRS
     for scratch in ("__b", "__f"):
         if scratch in points.columns or scratch in intervals.columns:
             raise ValueError(f"column '{scratch}' already exists")
@@ -321,12 +344,12 @@ def interval_join(
     if not hot_rows:
         joined = pts.join(ivs, on=key, how="inner")
     else:
-        import math
-
         spark = points.sparkSession
         max_pairs = max(r["__pairs"] for r in hot_rows)
+        # integer ceiling: float true-division loses precision above
+        # 2^53 candidate pairs and can undersize the fine grid
         k = min(
-            int(math.ceil(max_pairs / max_bucket_pairs)), max_fine_split
+            -(-max_pairs // max_bucket_pairs), max_fine_split
         )
         w2 = max(width_us // k, 1)
         hot_keys = F.broadcast(

@@ -255,6 +255,26 @@ def with_repetition_stats(df: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
+#: the internal vocabulary frame persisted by the most recent
+#: tfidf_keywords call (None when released) — see release_tfidf_cache
+_last_internal_vocab: DataFrame | None = None
+
+
+def release_tfidf_cache() -> None:
+    """Unpersist the internal vocabulary cached by the most recent
+    :func:`tfidf_keywords` call (no-op when none is held).  Called
+    automatically at the start of every internal-vocab
+    ``tfidf_keywords`` run, so loops over corpora hold at most one
+    cached frame; call it explicitly once the last returned frame has
+    been materialized to drop that final one too.  Releasing early is
+    always safe — an unevaluated consumer just recomputes the
+    vocabulary instead of reading the cache."""
+    global _last_internal_vocab
+    if _last_internal_vocab is not None:
+        _last_internal_vocab.unpersist()
+        _last_internal_vocab = None
+
+
 def tfidf_keywords(
     df: DataFrame,
     col: str = "text",
@@ -296,15 +316,20 @@ def tfidf_keywords(
     # corpus-scale vocabulary (default min_df=1) can blow past the
     # broadcast/driver limits — fall back to a shuffle join then.
     # The INTERNAL vocab is persisted so the count and the join share
-    # one evaluation (session-lifetime cache, one frame per call —
-    # loops over many corpora should spark.catalog.clearCache()); a
-    # CALLER-supplied vocab is never persisted here (that would be a
-    # visible side effect on their frame — persist it yourself when
-    # reusing it across calls).
+    # one evaluation.  At most ONE such frame stays cached: each call
+    # releases the previous call's (so loops over many corpora hold a
+    # bounded cache instead of accumulating executor memory), and
+    # release_tfidf_cache() drops the last one.  A CALLER-supplied
+    # vocab is never persisted here (that would be a visible side
+    # effect on their frame — persist it yourself when reusing it
+    # across calls).
     if vocab is None:
+        release_tfidf_cache()
         vocab = vocabulary(df, col, min_df=min_df).persist(
             StorageLevel.MEMORY_AND_DISK
         )
+        global _last_internal_vocab
+        _last_internal_vocab = vocab
     n_terms = vocab.count()
     vocab_side = (
         F.broadcast(vocab) if n_terms <= max_broadcast_terms else vocab

@@ -103,3 +103,19 @@ def test_top_k_small_plan_is_single_window(spark):
     # Spark's own rank-limit pushdown partial-top-ks before the
     # shuffle even in the single-window plan
     assert "WindowGroupLimit" in plan
+
+
+def test_order_buckets_bounds_validated(spark):
+    """order_buckets rides into a driver-built literal offsets array
+    and a 32-bit bucket cast — out-of-range values must fail loudly
+    upfront (advisor r6), in both with_global_rank and shuffle_rows."""
+    import pytest
+
+    from sketchlib.spark.api import shuffle_rows, with_global_rank
+
+    df = spark.range(0, 10).select(F.col("id").alias("doc_id"))
+    for bad in (0, -5, (1 << 20) + 1, 1 << 31):
+        with pytest.raises(ValueError, match="order_buckets"):
+            with_global_rank(df, "doc_id", order_buckets=bad).collect()
+        with pytest.raises(ValueError, match="order_buckets"):
+            shuffle_rows(df, order_buckets=bad).collect()

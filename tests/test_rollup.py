@@ -245,3 +245,28 @@ def test_interval_join_skew_validation(spark, events_df, intervals_df):
         interval_join(
             events_df, intervals_df, "ts", "lo", "hi", max_bucket_pairs=0
         )
+    with pytest.raises(ValueError, match="max_bucket_pairs"):
+        interval_join(
+            events_df, intervals_df, "ts", "lo", "hi",
+            max_bucket_pairs="always",
+        )
+
+
+def test_interval_join_auto_default(spark, events_df, intervals_df):
+    """The default is now max_bucket_pairs='auto': the count probe
+    runs (one tiny job), but at this scale no bucket crosses the
+    crossover threshold, so the plan stays the single coarse join and
+    the pairs match an explicit None run exactly."""
+    auto = interval_join(events_df, intervals_df, "ts", "lo", "hi",
+                         bucket="1 hour")
+    plan = auto._jdf.queryExecution().analyzed().toString()
+    assert "__f" not in plan and "Union" not in plan
+    base = {
+        (r["event_id"], r["interval_id"])
+        for r in interval_join(
+            events_df, intervals_df, "ts", "lo", "hi",
+            bucket="1 hour", max_bucket_pairs=None,
+        ).collect()
+    }
+    got = {(r["event_id"], r["interval_id"]) for r in auto.collect()}
+    assert got == base

@@ -276,3 +276,41 @@ def test_tfidf_broadcast_gate(spark):
     sj_logical = sj._jdf.queryExecution().analyzed().toString()
     assert "broadcast" in bc_logical.lower()
     assert "broadcast" not in sj_logical.lower()
+
+
+def test_tfidf_cache_released_between_calls(spark):
+    """The internal vocabulary persist is bounded: each tfidf_keywords
+    call releases the previous call's cached frame, and
+    release_tfidf_cache() drops the final one (advisor r6: loops over
+    corpora accumulated one session-lifetime cached frame per call)."""
+    from sketchlib.text import analysis
+    from sketchlib.text.analysis import release_tfidf_cache, tfidf_keywords
+
+    release_tfidf_cache()
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta delta alpha")],
+        "doc_id long, text string",
+    )
+    df2 = spark.createDataFrame(
+        [(1, "zeta eta theta"), (2, "eta iota zeta")],
+        "doc_id long, text string",
+    )
+    tfidf_keywords(df, k=1).collect()
+    v1 = analysis._last_internal_vocab
+    assert v1 is not None and v1.storageLevel.useMemory
+    # second call over a DIFFERENT corpus (Spark's cache manager keys
+    # by logical plan — an identical plan would re-cache v1's entry)
+    tfidf_keywords(df2, k=1).collect()
+    v2 = analysis._last_internal_vocab
+    assert v2 is not v1
+    assert not v1.storageLevel.useMemory  # previous frame released
+    assert v2.storageLevel.useMemory
+    release_tfidf_cache()
+    assert analysis._last_internal_vocab is None
+    assert not v2.storageLevel.useMemory
+    # caller-supplied vocab is never tracked or persisted here
+    from sketchlib.text.analysis import vocabulary
+
+    v = vocabulary(df, "text")
+    tfidf_keywords(df, k=1, vocab=v).collect()
+    assert analysis._last_internal_vocab is None
