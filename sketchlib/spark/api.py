@@ -345,12 +345,35 @@ def corpus_overlap(
     }
 
 
+#: the per-group states frame persisted by the most recent
+#: distributed-path overlap_matrix call (None when released) — see
+#: release_overlap_cache
+_last_overlap_states: DataFrame | None = None
+
+
+def release_overlap_cache() -> None:
+    """Unpersist the per-group sketch-states frame cached by the most
+    recent distributed-path :func:`overlap_matrix` call (no-op when
+    none is held).  Called automatically at the start of every
+    overlap_matrix run, so loops hold at most one cached frame; call
+    it explicitly once the last returned frame has been materialized.
+    Releasing early is always safe — an unevaluated consumer just
+    recomputes the grouped sketches instead of reading the cache."""
+    global _last_overlap_states
+    if _last_overlap_states is not None:
+        _last_overlap_states.unpersist()
+        _last_overlap_states = None
+
+
 def overlap_matrix(
     df: DataFrame,
     group_col: str,
     col: str,
     k: int = 4096,
     is_array: bool = False,
+    max_groups: int = 50_000,
+    driver_max_groups: int = 512,
+    target_block: int = 48,
 ) -> DataFrame:
     """Pairwise set-overlap estimates between every pair of groups of
     one table — "how much does each source's key set overlap every
@@ -380,44 +403,158 @@ def overlap_matrix(
     ``is_array=True`` treats ``col`` as a token array (the
     pre-tokenized training-sequence shape): the per-group sets are the
     DISTINCT TOKENS of each group, hashed element-wise in the Arrow
-    feeder — no explode, no shuffle of exploded rows."""
+    feeder — no explode, no shuffle of exploded rows.
+
+    Group cardinality is probed upfront (the states frame is persisted
+    so the probe and the consumer share one evaluation of the heavy
+    agg): above ``max_groups`` the call REFUSES with a pointer at the
+    assumed-small-G contract (a high-cardinality group column — e.g.
+    grouping by a key by mistake — would otherwise quietly build a
+    G^2/2-row product); group values must be mutually orderable (the
+    canonical group_a < group_b orientation), checked on the probe.
+
+    Up to ``driver_max_groups`` groups the pairwise algebra runs
+    driver-side on the collected KB states (G^2/2 tiny numpy ops —
+    cheapest plan by far at tens of sources).  Beyond it the pairs are
+    computed EXECUTOR-SIDE by a blocked all-pairs stage: groups hash
+    into B = ceil(G / target_block) blocks, every state row ships to
+    its B block-pair tasks (one explode of a B-element task-id array —
+    shuffle volume G x B states, ~sqrt of the naive pair-row product),
+    and each task runs the SAME per-pair sketch algebra over its <=
+    2*target_block deserialized states, so both paths return
+    identical values and driver RSS stays flat at any G.  In the
+    distributed path the states frame stays persisted until the
+    returned frame is materialized; at most one such frame is held
+    (each call releases the previous — :func:`release_overlap_cache`
+    drops the last)."""
+    import pandas as pd
+
     from sketchlib.core.theta import ThetaSketch
 
+    def _pair_stats(ga, gb, a, b):
+        if gb < ga:
+            ga, gb, a, b = gb, ga, b, a
+        return (
+            ga,
+            gb,
+            float(a.estimate()),
+            float(b.estimate()),
+            float(a.intersect_estimate(b)),
+            float(a.union_estimate(b)),
+            float(a.jaccard_estimate(b)),
+            float(max(a.relative_std_error(), b.relative_std_error())),
+        )
+
+    release_overlap_cache()
     kind = KIND_ARRAY_HASH if is_array else KIND_HASH64
-    rows = grouped_sketch(
+    states = grouped_sketch(
         df, [group_col], col, lambda: ThetaSketch(k=k), kind
-    ).collect()
-    sks: dict = {}
-    for r in rows:
-        sk = serde.from_bytes(r["state"])
-        g = r[group_col]
-        if g in sks:
-            sks[g] = sks[g].merge(sk)  # defensive: duplicate state rows
-        else:
-            sks[g] = sk
-    groups = sorted(sks)  # no None keys: grouped_sketch drops null-key rows
-    out = []
-    for i, ga in enumerate(groups):
-        for gb in groups[i + 1 :]:
-            a, b = sks[ga], sks[gb]
-            out.append(
-                (
-                    ga,
-                    gb,
-                    float(a.estimate()),
-                    float(b.estimate()),
-                    float(a.intersect_estimate(b)),
-                    float(a.union_estimate(b)),
-                    float(a.jaccard_estimate(b)),
-                    float(max(a.relative_std_error(), b.relative_std_error())),
-                )
-            )
+    ).persist()
+    keys = [r[0] for r in states.select(group_col).collect()]
+    if len(keys) > max_groups:
+        states.unpersist()
+        raise ValueError(
+            f"overlap_matrix: {len(keys)} distinct groups exceeds "
+            f"max_groups={max_groups}.  The op builds G*(G-1)/2 pair "
+            "rows — it assumes a SMALL group column (sources, shards, "
+            "languages), not a key.  Raise max_groups only if the "
+            "quadratic output is really what you want."
+        )
+    try:
+        keys.sort()  # orderability probe for the group_a < group_b contract
+    except TypeError:
+        states.unpersist()
+        raise TypeError(
+            f"overlap_matrix: values of group column {group_col!r} must "
+            "be mutually orderable (canonical group_a < group_b pairs)"
+        )
     gtype = df.select(group_col).schema.fields[0].dataType.simpleString()
-    return df.sparkSession.createDataFrame(
-        out,
+    out_schema = (
         f"group_a {gtype}, group_b {gtype}, distinct_a double, "
         "distinct_b double, intersection double, union double, "
-        "jaccard double, rse double",
+        "jaccard double, rse double"
+    )
+    spark = df.sparkSession
+
+    if len(keys) <= driver_max_groups:
+        rows = states.collect()
+        states.unpersist()
+        sks: dict = {}
+        for r in rows:
+            sk = serde.from_bytes(r["state"])
+            g = r[group_col]
+            if g in sks:
+                sks[g] = sks[g].merge(sk)  # defensive: duplicate state rows
+            else:
+                sks[g] = sk
+        groups = sorted(sks)  # no None keys: grouped_sketch drops nulls
+        out = [
+            _pair_stats(ga, gb, sks[ga], sks[gb])
+            for i, ga in enumerate(groups)
+            for gb in groups[i + 1 :]
+        ]
+        return spark.createDataFrame(out, out_schema)
+
+    # blocked all-pairs stage
+    global _last_overlap_states
+    _last_overlap_states = states
+    n_blocks = max(2, -(-len(keys) // target_block))
+    cols = [group_col, "state"]
+
+    def _task_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        p, q = divmod(int(pdf["__task"].iloc[0]), n_blocks)
+        sks: dict = {}
+        blocks: dict = {}
+        for g, blob, blk in zip(
+            pdf[group_col], pdf["state"], pdf["__block"]
+        ):
+            sk = serde.from_bytes(blob)
+            if g in sks:
+                sks[g] = sks[g].merge(sk)  # defensive: duplicate rows
+            else:
+                sks[g] = sk
+                blocks[g] = int(blk)
+        gs = sorted(sks)
+        if p == q:
+            out = [
+                _pair_stats(ga, gb, sks[ga], sks[gb])
+                for i, ga in enumerate(gs)
+                for gb in gs[i + 1 :]
+            ]
+        else:
+            side_p = [g for g in gs if blocks[g] == p]
+            side_q = [g for g in gs if blocks[g] == q]
+            out = [
+                _pair_stats(ga, gb, sks[ga], sks[gb])
+                for ga in side_p
+                for gb in side_q
+            ]
+        return pd.DataFrame(
+            out,
+            columns=[
+                "group_a", "group_b", "distinct_a", "distinct_b",
+                "intersection", "union", "jaccard", "rse",
+            ],
+        )
+
+    blk = F.pmod(F.xxhash64(F.col(group_col)), F.lit(n_blocks))
+    fanned = (
+        states.select(*cols, blk.cast("int").alias("__block"))
+        .withColumn(
+            "__task",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+                    lambda q: F.least(F.col("__block"), q) * n_blocks
+                    + F.greatest(F.col("__block"), q),
+                )
+            ),
+        )
+    )
+    return (
+        fanned.groupBy("__task")
+        .applyInPandas(_task_pairs, schema=out_schema)
+        .orderBy("group_a", "group_b")
     )
 
 

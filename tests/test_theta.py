@@ -193,6 +193,50 @@ def test_overlap_matrix_token_arrays(spark):
     assert abs(r["jaccard"] - 1 / 3) <= 0.05
 
 
+def test_overlap_matrix_distributed_parity(spark):
+    """Above driver_max_groups the pairwise algebra moves into a
+    blocked executor-side stage — it must return EXACTLY the driver
+    path's values (same ThetaSketch algebra per pair), just computed
+    with flat driver RSS; the states cache is bounded and releasable."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark import api
+    from sketchlib.spark.api import overlap_matrix, release_overlap_cache
+
+    # 12 groups over sliding integer ranges -> plenty of real overlaps
+    df = (
+        spark.range(60_000)
+        .select(
+            F.concat(F.lit("s"), (F.col("id") % 12).cast("string")).alias("src"),
+            (F.col("id") % 7_000).alias("key"),
+        )
+        .repartition(8)
+    )
+    drv = overlap_matrix(df, "src", "key", k=512).collect()
+    assert api._last_overlap_states is None  # driver path holds nothing
+    dist = overlap_matrix(
+        df, "src", "key", k=512, driver_max_groups=4, target_block=3
+    )
+    got = dist.collect()
+    assert api._last_overlap_states is not None
+    assert [tuple(r) for r in got] == [tuple(r) for r in drv]
+    assert len(got) == 12 * 11 // 2
+    release_overlap_cache()
+    assert api._last_overlap_states is None
+
+    # single group through the distributed path: well-formed empty frame
+    one = spark.range(100).select(
+        F.lit("only").alias("src"), F.col("id").alias("key")
+    )
+    assert overlap_matrix(one, "src", "key", driver_max_groups=0).count() == 0
+    release_overlap_cache()
+
+    # the assumed-small-G contract fails loudly (advisor r6)
+    with pytest.raises(ValueError, match="max_groups"):
+        overlap_matrix(df, "src", "key", k=512, max_groups=5)
+
+
 def test_exact_mode_set_algebra_property():
     """Below k the retained hashes ARE the (hashed) sets, so every
     set-operation estimate must be digit-exact against python sets —

@@ -9,6 +9,15 @@ exact answer to bound the sketch against AND the exact join has real
 work to do.
 
 Usage:  python tools/stress_overlap.py [n_rows_per_group] [n_groups]
+        python tools/stress_overlap.py wide [n_groups]
+
+``wide`` stresses the DISTRIBUTED blocked all-pairs path at large G
+(default 5,000 groups -> 12.5M pair rows): exact staircase key ranges
+(every neighbour pair jaccard exactly 1/3, every distant pair
+disjoint), all verification done with Spark-side aggregates — the
+pair table is never collected — and the driver python process's peak
+RSS is asserted flat (far below what materializing the pairs would
+cost).
 
 Run exclusively (no concurrent Spark on the box), like bench.py.
 Results recorded in BASELINE.md "overlap_matrix stress".
@@ -30,6 +39,7 @@ def main(n_rows: int, n_groups: int) -> None:
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "64")
         .config("spark.driver.memory", "16g")
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -112,8 +122,86 @@ def main(n_rows: int, n_groups: int) -> None:
     spark.stop()
 
 
-if __name__ == "__main__":
-    main(
-        int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000,
-        int(sys.argv[2]) if len(sys.argv) > 2 else 8,
+def main_wide(n_groups: int, k: int = 256) -> None:
+    import resource
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
     )
+    spark.sparkContext.setLogLevel("ERROR")
+    from sketchlib.spark.api import overlap_matrix, release_overlap_cache
+
+    # group g holds keys EXACTLY [g*1000, g*1000 + 2000): neighbour
+    # pairs intersect in exactly 1000 keys (jaccard 1/3), any pair two
+    # or more apart is disjoint — every one of the G*(G-1)/2 pairs has
+    # a closed-form answer without an exact join.
+    per, half = 2000, 1000
+    df = (
+        spark.range(n_groups * per)
+        .select(
+            (F.col("id") / per).cast("long").alias("source"),
+            (
+                (F.col("id") / per).cast("long") * half + F.pmod(F.col("id"), F.lit(per))
+            ).alias("key"),
+        )
+        .repartition(64)
+    )
+    t0 = time.time()
+    pairs = overlap_matrix(df, "source", "key", k=k)
+    rep = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.max(
+            F.when(
+                F.col("group_b") - F.col("group_a") == 1,
+                F.abs(F.col("jaccard") - 1.0 / 3.0),
+            )
+        ).alias("worst_nbr_jaccard_err"),
+        F.max(
+            F.when(
+                F.col("group_b") - F.col("group_a") >= 2, F.col("intersection")
+            )
+        ).alias("worst_disjoint_mass"),
+        F.max(
+            F.greatest(
+                F.abs(F.col("distinct_a") - per), F.abs(F.col("distinct_b") - per)
+            )
+            / per
+        ).alias("worst_distinct_err"),
+    ).collect()[0]
+    t = time.time() - t0
+    release_overlap_cache()
+    want_pairs = n_groups * (n_groups - 1) // 2
+    assert rep["n_pairs"] == want_pairs, rep
+    rse = 1.0 / (k - 2) ** 0.5  # k=256 -> ~6.3%
+    assert rep["worst_distinct_err"] <= 5 * rse, rep
+    # max over ~G neighbour pairs at k=256 (rse ~6.3%): allow ~3x
+    # the single-pair jaccard-algebra error
+    assert rep["worst_nbr_jaccard_err"] <= 0.2, rep
+    assert rep["worst_disjoint_mass"] <= 0.02 * per, rep
+    peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+    # flat-RSS claim: the 12.5M-pair table is never collected — the
+    # driver python process must stay far under what materializing it
+    # as rows would cost (multiple GB)
+    assert peak_mb < 2048, peak_mb
+    print(
+        f"overlap_wide_stress: groups={n_groups} pairs={rep['n_pairs']} "
+        f"k={k} wall={t:.1f}s driver_peak_rss_mb={peak_mb:.0f} "
+        f"worst_distinct_err={rep['worst_distinct_err']:.4f} "
+        f"worst_nbr_jaccard_err={rep['worst_nbr_jaccard_err']:.4f} "
+        f"worst_disjoint_mass={rep['worst_disjoint_mass']:.1f}"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "wide":
+        main_wide(int(sys.argv[2]) if len(sys.argv) > 2 else 5_000)
+    else:
+        main(
+            int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000,
+            int(sys.argv[2]) if len(sys.argv) > 2 else 8,
+        )
