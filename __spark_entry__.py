@@ -2322,6 +2322,65 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def q_tokens_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END tokens-mode pipeline: bpe_encode -> tokens-mode
+    decontaminate -> tokens-mode duplicate-span removal ->
+    materialize_packed, composed as ONE declarative pipeline spec
+    (per-step counts riding observe() nodes, fired by the single
+    collecting action) — proving the tokens-mode family composes, at
+    EXACT DuckDB value parity on counts and per-window token
+    checksums.
+
+    Parity construction: the corpus is first projected to <=2-char
+    words (a plain-SQL sql_select step, mirrored verbatim by the
+    oracle), so every word deterministically BPE-merges to exactly ONE
+    piece ``word + '</w>'``: single-char words have no symbol pairs,
+    and each distinct 2-char word is exactly one trained merge (~31
+    distinct pairs << num_merges=256, vocabulary << max_words) — real
+    merges are trained and applied, while the token pipeline stays
+    word-isomorphic, so the oracle can mirror shingle decontamination
+    (5-token windows <-> 5-word windows), span removal, and window
+    packing on the word sequences and reproduce the md5 of every
+    packed window's space-joined tokens."""
+    from sketchlib.pipeline import run_pipeline_spec
+
+    # single-file source: spread before the CPU-bound encode kernel
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(8)
+    )
+    spec = {
+        "steps": [
+            {"op": "sql_select", "exprs": [
+                "doc_id",
+                "array_join(transform(split(text, ' '), "
+                "w -> substring(w, 1, 2)), ' ') AS text",
+            ]},
+            {"op": "bpe_encode", "num_merges": 256},
+            {"op": "decontaminate", "tokens": True,
+             "eval_filter": "doc_id % 13 = 0", "shingle_w": 5},
+            {"op": "dedup_spans", "tokens": True, "w": 5},
+            {"op": "materialize_packed", "seq_len": 128,
+             "order_col": "doc_id"},
+        ]
+    }
+    out, counters = run_pipeline_spec(docs, spec)
+    wins = out.select(
+        F.lit("win").alias("kind"),
+        F.col("seq_id").cast("long").alias("k"),
+        F.col("n_tokens").cast("long").alias("v"),
+        F.md5(F.concat_ws(" ", "tokens")).alias("s"),
+    ).collect()  # the ONE action — fires every per-step observation
+    rows = [
+        ("step", i, int(obs.get["rows"]), label)
+        for i, (label, obs) in enumerate(counters)
+    ] + [tuple(r) for r in wins]
+    return spark.createDataFrame(
+        rows, "kind string, k bigint, v bigint, s string"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Gate registry.  ORDER MATTERS: the driver's correctness harness
     checks only the FIRST 50 entries, so the dict is windowed by
@@ -2332,6 +2391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     outside the window two rounds running."""
     return {
         # -- new / fixed this round ---------------------------------
+        "tokens_pipeline": q_tokens_pipeline,
         "pipeline_spec": q_pipeline_spec,
         "materialize_packed": q_materialize_packed,
         "overlap_matrix": q_overlap_matrix,
@@ -2556,6 +2616,63 @@ def oracle_sql() -> dict[str, str]:
             r"FROM documents"
         ),
         "pipeline_spec": _pipeline_spec_oracle_sql(),
+        "tokens_pipeline": (
+            # word-isomorphic mirror of the tokens-mode chain (every
+            # <=2-char word BPE-merges to one piece word||'</w>' — see
+            # q_tokens_pipeline): 5-token shingle decontamination
+            # against the doc_id%13 slice, 5-token duplicate-span
+            # removal among survivors, then concatenate-and-chunk
+            # packing at 128 with per-window md5 token checksums
+            "WITH prep AS (SELECT doc_id, list_transform("
+            "  string_split(text, ' '), w -> substr(w, 1, 2)) AS ws "
+            "  FROM documents), "
+            "words AS (SELECT doc_id, unnest(ws) AS word, "
+            "  generate_subscripts(ws, 1) AS pos, len(ws) AS n FROM prep), "
+            "sh AS (SELECT doc_id, pos, n, array_to_string(list(word) "
+            "  OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN "
+            "  CURRENT ROW AND 4 FOLLOWING), ' ') AS s FROM words), "
+            "full_sh AS (SELECT doc_id, s FROM sh WHERE pos <= n - 4), "
+            "ev AS (SELECT DISTINCT s FROM full_sh WHERE doc_id % 13 = 0), "
+            "bad AS (SELECT DISTINCT full_sh.doc_id FROM full_sh "
+            "  JOIN ev USING (s)), "
+            "clean AS (SELECT doc_id FROM prep "
+            "  WHERE doc_id NOT IN (SELECT doc_id FROM bad)), "
+            "cwords AS (SELECT w.* FROM words w JOIN clean USING (doc_id)), "
+            "g AS (SELECT doc_id, pos, n, array_to_string(list(word) "
+            "  OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN "
+            "  CURRENT ROW AND 4 FOLLOWING), ' ') AS gram FROM cwords), "
+            "occ AS (SELECT doc_id, pos, gram FROM g WHERE pos <= n - 4), "
+            "cnt AS (SELECT gram, count(*) AS c FROM occ GROUP BY 1), "
+            "dup AS (SELECT o.doc_id, o.pos FROM occ o "
+            "  JOIN cnt USING (gram) WHERE c >= 2), "
+            "cov AS (SELECT DISTINCT wo.doc_id, wo.pos FROM cwords wo "
+            "  JOIN dup d ON wo.doc_id = d.doc_id "
+            "  AND wo.pos BETWEEN d.pos AND d.pos + 4), "
+            "kept AS (SELECT wo.doc_id, wo.word, wo.pos FROM cwords wo "
+            "  ANTI JOIN cov USING (doc_id, pos)), "
+            "sized AS (SELECT doc_id, list(word ORDER BY pos) AS kws "
+            "  FROM kept GROUP BY doc_id), "
+            "sized2 AS (SELECT doc_id, kws, COALESCE(SUM(len(kws)) "
+            "  OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING "
+            "  AND 1 PRECEDING), 0) AS prior FROM sized), "
+            "toks AS (SELECT prior + generate_subscripts(kws, 1) - 1 "
+            "  AS gidx, unnest(kws) AS word FROM sized2), "
+            "wins AS (SELECT CAST(gidx // 128 AS BIGINT) AS k, "
+            "  CAST(count(*) AS BIGINT) AS v, "
+            "  md5(array_to_string(list(word || '</w>' ORDER BY gidx), "
+            "  ' ')) AS s FROM toks GROUP BY 1) "
+            "SELECT 'step' AS kind, CAST(0 AS BIGINT) AS k, "
+            "  (SELECT count(*) FROM documents) AS v, '0:sql_select' AS s "
+            "UNION ALL SELECT 'step', 1, "
+            "  (SELECT count(*) FROM documents), '1:bpe_encode' "
+            "UNION ALL SELECT 'step', 2, "
+            "  (SELECT count(*) FROM clean), '2:decontaminate' "
+            "UNION ALL SELECT 'step', 3, "
+            "  (SELECT count(*) FROM clean), '3:dedup_spans' "
+            "UNION ALL SELECT 'step', 4, "
+            "  (SELECT count(*) FROM wins), '4:materialize_packed' "
+            "UNION ALL SELECT 'win', k, v, s FROM wins"
+        ),
         "dedup_token_spans": (
             "SELECT * FROM (VALUES "
             "('rows_present', TRUE), "

@@ -176,10 +176,68 @@ def _step_decontaminate(df, p, ctx):
         eval_df = read_table(
             df.sparkSession, p["eval_path"], p.get("format", "auto")
         )
+    tokens = bool(p.get("tokens", False))
     return decontaminate(
-        df, eval_df, col=ctx["text_col"], id_col=ctx["id_col"],
+        df, eval_df,
+        col=ctx["tokens_col"] if tokens else ctx["text_col"],
+        id_col=ctx["id_col"],
         shingle_w=int(p.get("shingle_w", 5)),
         method=p.get("method", "exact"),
+        tokens=tokens,
+    )
+
+
+def _step_sql_select(df, p, ctx):
+    # engine-portable projection: the spec carries plain SQL
+    # expressions (run through Catalyst here, mirrorable verbatim by
+    # any SQL oracle)
+    return df.selectExpr(*list(p["exprs"]))
+
+
+def _step_bpe_encode(df, p, ctx):
+    # trains the merge table EAGERLY (one distributed word-count
+    # aggregate + the driver-side merge loop) on the step input —
+    # the only non-lazy step; encode itself is a lazy Arrow kernel.
+    # Downstream tokens-mode steps read ctx["tokens_col"].
+    from sketchlib.text.bpe import EOW, bpe_encode, train_bpe
+
+    eow = p.get("eow", EOW)
+    merges = train_bpe(
+        df, col=ctx["text_col"],
+        num_merges=int(p.get("num_merges", 256)),
+        max_words=int(p.get("max_words", 65536)),
+        eow=eow,
+    )
+    out_col = p.get("out_col", "bpe_tokens")
+    ctx["tokens_col"] = out_col
+    return bpe_encode(
+        df, merges, col=ctx["text_col"], out_col=out_col, eow=eow
+    )
+
+
+def _step_dedup_spans(df, p, ctx):
+    from sketchlib.dedup.spans import remove_duplicate_spans
+
+    tokens = bool(p.get("tokens", False))
+    return remove_duplicate_spans(
+        df,
+        col=ctx["tokens_col"] if tokens else ctx["text_col"],
+        id_col=ctx["id_col"],
+        w=int(p.get("w", 5)),
+        min_count=int(p.get("min_count", 2)),
+        tokens=tokens,
+    )
+
+
+def _step_materialize_packed(df, p, ctx):
+    # terminal layout step: output schema becomes
+    # [group_col?, seq_id, n_tokens, tokens]
+    from sketchlib.spark.api import materialize_packed
+
+    return materialize_packed(
+        df, tokens_col=ctx["tokens_col"], seq_len=int(p["seq_len"]),
+        order_col=p.get("order_col"), group_col=p.get("group_col"),
+        seed=int(p.get("seed", 42)),
     )
 
 
@@ -240,6 +298,10 @@ SPEC_STEPS = {
     "stratified_sample": _step_stratified_sample,
     "split": _step_split,
     "shuffle": _step_shuffle,
+    "sql_select": _step_sql_select,
+    "bpe_encode": _step_bpe_encode,
+    "dedup_spans": _step_dedup_spans,
+    "materialize_packed": _step_materialize_packed,
 }
 
 
@@ -253,13 +315,18 @@ def run_pipeline_spec(docs: DataFrame, spec: dict) -> tuple[DataFrame, list]:
     materializing action (write/count), never one scan per stage.
 
     Unknown ops fail upfront with the available names.  ``text_col``/
-    ``id_col`` default to text/doc_id and flow to every step."""
+    ``id_col`` default to text/doc_id and flow to every step;
+    ``tokens_col`` (default "tokens", reassigned by a ``bpe_encode``
+    step's out_col) names the token-array column that tokens-mode
+    steps (``decontaminate``/``dedup_spans`` with ``tokens: true``,
+    ``materialize_packed``) operate on."""
     steps = spec.get("steps")
     if not steps:
         raise ValueError("spec.steps must be a non-empty list")
     ctx = {
         "text_col": spec.get("text_col", "text"),
         "id_col": spec.get("id_col", "doc_id"),
+        "tokens_col": spec.get("tokens_col", "tokens"),
     }
     unknown = [s["op"] for s in steps if s["op"] not in SPEC_STEPS]
     if unknown:
