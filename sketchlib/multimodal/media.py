@@ -7,12 +7,15 @@ through mapInPandas, partition sizing, feature extraction — are real
 and tested.  The codec boundary is explicit:
 
 * ``decode_media(..., codec="real")`` decodes actual image bytes via
-  PIL, ``decode_audio`` via soundfile, and ``decode_video_frames``
-  via PyAV/ffmpeg — each behind a module-load capability probe
-  (HAS_PIL / HAS_SOUNDFILE / HAS_PYAV), raising
-  ``NotImplementedError`` when the library is absent.  The real
-  branches activate the day the environment provides the library, and
-  are covered by skip-marked tests that run wherever it exists.
+  PIL, ``decode_audio`` via the BUILT-IN numpy RIFF/WAVE parser (PCM +
+  IEEE float — always available, no library) falling back to soundfile
+  for compressed formats, and ``decode_video_frames`` via PyAV/ffmpeg
+  — the library paths behind module-load capability probes (HAS_PIL /
+  HAS_SOUNDFILE / HAS_PYAV), raising ``NotImplementedError`` when the
+  library is absent.  The real branches activate the day the
+  environment provides the library, and are covered by skip-marked
+  tests that run wherever it exists; the WAV path is covered
+  unconditionally.
 * ``codec="fake"`` (default in tests) decodes deterministically:
   the payload bytes tile into the (height, width, channels) array the
   metadata declares — so resize/feature/frame ops run on real numpy
@@ -129,25 +132,126 @@ def decode_media(payload: bytes, meta: dict, codec: str = "fake") -> np.ndarray:
     )
 
 
+def parse_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Numpy-only RIFF/WAVE decoder (public container format — no
+    external codec library): PCM uint8/int16/int24/int32 and IEEE
+    float32/float64, including WAVE_FORMAT_EXTENSIBLE wrappers.
+    Returns ((n_samples, channels) float32 in [-1, 1], sample_rate).
+    Chunk walk per the RIFF spec: 8-byte (id, size) headers, bodies
+    word-aligned; fmt fields little-endian."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunk bodies are word-aligned
+    if fmt is None or len(fmt) < 16 or data is None:
+        raise ValueError("WAVE payload missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = max(int.from_bytes(fmt[2:4], "little"), 1)
+    sr = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format == 0xFFFE and len(fmt) >= 26:
+        # EXTENSIBLE: the real format code leads the SubFormat GUID
+        audio_format = int.from_bytes(fmt[24:26], "little")
+    if audio_format == 1:  # integer PCM
+        if bits == 8:  # 8-bit WAV is unsigned by convention
+            wave = (np.frombuffer(data, np.uint8).astype(np.float32) - 128.0) / 128.0
+        elif bits == 16:
+            wave = np.frombuffer(
+                data[: len(data) - len(data) % 2], "<i2"
+            ).astype(np.float32) / 32768.0
+        elif bits == 24:
+            b = np.frombuffer(data[: len(data) - len(data) % 3], np.uint8)
+            tri = b.reshape(-1, 3).astype(np.uint32)
+            # sign-extend via the int32 shift trick: place the 3 bytes
+            # in the high bits, then arithmetic-shift back down
+            x = (tri[:, 0] << 8) | (tri[:, 1] << 16) | (tri[:, 2] << 24)
+            wave = (x.astype(np.int32) >> 8).astype(np.float32) / 8388608.0
+        elif bits == 32:
+            wave = np.frombuffer(
+                data[: len(data) - len(data) % 4], "<i4"
+            ).astype(np.float32) / 2147483648.0
+        else:
+            raise ValueError(f"unsupported PCM bit depth {bits}")
+    elif audio_format == 3:  # IEEE float
+        if bits == 32:
+            wave = np.frombuffer(data[: len(data) - len(data) % 4], "<f4")
+        elif bits == 64:
+            wave = np.frombuffer(
+                data[: len(data) - len(data) % 8], "<f8"
+            ).astype(np.float32)
+        else:
+            raise ValueError(f"unsupported float bit depth {bits}")
+        wave = wave.astype(np.float32, copy=False)
+    else:
+        raise ValueError(
+            f"unsupported WAVE format code {audio_format} (PCM and "
+            "IEEE float supported; compressed formats need soundfile)"
+        )
+    n = wave.size - wave.size % channels
+    return wave[:n].reshape(-1, channels), sr
+
+
+def encode_wav(wave: np.ndarray, sr: int) -> bytes:
+    """Numpy-only 16-bit PCM WAV encoder (exact inverse shape of
+    :func:`parse_wav` up to int16 quantization): wave is (n_samples,)
+    or (n_samples, channels) float in [-1, 1]."""
+    w = np.asarray(wave, dtype=np.float32)
+    if w.ndim == 1:
+        w = w[:, None]
+    ch = w.shape[1]
+    pcm = np.clip(np.rint(w * 32767.0), -32768, 32767).astype("<i2").tobytes()
+    fmt = (
+        (1).to_bytes(2, "little")
+        + ch.to_bytes(2, "little")
+        + int(sr).to_bytes(4, "little")
+        + (int(sr) * ch * 2).to_bytes(4, "little")  # byte rate
+        + (ch * 2).to_bytes(2, "little")  # block align
+        + (16).to_bytes(2, "little")
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(pcm).to_bytes(4, "little") + pcm
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
 def decode_audio(
     payload: bytes, meta: dict, codec: str = "fake"
 ) -> tuple[np.ndarray, int]:
     """Decode one audio payload to ((n_samples, channels) float32 in
     [-1, 1], sample_rate).
 
-    codec="real" decodes actual audio bytes (wav/flac/ogg) with
-    soundfile when the module probe found it (sample rate and channel
-    count come from the container, not the metadata); otherwise raises
-    ``NotImplementedError``.  codec="fake" tiles the payload bytes
-    into a deterministic int16-ish waveform with the metadata's
-    declared (sample_rate, channels) — one second of audio — so the
-    downstream feature math runs on realistic shapes."""
+    codec="real" decodes WAV/PCM payloads with the built-in numpy
+    :func:`parse_wav` (no external library needed — sample rate and
+    channel count come from the container, not the metadata) and other
+    formats (flac/ogg/mp3) with soundfile when the module probe found
+    it, raising ``NotImplementedError`` otherwise.  codec="fake" tiles
+    the payload bytes into a deterministic int16-ish waveform with the
+    metadata's declared (sample_rate, channels) — one second of audio
+    — so the downstream feature math runs on realistic shapes."""
     if codec == "real":
+        if (
+            len(payload or b"") >= 12
+            and payload[:4] == b"RIFF"
+            and payload[8:12] == b"WAVE"
+        ):
+            return parse_wav(payload)
         if not HAS_SOUNDFILE:
             raise NotImplementedError(
-                "real audio decoding requires soundfile (not available "
-                "in this container); use codec='fake' for the "
-                "deterministic test decoder"
+                "real audio decoding beyond WAV/PCM requires soundfile "
+                "(not available in this container); WAV payloads decode "
+                "via the built-in parse_wav, or use codec='fake' for "
+                "the deterministic test decoder"
             )
         import io
 

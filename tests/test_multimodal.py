@@ -185,24 +185,31 @@ def test_real_video_codec_gated():
 
 
 def test_real_audio_decode_roundtrip():
-    """Runs wherever soundfile exists: a WAV written by soundfile must
-    decode back to the same samples via decode_audio(codec='real')."""
-    from sketchlib.multimodal.media import HAS_SOUNDFILE, decode_audio
-
-    if not HAS_SOUNDFILE:
-        pytest.skip("soundfile not importable in this container")
-    import io
-
-    import soundfile as sf
+    """Real-codec WAV roundtrip, UNCONDITIONAL (the built-in numpy
+    parse_wav decodes RIFF/WAVE without soundfile); where soundfile
+    exists its independently-written FLOAT WAV is cross-checked too."""
+    from sketchlib.multimodal.media import (
+        HAS_SOUNDFILE,
+        decode_audio,
+        encode_wav,
+    )
 
     sr = 16000
     t = np.arange(sr, dtype=np.float32) / sr
     wave = (0.5 * np.sin(2 * np.pi * 440 * t)).reshape(-1, 1)
-    buf = io.BytesIO()
-    sf.write(buf, wave, sr, format="WAV", subtype="FLOAT")
-    got, got_sr = decode_audio(buf.getvalue(), {}, codec="real")
+    got, got_sr = decode_audio(encode_wav(wave, sr), {}, codec="real")
     assert got_sr == sr
-    np.testing.assert_allclose(got, wave, atol=1e-6)
+    np.testing.assert_allclose(got, wave, atol=1.0 / 32767)
+    if HAS_SOUNDFILE:
+        import io
+
+        import soundfile as sf
+
+        buf = io.BytesIO()
+        sf.write(buf, wave, sr, format="WAV", subtype="FLOAT")
+        got2, sr2 = decode_audio(buf.getvalue(), {}, codec="real")
+        assert sr2 == sr
+        np.testing.assert_allclose(got2, wave, atol=1e-6)
 
 
 def test_real_video_decode_frames():
@@ -233,3 +240,157 @@ def test_real_video_decode_frames():
     )
     assert [fi for fi, _ in frames] == [0, 2]
     assert all(f.shape == (24, 32, 3) for _, f in frames)
+
+
+# ---------------------------------------------------------- WAV/PCM (numpy)
+
+
+def test_wav_roundtrip_16bit_stereo():
+    """encode_wav -> parse_wav is exact up to int16 quantization, with
+    no external library — the always-available real audio path."""
+    from sketchlib.multimodal.media import decode_audio, encode_wav, parse_wav
+
+    sr = 8000
+    t = np.arange(sr, dtype=np.float32) / sr
+    wave = np.stack(
+        [0.5 * np.sin(2 * np.pi * 440 * t), 0.25 * np.cos(2 * np.pi * 220 * t)],
+        axis=1,
+    )
+    blob = encode_wav(wave, sr)
+    got, got_sr = parse_wav(blob)
+    assert got_sr == sr and got.shape == (sr, 2)
+    np.testing.assert_allclose(got, wave, atol=1.0 / 32767)
+    # decode_audio(codec='real') routes RIFF/WAVE payloads here even
+    # without soundfile
+    got2, _ = decode_audio(blob, {}, codec="real")
+    np.testing.assert_array_equal(got2, got)
+
+
+def test_wav_cross_validated_against_stdlib_writer():
+    """parse_wav agrees with a WAV written by the INDEPENDENT stdlib
+    `wave` module (different implementation, same public format)."""
+    import io
+    import wave as stdwave
+
+    from sketchlib.multimodal.media import parse_wav
+
+    sr, ch = 11025, 2
+    rng = np.random.default_rng(7)
+    pcm = rng.integers(-32768, 32767, size=(sr // 2, ch), dtype=np.int16)
+    buf = io.BytesIO()
+    with stdwave.open(buf, "wb") as w:
+        w.setnchannels(ch)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.astype("<i2").tobytes())
+    got, got_sr = parse_wav(buf.getvalue())
+    assert got_sr == sr
+    np.testing.assert_array_equal(
+        np.rint(got * 32768.0).astype(np.int16), pcm
+    )
+
+
+def _wav_bytes(fmt_code, bits, sr, ch, data, extensible=False):
+    fmt = (
+        (0xFFFE if extensible else fmt_code).to_bytes(2, "little")
+        + ch.to_bytes(2, "little")
+        + sr.to_bytes(4, "little")
+        + (sr * ch * bits // 8).to_bytes(4, "little")
+        + (ch * bits // 8).to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    if extensible:
+        # cbSize=22, validBits, channelMask, SubFormat GUID (format
+        # code leads)
+        fmt += (
+            (22).to_bytes(2, "little")
+            + bits.to_bytes(2, "little")
+            + (0).to_bytes(4, "little")
+            + fmt_code.to_bytes(2, "little")
+            + b"\x00\x00" + b"\x00" * 12
+        )
+    body = (
+        b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_wav_depths_and_float_and_extensible():
+    from sketchlib.multimodal.media import parse_wav
+
+    # 24-bit PCM: known values incl. negative (little-endian 3-byte)
+    vals = np.array([0, 1, -1, 8388607, -8388608], dtype=np.int64)
+    data = b"".join(
+        int(v).to_bytes(3, "little", signed=True) for v in vals
+    )
+    got, sr = parse_wav(_wav_bytes(1, 24, 8000, 1, data))
+    np.testing.assert_allclose(
+        got[:, 0], vals.astype(np.float64) / 8388608.0, atol=1e-7
+    )
+    # 8-bit unsigned
+    got8, _ = parse_wav(_wav_bytes(1, 8, 8000, 1, bytes([0, 128, 255])))
+    np.testing.assert_allclose(got8[:, 0], [-1.0, 0.0, 127 / 128], atol=1e-7)
+    # 32-bit PCM + stereo frame split
+    x = np.array([2**31 - 1, -(2**31), 0, 2**30], dtype="<i4")
+    got32, _ = parse_wav(_wav_bytes(1, 32, 8000, 2, x.tobytes()))
+    assert got32.shape == (2, 2)
+    # IEEE float64 and EXTENSIBLE-wrapped float32
+    f = np.array([0.5, -0.25, 1.0], dtype="<f8")
+    gotf, _ = parse_wav(_wav_bytes(3, 64, 8000, 1, f.tobytes()))
+    np.testing.assert_allclose(gotf[:, 0], f, atol=1e-7)
+    f32 = np.array([0.125, -0.5], dtype="<f4")
+    gote, _ = parse_wav(_wav_bytes(3, 32, 8000, 1, f32.tobytes(), extensible=True))
+    np.testing.assert_allclose(gote[:, 0], f32, atol=1e-7)
+    # unsupported compressed format fails loudly
+    with pytest.raises(ValueError, match="format code"):
+        parse_wav(_wav_bytes(85, 16, 8000, 1, b"\x00\x00"))  # mp3
+    with pytest.raises(ValueError, match="RIFF/WAVE"):
+        parse_wav(b"OggS" + b"\x00" * 40)
+
+
+def test_extract_audio_features_real_wav(spark):
+    """End-to-end REAL codec path on Spark: WAV payloads built per-row
+    in a pandas kernel, features extracted with codec='real' — the
+    duration/RMS/peak come from the CONTAINER (parse_wav), not the
+    metadata struct, so a half-second 4kHz mono clip reports 0.5s
+    whatever the metadata claims."""
+    from sketchlib.multimodal.media import (
+        MEDIA_SCHEMA,
+        encode_wav,
+        extract_audio_features,
+    )
+
+    base = spark.range(20).selectExpr("cast(id AS string) AS doc_id")
+
+    def attach(it):
+        for pdf in it:
+            sr = 4000
+            t = np.arange(sr // 2, dtype=np.float32) / sr
+            blobs = [
+                encode_wav(
+                    (0.1 * (int(d) % 5 + 1)) * np.sin(2 * np.pi * 440 * t), sr
+                )
+                for d in pdf["doc_id"]
+            ]
+            pdf = pdf.copy()
+            pdf["media"] = blobs
+            pdf["meta"] = [
+                {"format": "audio/wav", "width": 0, "height": 0,
+                 "channels": 9, "n_frames": 0, "sample_rate": 999}
+            ] * len(pdf)
+            yield pdf
+
+    media = base.mapInPandas(
+        attach, f"doc_id string, media binary, meta struct<{MEDIA_SCHEMA}>"
+    )
+    rows = {r["id"]: r["audio_features"]
+            for r in extract_audio_features(media, codec="real").collect()}
+    assert len(rows) == 20
+    for d, (dur, rms, peak, zc) in rows.items():
+        amp = 0.1 * (int(d) % 5 + 1)
+        assert abs(dur - 0.5) < 1e-6  # container truth, not meta
+        assert abs(rms - amp / np.sqrt(2)) < 0.01
+        assert abs(peak - amp) < 0.01
+        assert 0.1 < zc < 0.25  # 440 Hz at 4 kHz -> ~0.22
