@@ -2322,6 +2322,62 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec path on Spark: per-doc WAV payloads (16-bit
+    PCM, built by the numpy encode_wav in a pandas kernel — half a
+    second of a 440 Hz sine at 4 kHz whose amplitude is a closed-form
+    function of doc_id), decoded by the built-in RIFF/WAVE parser
+    inside extract_audio_features(codec='real').  Duration comes from
+    the CONTAINER (2000 samples / 4000 Hz = exactly 0.5 s — the
+    metadata struct deliberately lies), and RMS/peak/zero-crossing
+    land within tight bounds of the sine's closed forms (amp/sqrt(2),
+    amp, 2*f/sr), so every output value is deterministic and the
+    DuckDB oracle reproduces it from doc_id alone."""
+    import numpy as np
+
+    from sketchlib.multimodal.media import (
+        MEDIA_SCHEMA,
+        encode_wav,
+        extract_audio_features,
+    )
+
+    base = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .selectExpr("cast(doc_id AS string) AS doc_id")
+    )
+
+    def attach(it):
+        sr = 4000
+        t = np.arange(sr // 2, dtype=np.float32) / sr
+        carrier = np.sin(2 * np.pi * 440.0 * t)
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["media"] = [
+                encode_wav(0.1 * (int(d) % 5 + 1) * carrier, sr)
+                for d in pdf["doc_id"]
+            ]
+            pdf["meta"] = [
+                {"format": "audio/wav", "width": 0, "height": 0,
+                 "channels": 9, "n_frames": 0, "sample_rate": 999}
+            ] * len(pdf)
+            yield pdf
+
+    media = base.mapInPandas(
+        attach, f"doc_id string, media binary, meta struct<{MEDIA_SCHEMA}>"
+    )
+    f = extract_audio_features(media, codec="real")
+    amp = (F.col("id").cast("long") % 5 + 1) * 0.1
+    feat = lambda i: F.element_at("audio_features", i)  # noqa: E731
+    return f.select(
+        "id",
+        F.round(feat(1) * 1000).cast("long").alias("duration_ms"),
+        (F.abs(feat(2) - amp / math.sqrt(2.0)) < 0.01).alias("ok_rms"),
+        (F.abs(feat(3) - amp) < 0.01).alias("ok_peak"),
+        ((feat(4) > 0.1) & (feat(4) < 0.3)).alias("ok_zc"),
+    )
+
+
 def q_tokens_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END tokens-mode pipeline: bpe_encode -> tokens-mode
     decontaminate -> tokens-mode duplicate-span removal ->
@@ -2392,6 +2448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new / fixed this round ---------------------------------
         "tokens_pipeline": q_tokens_pipeline,
+        "audio_features": q_audio_features,
         "pipeline_spec": q_pipeline_spec,
         "materialize_packed": q_materialize_packed,
         "overlap_matrix": q_overlap_matrix,
@@ -2616,6 +2673,15 @@ def oracle_sql() -> dict[str, str]:
             r"FROM documents"
         ),
         "pipeline_spec": _pipeline_spec_oracle_sql(),
+        "audio_features": (
+            # closed forms of the synthesized WAV: duration is exactly
+            # 2000/4000 s from the container; the sine's RMS/peak/zcr
+            # bounds are deterministic TRUEs (see q_audio_features)
+            "SELECT CAST(doc_id AS VARCHAR) AS id, "
+            "CAST(500 AS BIGINT) AS duration_ms, "
+            "TRUE AS ok_rms, TRUE AS ok_peak, TRUE AS ok_zc "
+            "FROM documents WHERE doc_id < 50"
+        ),
         "tokens_pipeline": (
             # word-isomorphic mirror of the tokens-mode chain (every
             # <=2-char word BPE-merges to one piece word||'</w>' — see
