@@ -2441,69 +2441,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Gate registry.  ORDER MATTERS: the driver's correctness harness
     checks only the FIRST 50 entries, so the dict is windowed by
     rotation policy (README "Gate rotation"): (1) never-driver-checked
-    and this-round-changed gates first, (2) gates green in an earlier
-    round rotating back through, (3) the r5-green remainder in the
-    tail, due to rotate into the window next round.  No gate may sit
-    outside the window two rounds running."""
+    and this-round-changed gates first, (2) gates last checked two
+    rounds ago rotating back through, (3) the previous round's green
+    remainder in the tail, due to rotate into the window next round.
+    No gate may sit outside the window two rounds running.
+
+    Round-7 window (50): the 22 r5-green gates tailed in r6 (policy
+    item 3 — led by dedup_spans and sample_temperature, nearest the r6
+    refactors), the 2 new gates (tokens_pipeline, audio_features), the
+    6 gates over code paths changed this round (overlap_matrix
+    distributed stage, interval_range_join auto sub-split,
+    global_rank/shuffle_rows order_buckets guard, tfidf_keywords cache
+    release, pipeline_spec runner context), and 20 kept r6-green
+    flagships; the remaining 24 r6-green gates tail and rotate into
+    the r8 window."""
     return {
-        # -- new / fixed this round ---------------------------------
+        # -- new this round ------------------------------------------
         "tokens_pipeline": q_tokens_pipeline,
         "audio_features": q_audio_features,
-        "pipeline_spec": q_pipeline_spec,
-        "materialize_packed": q_materialize_packed,
-        "overlap_matrix": q_overlap_matrix,
-        "dedup_token_spans": q_dedup_token_spans,
-        # -- never driver-checked (r5 tail overflow) ----------------
-        "freq_spectrum": q_freq_spectrum,
-        "decontaminate": q_decontaminate,
-        "text_repetition": q_text_repetition,
-        "streaming_dedup": q_streaming_dedup,
-        "tfidf_keywords": q_tfidf_keywords,
-        "dedup_incremental": q_dedup_incremental,
-        "profile_table": q_profile_table,
-        "embedding_clusters": q_embedding_clusters,
-        "bpe_roundtrip": q_bpe_roundtrip,
-        # -- r04-green gates rotating back through the window -------
-        "grouped_heavy_hitters": q_grouped_heavy_hitters,
-        "streaming_windowed_quantiles": q_streaming_windowed_quantiles,
-        "text_fingerprints": q_text_fingerprints,
-        "similarity_top1": q_similarity_top1,
-        "embedding_near_dup": q_embedding_near_dup,
-        "multimodal_features": q_multimodal_features,
-        "sampling_and_bounds": q_sampling_and_bounds,
-        "streaming_quantiles": q_streaming_quantiles,
-        "iceberg_manifest_scan": q_iceberg_manifest_scan,
-        "ivf_recall": q_ivf_recall,
-        # -- r5-green, kept in-window (touched code paths/flagships) -
-        "tdigest_lineitem_quantiles": q_tdigest_lineitem,
-        "kll_events_quantiles": q_kll_events,
-        "ddsketch_supplier_quantiles": q_ddsketch_quantiles,
-        "grouped_doc_quantiles": q_grouped_doc_quantiles,
-        "grouped_hll_distinct": q_grouped_hll_distinct,
-        "hll_distinct": q_hll_distinct,
-        "cms_event_type_counts": q_cms_event_type,
-        "heavy_hitters_user": q_heavy_hitters,
-        "bloom_custkey_membership": q_bloom_membership,
-        "pricing_summary": q_pricing_summary,
-        "token_quantiles": q_token_quantiles,
-        "token_grouped_quantiles": q_token_grouped_quantiles,
-        "token_cardinality": q_token_cardinality,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        "shuffle_rows": q_shuffle_rows,
-        "global_rank": q_global_rank,
-        "curriculum_shards": q_curriculum_shards,
-        "sample_token_budget": q_sample_token_budget,
-        "pack_sequences": q_pack_sequences,
-        "write_sharded": q_write_sharded,
-        "sample_stratified": q_sample_stratified,
-        "split_train_eval": q_split_train_eval,
-        "text_quality": q_text_quality,
-        "text_normalize": q_text_normalize,
-        "sessionize": q_sessionize,
-        "interval_range_join": q_interval_join,
-        # ---- driver window ends here (entry 50) --------------------
-        # -- r5-green tail: rotates into the window in r7 ------------
+        # -- r5-green tail rotating back in (README policy item 3) ---
+        "dedup_spans": q_dedup_spans,
+        "sample_temperature": q_sample_temperature,
         "asof_join": q_asof_join,
         "time_rollup": q_time_rollup,
         "tdigest_orders_quantiles_k1": q_tdigest_orders_total,
@@ -2511,14 +2469,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_text_token_stats,
         "text_language_id": q_text_language_id,
         "dedup_ngram": q_dedup_ngram,
-        "dedup_spans": q_dedup_spans,
         "rolling_stats": q_rolling_stats,
         "quantile_rank": q_quantile_rank,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_star": q_dedup_clusters_star,
         "tdigest_cluster_insert": q_tdigest_cluster_insert,
-        "sample_temperature": q_sample_temperature,
         "bloom_join": q_bloom_join,
         "top_per_group": q_top_per_group,
         "split_passages": q_split_passages,
@@ -2526,6 +2482,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": q_pii_scan,
         "token_freq_drift": q_token_freq_drift,
         "ks_drift": q_ks_drift,
+        # -- r6-green, code path changed this round -------------------
+        "overlap_matrix": q_overlap_matrix,
+        "interval_range_join": q_interval_join,
+        "global_rank": q_global_rank,
+        "shuffle_rows": q_shuffle_rows,
+        "tfidf_keywords": q_tfidf_keywords,
+        "pipeline_spec": q_pipeline_spec,
+        # -- r6-green, kept in-window (flagships / adjacent families) -
+        "materialize_packed": q_materialize_packed,
+        "dedup_token_spans": q_dedup_token_spans,
+        "bpe_roundtrip": q_bpe_roundtrip,
+        "decontaminate": q_decontaminate,
+        "multimodal_features": q_multimodal_features,
+        "tdigest_lineitem_quantiles": q_tdigest_lineitem,
+        "kll_events_quantiles": q_kll_events,
+        "ddsketch_supplier_quantiles": q_ddsketch_quantiles,
+        "grouped_doc_quantiles": q_grouped_doc_quantiles,
+        "hll_distinct": q_hll_distinct,
+        "cms_event_type_counts": q_cms_event_type,
+        "heavy_hitters_user": q_heavy_hitters,
+        "pricing_summary": q_pricing_summary,
+        "token_quantiles": q_token_quantiles,
+        "token_grouped_quantiles": q_token_grouped_quantiles,
+        "token_cardinality": q_token_cardinality,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "pack_sequences": q_pack_sequences,
+        "sessionize": q_sessionize,
+        # ---- driver window ends here (entry 50) --------------------
+        # -- r6-green tail: rotates into the window in r8 ------------
+        "freq_spectrum": q_freq_spectrum,
+        "text_repetition": q_text_repetition,
+        "streaming_dedup": q_streaming_dedup,
+        "dedup_incremental": q_dedup_incremental,
+        "profile_table": q_profile_table,
+        "embedding_clusters": q_embedding_clusters,
+        "grouped_heavy_hitters": q_grouped_heavy_hitters,
+        "streaming_windowed_quantiles": q_streaming_windowed_quantiles,
+        "text_fingerprints": q_text_fingerprints,
+        "similarity_top1": q_similarity_top1,
+        "embedding_near_dup": q_embedding_near_dup,
+        "sampling_and_bounds": q_sampling_and_bounds,
+        "streaming_quantiles": q_streaming_quantiles,
+        "iceberg_manifest_scan": q_iceberg_manifest_scan,
+        "ivf_recall": q_ivf_recall,
+        "grouped_hll_distinct": q_grouped_hll_distinct,
+        "bloom_custkey_membership": q_bloom_membership,
+        "curriculum_shards": q_curriculum_shards,
+        "sample_token_budget": q_sample_token_budget,
+        "write_sharded": q_write_sharded,
+        "sample_stratified": q_sample_stratified,
+        "split_train_eval": q_split_train_eval,
+        "text_quality": q_text_quality,
+        "text_normalize": q_text_normalize,
     }
 
 
