@@ -44,7 +44,10 @@ def _rest(path: str):
 
 def _merge_stage_stats(group: str) -> tuple[float, float, float, int]:
     """(max_s, median_s, ratio, n_tasks) of the straggler-iest stage of
-    the jobs in ``group`` (the stage with the largest max task)."""
+    the jobs in ``group``: among stages wide enough to have a
+    meaningful median (>= 16 tasks), the one with the largest
+    max/median task-duration ratio — i.e. the merge stage the skew
+    lands on, not the (balanced) stage-1 build."""
     import statistics
 
     app = _rest("/applications")[0]["id"]
@@ -66,11 +69,12 @@ def _merge_stage_stats(group: str) -> tuple[float, float, float, int]:
                     }
                 durs = [t["duration"] / 1000.0 for t in tasks.values()
                         if t.get("duration")]
-                if len(durs) < 2:
+                if len(durs) < 16:
                     continue
                 mx, md = max(durs), statistics.median(durs)
-                if mx > worst[0]:
-                    worst = (mx, md, mx / max(md, 1e-3), len(durs))
+                ratio = mx / max(md, 1e-3)
+                if ratio > worst[2]:
+                    worst = (mx, md, ratio, len(durs))
     return worst
 
 
@@ -86,8 +90,14 @@ def main(n_rows: int, partitions: int, bound: float = 4.0) -> None:
     sc = spark.sparkContext
     from sketchlib.spark.api import grouped_quantiles
 
-    # one mega key (half the rows) + ~2000-key log-uniform tail; value
-    # distribution differs per key so estimates are key-specific
+    # one mega key (half the rows) + ~2000-key log-uniform tail.  The
+    # input is CLUSTERED by source (range partitioning — the shape of
+    # per-source file layouts): tail keys land in one partition each
+    # while the mega key spans ~half of them, so the merge fan-in is
+    # skewed (P states for mega, ~1 for the tail).  A uniformly
+    # shuffled input has NO merge skew — every key then appears in
+    # every partition and all fan-ins equal P, which is why this
+    # stress pins the clustered layout explicitly.
     u = (F.pmod(F.xxhash64("id"), F.lit(1_000_000)) / 1e6).alias("u")
     df = (
         spark.range(n_rows)
@@ -105,7 +115,7 @@ def main(n_rows: int, partitions: int, bound: float = 4.0) -> None:
             (F.pmod(F.xxhash64("id", F.lit(7)), F.lit(1000)).cast("double"))
             .alias("n_tok"),
         )
-        .repartition(partitions)
+        .repartitionByRange(partitions, "source", "id")
         .persist()
     )
     df.count()
