@@ -57,7 +57,8 @@ def build_corpus(spark, replicas: int, words: int | None):
             F.explode(F.expr(f"sequence(0, {replicas - 1})")).alias("__r"),
         )
         .select(
-            (F.col("doc_id") + F.col("__r") * 10_000_000).alias("doc_id"),
+            (F.col("doc_id").cast("bigint")
+             + F.col("__r").cast("bigint") * 10_000_000).alias("doc_id"),
             F.when(
                 F.col("__r") % 2 == 1,
                 F.concat(F.lit("r"), F.col("__r").cast("string"), F.lit(" "), F.col("text")),
@@ -83,7 +84,9 @@ def main(replicas: int, words: int | None) -> None:
 
     docs = build_corpus(spark, replicas, words)
     n_in = docs.count()
-    weyl = "pmod(CAST(doc_id AS BIGINT) * 2654435761, 1048576)"
+    # reduce doc_id mod 2^20 BEFORE the Weyl multiply: replica ids
+    # reach ~4e10 and a direct *2654435761 overflows int64 under ANSI
+    weyl = "pmod(pmod(CAST(doc_id AS BIGINT), 1048576) * 2654435761, 1048576)"
     steps = [
         {"op": "normalize", "nfc": False},  # Catalyst-only at stress scale
         {"op": "quality_filter", "min_score": 0.2},
