@@ -2437,6 +2437,23 @@ def q_tokens_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-smoothed unigram LM scoring (the CCNet/Gopher-style
+    perplexity quality filter) over documents, self-model: every doc
+    gets its average per-term log-probability under the corpus's own
+    smoothed unigram distribution.  Runs the DEFAULT broadcast-kernel
+    plan (zero-shuffle scoring pass); exact DuckDB parity at
+    round(,4) — same Laplace closed form, ASCII-whitespace terms in
+    all three tokenizers (Java/RE2/kernel)."""
+    from sketchlib.text.logprob import unigram_logprob
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    out = unigram_logprob(docs, "text")
+    return out.filter(F.col("n_terms") >= 1).select(
+        "doc_id", "n_terms", F.round("avg_logprob", 4).alias("avg_logprob")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Gate registry.  ORDER MATTERS: the driver's correctness harness
     checks only the FIRST 50 entries, so the dict is windowed by
@@ -2448,15 +2465,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-7 window (50): the 22 r5-green gates tailed in r6 (policy
     item 3 — led by dedup_spans and sample_temperature, nearest the r6
-    refactors), the 2 new gates (tokens_pipeline, audio_features), the
-    6 gates over code paths changed this round (overlap_matrix
-    distributed stage, interval_range_join auto sub-split,
-    global_rank/shuffle_rows order_buckets guard, tfidf_keywords cache
-    release, pipeline_spec runner context), and 20 kept r6-green
-    flagships; the remaining 24 r6-green gates tail and rotate into
-    the r8 window."""
+    refactors), the 3 new gates (unigram_logprob, tokens_pipeline,
+    audio_features), the 6 gates over code paths changed this round
+    (overlap_matrix distributed stage, interval_range_join auto
+    sub-split, global_rank/shuffle_rows order_buckets guard,
+    tfidf_keywords cache release, pipeline_spec runner context), and
+    19 kept r6-green flagships; the remaining 25 r6-green gates tail
+    and rotate into the r8 window."""
     return {
         # -- new this round ------------------------------------------
+        "unigram_logprob": q_unigram_logprob,
         "tokens_pipeline": q_tokens_pipeline,
         "audio_features": q_audio_features,
         # -- r5-green tail rotating back in (README policy item 3) ---
@@ -2509,9 +2527,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "pack_sequences": q_pack_sequences,
-        "sessionize": q_sessionize,
         # ---- driver window ends here (entry 50) --------------------
         # -- r6-green tail: rotates into the window in r8 ------------
+        "sessionize": q_sessionize,
         "freq_spectrum": q_freq_spectrum,
         "text_repetition": q_text_repetition,
         "streaming_dedup": q_streaming_dedup,
@@ -2583,7 +2601,13 @@ def _quantile_oracle(table: str, col: str, qs: list[float]) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from sketchlib.text.logprob import logprob_oracle_sql
+
     return {
+        "unigram_logprob": (
+            f"SELECT doc_id, n_terms, avg_logprob FROM "
+            f"({logprob_oracle_sql('documents')}) WHERE n_terms >= 1"
+        ),
         "tdigest_lineitem_quantiles": _quantile_oracle(
             "lineitem", "l_extendedprice", [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
         ),

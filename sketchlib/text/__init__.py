@@ -12,6 +12,7 @@ from sketchlib.text.analysis import (
     with_token_stats,
 )
 from sketchlib.text.bpe import bpe_decode_column, bpe_encode, train_bpe
+from sketchlib.text.logprob import unigram_counts, unigram_logprob
 from sketchlib.text.fingerprint import document_fingerprints
 from sketchlib.text.normalize import normalize_text, split_passages
 from sketchlib.text.pii import (
@@ -38,4 +39,6 @@ __all__ = [
     "train_bpe",
     "bpe_encode",
     "bpe_decode_column",
+    "unigram_counts",
+    "unigram_logprob",
 ]
