@@ -52,14 +52,42 @@ def approx_quantiles(
     probabilities: Sequence[float],
     sketch: str = "tdigest",
     is_array: bool = False,
+    tail: str = "low",
     **params,
 ):
-    """Distributed quantile estimate; returns (values, sketch)."""
+    """Distributed quantile estimate; returns (values, sketch).
+
+    ``tail="high"`` (KLL/RC only): relative compactors concentrate
+    accuracy near rank 0, so the default build is exact-ish at p0.001
+    but coarse at p0.9999 (ACCURACY.md §7).  ``"high"`` negates the
+    column JVM-side before sketching and returns a ``HighTailView``
+    that flips queries back — p99.9/p99.99 get the protected-tail
+    accuracy at 1x state (``SymDigest`` covers both tails at 2x).
+    t-digest's scale functions are already tail-symmetric; asking for
+    ``tail="high"`` there is a misuse and raises."""
+    if tail not in ("low", "high"):
+        raise ValueError(f"tail must be 'low' or 'high', got {tail!r}")
+    if tail == "high" and sketch not in ("kll", "rc"):
+        raise ValueError(
+            "tail='high' applies to the relative-compactor sketches "
+            "('kll'/'rc'); t-digest is already tail-symmetric"
+        )
     factory = _quantile_factory(sketch, **params)
     kind = KIND_ARRAY if is_array else KIND_DOUBLE
+    if tail == "high":
+        neg = (
+            F.transform(F.col(col), lambda x: -x.cast("double"))
+            if is_array
+            else (-F.col(col).cast("double"))
+        )
+        df = df.select(neg.alias(col))
     sk = sketch_column(df, col, factory, kind)
     if sk is None:
         return [float("nan")] * len(probabilities), None
+    if tail == "high":
+        from sketchlib.core.wrappers import HighTailView
+
+        sk = HighTailView(sk)
     vals = sk.value_at_quantile(np.asarray(probabilities, dtype=np.float64))
     return [float(v) for v in np.atleast_1d(vals)], sk
 
