@@ -2437,6 +2437,26 @@ def q_tokens_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram novelty (cross-document originality score): the
+    fraction of each doc's 5-grams occurring exactly once corpus-wide.
+    Same injected-duplicate shape as dedup_spans (every 10th doc also
+    appears as doc_id+3e6), so the duplicated pairs must score 0.0 and
+    the rest stay near 1.0 — exact DuckDB parity on counts and the
+    round(,4) score."""
+    from sketchlib.text.novelty import ngram_novelty
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"), "text"
+    )
+    out = ngram_novelty(docs.union(dup), w=5)
+    return out.select(
+        "doc_id", "n_grams", "novel_grams",
+        F.round("novelty", 4).alias("novelty"),
+    )
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Laplace-smoothed unigram LM scoring (the CCNet/Gopher-style
     perplexity quality filter) over documents, self-model: every doc
@@ -2465,15 +2485,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-7 window (50): the 22 r5-green gates tailed in r6 (policy
     item 3 — led by dedup_spans and sample_temperature, nearest the r6
-    refactors), the 3 new gates (unigram_logprob, tokens_pipeline,
-    audio_features), the 6 gates over code paths changed this round
-    (overlap_matrix distributed stage, interval_range_join auto
-    sub-split, global_rank/shuffle_rows order_buckets guard,
-    tfidf_keywords cache release, pipeline_spec runner context), and
-    19 kept r6-green flagships; the remaining 25 r6-green gates tail
-    and rotate into the r8 window."""
+    refactors), the 4 new gates (ngram_novelty, unigram_logprob,
+    tokens_pipeline, audio_features), the 6 gates over code paths
+    changed this round (overlap_matrix distributed stage,
+    interval_range_join auto sub-split, global_rank/shuffle_rows
+    order_buckets guard, tfidf_keywords cache release, pipeline_spec
+    runner context), and 18 kept r6-green flagships; the remaining 26
+    r6-green gates tail and rotate into the r8 window."""
     return {
         # -- new this round ------------------------------------------
+        "ngram_novelty": q_ngram_novelty,
         "unigram_logprob": q_unigram_logprob,
         "tokens_pipeline": q_tokens_pipeline,
         "audio_features": q_audio_features,
@@ -2526,9 +2547,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_cardinality": q_token_cardinality,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
-        "pack_sequences": q_pack_sequences,
         # ---- driver window ends here (entry 50) --------------------
         # -- r6-green tail: rotates into the window in r8 ------------
+        "pack_sequences": q_pack_sequences,
         "sessionize": q_sessionize,
         "freq_spectrum": q_freq_spectrum,
         "text_repetition": q_text_repetition,
@@ -2603,7 +2624,15 @@ def _quantile_oracle(table: str, col: str, qs: list[float]) -> str:
 def oracle_sql() -> dict[str, str]:
     from sketchlib.text.logprob import logprob_oracle_sql
 
+    from sketchlib.text.novelty import novelty_oracle_sql
+
+    _novelty_corpus = (
+        "(SELECT doc_id, text FROM documents "
+        "UNION ALL SELECT doc_id + 3000000, text FROM documents "
+        "WHERE doc_id % 10 = 0)"
+    )
     return {
+        "ngram_novelty": novelty_oracle_sql(_novelty_corpus),
         "unigram_logprob": (
             f"SELECT doc_id, n_terms, avg_logprob FROM "
             f"({logprob_oracle_sql('documents')}) WHERE n_terms >= 1"

@@ -13,6 +13,7 @@ from sketchlib.text.analysis import (
 )
 from sketchlib.text.bpe import bpe_decode_column, bpe_encode, train_bpe
 from sketchlib.text.logprob import unigram_counts, unigram_logprob
+from sketchlib.text.novelty import ngram_novelty
 from sketchlib.text.fingerprint import document_fingerprints
 from sketchlib.text.normalize import normalize_text, split_passages
 from sketchlib.text.pii import (
@@ -41,4 +42,5 @@ __all__ = [
     "bpe_decode_column",
     "unigram_counts",
     "unigram_logprob",
+    "ngram_novelty",
 ]
