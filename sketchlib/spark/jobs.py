@@ -574,6 +574,41 @@ def job_decontam(args) -> None:
     spark.stop()
 
 
+def job_score(args) -> None:
+    """Curation scoring: append unigram-LM log-prob and/or n-gram
+    novelty columns, write the scored table, report score quantiles
+    as one JSON line."""
+    from sketchlib.spark.io import read_table
+    from sketchlib.spark.session import get_spark
+    from sketchlib.text.logprob import unigram_logprob
+    from sketchlib.text.novelty import ngram_novelty
+
+    spark = get_spark(master=args.master)
+    df = read_table(spark, args.input, args.format)
+    tokens = args.tokens
+    metrics = args.metrics.split(",")
+    if set(metrics) - {"logprob", "novelty"}:
+        raise SystemExit(f"unknown metrics in {args.metrics!r}")
+    if "logprob" in metrics:
+        df = unigram_logprob(df, args.col, tokens=tokens)
+    if "novelty" in metrics:
+        df = ngram_novelty(
+            df, col=args.col, id_col=args.id_col, w=args.shingle_w,
+            tokens=tokens, hash_grams=args.hash_grams,
+        )
+    df.write.mode("overwrite").parquet(args.output)
+    # report coarse score quantiles over the just-written output (one
+    # cheap scan of the two score columns, not a recompute)
+    out_df = spark.read.parquet(args.output)
+    summary: dict = {"output": args.output, "rows": out_df.count()}
+    for m, c in (("logprob", "avg_logprob"), ("novelty", "novelty")):
+        if m in metrics:
+            qs = out_df.approxQuantile(c, [0.1, 0.5, 0.9], 1e-3)
+            summary[f"{c}_p10_p50_p90"] = [round(x, 4) for x in qs]
+    print(json.dumps(summary))
+    spark.stop()
+
+
 def job_hh(args) -> None:
     """Heavy hitters (global or per-group) as one JSON line."""
     from sketchlib.spark.api import grouped_heavy_hitters, heavy_hitters
@@ -736,6 +771,22 @@ def main(argv=None) -> None:
     dc.add_argument("--method", default="exact", choices=["exact", "bloom"])
     dc.add_argument("--master", default=None)
     dc.set_defaults(fn=job_decontam)
+
+    sc = sub.add_parser("score")
+    sc.add_argument("--input", required=True)
+    sc.add_argument("--format", default="auto", choices=["auto", "parquet", "iceberg", "jsonl", "csv"])
+    sc.add_argument("--output", required=True)
+    sc.add_argument("--metrics", default="logprob,novelty",
+                    help="comma-separated subset of logprob,novelty")
+    sc.add_argument("--col", default="text")
+    sc.add_argument("--id-col", default="doc_id")
+    sc.add_argument("--shingle-w", type=int, default=5)
+    sc.add_argument("--tokens", action="store_true",
+                    help="score a token-array column instead of text")
+    sc.add_argument("--hash-grams", action="store_true",
+                    help="novelty: shuffle 8-byte gram hashes")
+    sc.add_argument("--master", default=None)
+    sc.set_defaults(fn=job_score)
 
     sl = sub.add_parser("split")
     sl.add_argument("--input", required=True)
