@@ -2437,6 +2437,67 @@ def q_tokens_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec path on Spark: per-doc PNG payloads (built by
+    the stdlib+numpy encode_png in a pandas kernel — a 6x8 RGB image
+    whose three constant channel values are a closed-form function of
+    doc_id), decoded by the built-in parse_png inside
+    extract_features(codec='real').  Channel means are exact integers
+    the DuckDB oracle reproduces from doc_id alone; stds must be
+    exactly 0 and byte entropy exactly log2(3) (three equiprobable
+    byte values), so every output value is deterministic."""
+    import numpy as np
+
+    from sketchlib.multimodal.media import (
+        MEDIA_SCHEMA,
+        encode_png,
+        extract_features,
+    )
+
+    base = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .selectExpr("cast(doc_id AS string) AS doc_id")
+    )
+
+    def attach(it):
+        for pdf in it:
+            pdf = pdf.copy()
+            blobs = []
+            for d in pdf["doc_id"]:
+                v = int(d) % 5
+                img = np.empty((6, 8, 3), dtype=np.uint8)
+                img[:, :, 0] = 10 * v + 1
+                img[:, :, 1] = 10 * v + 5
+                img[:, :, 2] = 10 * v + 9
+                blobs.append(encode_png(img))
+            pdf["media"] = blobs
+            pdf["meta"] = [
+                {"format": "image/png", "width": 0, "height": 0,
+                 "channels": 0, "n_frames": 0, "sample_rate": 0}
+            ] * len(pdf)  # meta deliberately lies; the container wins
+            yield pdf
+
+    media = base.mapInPandas(
+        attach, f"doc_id string, media binary, meta struct<{MEDIA_SCHEMA}>"
+    )
+    f = extract_features(media, codec="real")
+    feat = lambda i: F.element_at("features", i)  # noqa: E731
+    ent = math.log2(3.0)
+    return f.select(
+        "id",
+        F.round(feat(1)).cast("long").alias("mean_r"),
+        F.round(feat(2)).cast("long").alias("mean_g"),
+        F.round(feat(3)).cast("long").alias("mean_b"),
+        (
+            (F.abs(feat(4)) < 1e-9)
+            & (F.abs(feat(5)) < 1e-9)
+            & (F.abs(feat(6)) < 1e-9)
+        ).alias("ok_std"),
+        (F.abs(feat(7) - ent) < 1e-9).alias("ok_entropy"),
+    )
+
+
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus n-gram novelty (cross-document originality score): the
     fraction of each doc's 5-grams occurring exactly once corpus-wide.
@@ -2485,15 +2546,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-7 window (50): the 22 r5-green gates tailed in r6 (policy
     item 3 — led by dedup_spans and sample_temperature, nearest the r6
-    refactors), the 4 new gates (ngram_novelty, unigram_logprob,
-    tokens_pipeline, audio_features), the 6 gates over code paths
-    changed this round (overlap_matrix distributed stage,
-    interval_range_join auto sub-split, global_rank/shuffle_rows
-    order_buckets guard, tfidf_keywords cache release, pipeline_spec
-    runner context), and 18 kept r6-green flagships; the remaining 26
-    r6-green gates tail and rotate into the r8 window."""
+    refactors), the 5 new gates (image_features, ngram_novelty,
+    unigram_logprob, tokens_pipeline, audio_features), the 6 gates
+    over code paths changed this round (overlap_matrix distributed
+    stage, interval_range_join auto sub-split, global_rank/
+    shuffle_rows order_buckets guard, tfidf_keywords cache release,
+    pipeline_spec runner context), and 17 kept r6-green flagships; the
+    remaining 27 r6-green gates tail and rotate into the r8 window."""
     return {
         # -- new this round ------------------------------------------
+        "image_features": q_image_features,
         "ngram_novelty": q_ngram_novelty,
         "unigram_logprob": q_unigram_logprob,
         "tokens_pipeline": q_tokens_pipeline,
@@ -2546,9 +2608,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_grouped_quantiles": q_token_grouped_quantiles,
         "token_cardinality": q_token_cardinality,
         "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
         # ---- driver window ends here (entry 50) --------------------
         # -- r6-green tail: rotates into the window in r8 ------------
+        "dedup_minhash": q_dedup_minhash,
         "pack_sequences": q_pack_sequences,
         "sessionize": q_sessionize,
         "freq_spectrum": q_freq_spectrum,
@@ -2632,6 +2694,14 @@ def oracle_sql() -> dict[str, str]:
         "WHERE doc_id % 10 = 0)"
     )
     return {
+        "image_features": (
+            "SELECT CAST(doc_id AS VARCHAR) AS id, "
+            "10 * (doc_id % 5) + 1 AS mean_r, "
+            "10 * (doc_id % 5) + 5 AS mean_g, "
+            "10 * (doc_id % 5) + 9 AS mean_b, "
+            "TRUE AS ok_std, TRUE AS ok_entropy "
+            "FROM documents WHERE doc_id < 50"
+        ),
         "ngram_novelty": novelty_oracle_sql(_novelty_corpus),
         "unigram_logprob": (
             f"SELECT doc_id, n_terms, avg_logprob FROM "

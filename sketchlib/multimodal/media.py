@@ -6,16 +6,18 @@ sample_rate).  All Spark-side mechanics — schema, Arrow batch flow
 through mapInPandas, partition sizing, feature extraction — are real
 and tested.  The codec boundary is explicit:
 
-* ``decode_media(..., codec="real")`` decodes actual image bytes via
-  PIL, ``decode_audio`` via the BUILT-IN numpy RIFF/WAVE parser (PCM +
-  IEEE float — always available, no library) falling back to soundfile
-  for compressed formats, and ``decode_video_frames`` via PyAV/ffmpeg
+* ``decode_media(..., codec="real")`` decodes PNG payloads via the
+  BUILT-IN stdlib+numpy parser (zlib inflate + all five scanline
+  filters — always available, no library) falling back to PIL for
+  other image formats; ``decode_audio`` likewise via the BUILT-IN
+  numpy RIFF/WAVE parser (PCM + IEEE float) falling back to soundfile
+  for compressed formats; and ``decode_video_frames`` via PyAV/ffmpeg
   — the library paths behind module-load capability probes (HAS_PIL /
   HAS_SOUNDFILE / HAS_PYAV), raising ``NotImplementedError`` when the
   library is absent.  The real branches activate the day the
   environment provides the library, and are covered by skip-marked
-  tests that run wherever it exists; the WAV path is covered
-  unconditionally.
+  tests that run wherever it exists; the PNG and WAV paths are
+  covered unconditionally.
 * ``codec="fake"`` (default in tests) decodes deterministically:
   the payload bytes tile into the (height, width, channels) array the
   metadata declares — so resize/feature/frame ops run on real numpy
@@ -117,10 +119,14 @@ def decode_media(payload: bytes, meta: dict, codec: str = "fake") -> np.ndarray:
     ``NotImplementedError`` — audio/video codecs (soundfile/ffmpeg)
     remain environment-blocked either way."""
     if codec == "real":
+        if len(payload or b"") >= 8 and payload[:8] == _PNG_SIG:
+            # built-in stdlib+numpy PNG path — no library needed
+            return parse_png(payload)
         if not HAS_PIL:
             raise NotImplementedError(
-                "real media decoding requires PIL (not available in "
-                "this container); use codec='fake' for the "
+                "real media decoding beyond PNG requires PIL (not "
+                "available in this container); PNG payloads decode via "
+                "the built-in parse_png, or use codec='fake' for the "
                 "deterministic test decoder"
             )
         import io
@@ -129,6 +135,157 @@ def decode_media(payload: bytes, meta: dict, codec: str = "fake") -> np.ndarray:
             return np.asarray(img.convert("RGB"))
     return _fake_decode(
         payload, int(meta["width"]), int(meta["height"]), int(meta["channels"])
+    )
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def parse_png(payload: bytes) -> np.ndarray:
+    """Stdlib+numpy PNG decoder (public format, RFC 2083; zlib is in
+    the standard library — no codec dependency): 8-bit depth, color
+    types gray/RGB/palette/gray-alpha/RGBA, all five scanline filters,
+    non-interlaced.  Chunk CRCs are verified.  Returns (h, w, 3) uint8
+    RGB — gray replicates, alpha drops, palette resolves via PLTE —
+    so feature widths match the PIL path's ``convert("RGB")``.
+
+    Filters: None/Up are vectorized over the row; Sub is a per-lane
+    cumsum (recon[i] = raw[i] + recon[i-bpp] is a prefix sum mod 256);
+    Average/Paeth carry a true left-dependence, so they walk pixels
+    with all channels vectorized per step."""
+    import zlib
+
+    if len(payload) < 8 or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    ihdr = plte = None
+    idat: list[bytes] = []
+    pos = 8
+    while pos + 12 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        crc = int.from_bytes(payload[pos + 8 + ln : pos + 12 + ln], "big")
+        if zlib.crc32(typ + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            ihdr = body
+        elif typ == b"PLTE":
+            plte = body
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("PNG payload missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, interlace = ihdr[8], ihdr[9], ihdr[12]
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth} (8 only)")
+    if ctype not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    if interlace:
+        raise ValueError("interlaced (Adam7) PNG unsupported")
+    nch = _PNG_CHANNELS[ctype]
+    stride = w * nch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) < (stride + 1) * h:
+        raise ValueError("PNG pixel data truncated")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        off = y * (stride + 1)
+        f = raw[off]
+        row = np.frombuffer(raw, np.uint8, stride, off + 1).astype(np.int32)
+        if f == 0:
+            rec = row
+        elif f == 1:  # Sub
+            rec = (np.cumsum(row.reshape(w, nch), axis=0, dtype=np.int64) % 256).astype(
+                np.int32
+            ).reshape(stride)
+        elif f == 2:  # Up
+            rec = (row + prev) % 256
+        elif f == 3:  # Average
+            rec = np.empty(stride, dtype=np.int32)
+            left = np.zeros(nch, dtype=np.int32)
+            r2 = row.reshape(w, nch)
+            p2 = prev.reshape(w, nch)
+            o2 = rec.reshape(w, nch)
+            for x in range(w):
+                left = (r2[x] + (left + p2[x]) // 2) % 256
+                o2[x] = left
+        elif f == 4:  # Paeth
+            rec = np.empty(stride, dtype=np.int32)
+            left = np.zeros(nch, dtype=np.int32)
+            ul = np.zeros(nch, dtype=np.int32)
+            r2 = row.reshape(w, nch)
+            p2 = prev.reshape(w, nch)
+            o2 = rec.reshape(w, nch)
+            for x in range(w):
+                p = left + p2[x] - ul
+                pa, pb, pc = np.abs(p - left), np.abs(p - p2[x]), np.abs(p - ul)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, p2[x], ul)
+                )
+                left = (r2[x] + pred) % 256
+                o2[x] = left
+                ul = p2[x]
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = rec
+        prev = rec
+    img = out.reshape(h, w, nch)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        pal = np.frombuffer(plte, np.uint8)
+        pal = pal[: len(pal) - len(pal) % 3].reshape(-1, 3)
+        return pal[img[:, :, 0]]
+    if nch == 1:
+        return np.repeat(img, 3, axis=2)
+    if nch == 2:  # gray + alpha: replicate the gray, drop alpha
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    if nch == 4:
+        return np.ascontiguousarray(img[:, :, :3])
+    return img
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Stdlib+numpy PNG encoder (exact inverse of :func:`parse_png`
+    for its supported shapes): uint8 array (h, w) or (h, w, c) with
+    c in {1, 3, 4} -> gray / RGB / RGBA, filter 0 scanlines."""
+    import zlib
+
+    a = np.asarray(img)
+    if a.dtype != np.uint8:
+        raise ValueError("encode_png needs a uint8 array")
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    ctype = {1: 0, 3: 2, 4: 6}.get(c)
+    if ctype is None:
+        raise ValueError(f"unsupported channel count {c} (1/3/4)")
+    scan = np.concatenate(
+        [np.zeros((h, 1), np.uint8), a.reshape(h, w * c)], axis=1
+    )
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, ctype, 0, 0, 0])
+    )
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big") + typ + body
+            + (zlib.crc32(typ + body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan.tobytes(), 6))
+        + chunk(b"IEND", b"")
     )
 
 

@@ -394,3 +394,187 @@ def test_extract_audio_features_real_wav(spark):
         assert abs(rms - amp / np.sqrt(2)) < 0.01
         assert abs(peak - amp) < 0.01
         assert 0.1 < zc < 0.25  # 440 Hz at 4 kHz -> ~0.22
+
+
+# ---------------------------------------------------------------- PNG codec
+
+
+def _png_chunk(typ: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(body).to_bytes(4, "big") + typ + body
+        + (zlib.crc32(typ + body) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def _rng_img(h, w, c, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+
+
+def test_png_roundtrip_all_channel_counts():
+    from sketchlib.multimodal.media import encode_png, parse_png
+
+    for c in (1, 3, 4):
+        img = _rng_img(13, 17, c, seed=c)
+        out = parse_png(encode_png(img))
+        assert out.shape == (13, 17, 3)
+        if c == 1:
+            assert (out == np.repeat(img, 3, axis=2)).all()
+        else:
+            assert (out == img[:, :, :3]).all()
+
+
+def test_png_filters_reconstruct_exactly():
+    """Apply each scanline filter INDEPENDENTLY in the test (straight
+    from the RFC 2083 definitions, using the original bytes as the
+    reconstruction references) and require the decoder to invert it."""
+    import zlib
+
+    from sketchlib.multimodal.media import parse_png
+
+    h, w, c = 7, 11, 3
+    img = _rng_img(h, w, c, seed=42).astype(np.int32)
+    rows = img.reshape(h, w * c)
+    bpp = c
+    scan = bytearray()
+    for y in range(h):
+        f = y % 5
+        cur = rows[y]
+        prev = rows[y - 1] if y else np.zeros(w * c, np.int32)
+        left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+        ul = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+        if f == 0:
+            pred = 0
+        elif f == 1:
+            pred = left
+        elif f == 2:
+            pred = prev
+        elif f == 3:
+            pred = (left + prev) // 2
+        else:
+            p = left + prev - ul
+            pa, pb, pc_ = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc_), left, np.where(pb <= pc_, prev, ul)
+            )
+        scan.append(f)
+        scan.extend(((cur - pred) % 256).astype(np.uint8).tobytes())
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    )
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert (parse_png(payload) == img.reshape(h, w, c)).all()
+
+
+def test_png_palette_and_gray_alpha():
+    import zlib
+
+    from sketchlib.multimodal.media import parse_png
+
+    # 1x3 palette image: indices 2,0,1 against a 3-color palette
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    ihdr = (3).to_bytes(4, "big") + (1).to_bytes(4, "big") + bytes([8, 3, 0, 0, 0])
+    scan = zlib.compress(bytes([0, 2, 0, 1]))
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", pal)
+        + _png_chunk(b"IDAT", scan)
+        + _png_chunk(b"IEND", b"")
+    )
+    out = parse_png(payload)
+    assert (out == np.array([[[0, 0, 255], [255, 0, 0], [0, 255, 0]]])).all()
+    # gray+alpha replicates gray, drops alpha
+    ihdr = (2).to_bytes(4, "big") + (1).to_bytes(4, "big") + bytes([8, 4, 0, 0, 0])
+    scan = zlib.compress(bytes([0, 7, 200, 9, 100]))
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", scan)
+        + _png_chunk(b"IEND", b"")
+    )
+    assert (parse_png(payload) == np.array([[[7, 7, 7], [9, 9, 9]]])).all()
+
+
+def test_png_rejects_bad_crc_and_unsupported():
+    import zlib
+
+    from sketchlib.multimodal.media import encode_png, parse_png
+
+    good = encode_png(_rng_img(2, 2, 3))
+    bad = bytearray(good)
+    bad[-5] ^= 0xFF  # flip a bit inside IEND's CRC
+    with pytest.raises(ValueError, match="CRC"):
+        parse_png(bytes(bad))
+    with pytest.raises(ValueError, match="not a PNG"):
+        parse_png(b"abc")
+    # interlaced flag rejected
+    ihdr = (1).to_bytes(4, "big") + (1).to_bytes(4, "big") + bytes([8, 0, 0, 0, 1])
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes([0, 0])))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="interlaced"):
+        parse_png(payload)
+
+
+def test_decode_media_real_png_without_pil():
+    """The built-in PNG path makes codec='real' image decoding live in
+    this container regardless of PIL."""
+    from sketchlib.multimodal.media import decode_media, encode_png
+
+    img = _rng_img(5, 4, 3, seed=9)
+    out = decode_media(
+        encode_png(img),
+        {"width": 999, "height": 999, "channels": 9},  # meta lies; container wins
+        codec="real",
+    )
+    assert (out == img).all()
+
+
+def test_extract_features_real_png(spark):
+    """End-to-end real-codec image path on Spark: encode_png in the
+    attach kernel, decode via parse_png inside extract_features."""
+    from sketchlib.multimodal.media import MEDIA_SCHEMA, encode_png, extract_features
+
+    base = spark.createDataFrame(
+        [(str(i),) for i in range(12)], ["doc_id"]
+    )
+
+    def attach(it):
+        for pdf in it:
+            pdf = pdf.copy()
+            blobs = []
+            for d in pdf["doc_id"]:
+                v = int(d) % 5
+                img = np.full((6, 8, 3), 10 * v, dtype=np.uint8)
+                img[:, :, 1] = 10 * v + 5  # distinct channel means
+                blobs.append(encode_png(img))
+            pdf["media"] = blobs
+            pdf["meta"] = [
+                {"format": "image/png", "width": 0, "height": 0,
+                 "channels": 0, "n_frames": 0, "sample_rate": 0}
+            ] * len(pdf)
+            yield pdf
+
+    media = base.mapInPandas(
+        attach, f"doc_id string, media binary, meta struct<{MEDIA_SCHEMA}>"
+    )
+    rows = {r["id"]: r["features"]
+            for r in extract_features(media, codec="real").collect()}
+    assert len(rows) == 12
+    for d, feats in rows.items():
+        v = int(d) % 5
+        # constant image: means exact, stds zero
+        assert feats[0] == pytest.approx(10 * v)
+        assert feats[1] == pytest.approx(10 * v + 5)
+        assert feats[3] == pytest.approx(0.0)
