@@ -526,8 +526,10 @@ def resize_images(
     codec: str = "fake",
 ) -> DataFrame:
     """Nearest-neighbor resize -> DataFrame[id, media binary, meta].
-    (Real-codec path would decode/re-encode; the geometry logic and
-    batch plumbing are identical.)"""
+    codec="real" decodes the payload (built-in PNG / PIL) and
+    RE-ENCODES the resized pixels as PNG via :func:`encode_png`, so
+    the output column stays a valid self-describing image; the fake
+    path emits raw pixel bytes (the meta struct carries the shape)."""
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -537,9 +539,15 @@ def resize_images(
                 ys = (np.arange(out_h) * img.shape[0] // out_h)
                 xs = (np.arange(out_w) * img.shape[1] // out_w)
                 resized = img[ys][:, xs]
-                blobs.append(resized.tobytes())
+                blobs.append(
+                    encode_png(np.ascontiguousarray(resized))
+                    if codec == "real"
+                    else resized.tobytes()
+                )
                 m = dict(meta)
                 m["width"], m["height"] = out_w, out_h
+                if codec == "real":
+                    m["format"] = "image/png"
                 metas.append(m)
             yield pd.DataFrame({"id": pdf[id_col], "media": blobs, "meta": metas})
 

@@ -578,3 +578,39 @@ def test_extract_features_real_png(spark):
         assert feats[0] == pytest.approx(10 * v)
         assert feats[1] == pytest.approx(10 * v + 5)
         assert feats[3] == pytest.approx(0.0)
+
+
+def test_resize_real_png_roundtrip(spark):
+    """Real-codec resize: PNG in -> decoded -> resized -> PNG out;
+    the output payload re-decodes to the exact nearest-neighbor
+    pixels."""
+    from sketchlib.multimodal.media import (
+        MEDIA_SCHEMA,
+        encode_png,
+        parse_png,
+        resize_images,
+    )
+
+    img = _rng_img(8, 12, 3, seed=21)
+    base = spark.createDataFrame([("d0",)], ["doc_id"])
+
+    def attach(it):
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["media"] = [encode_png(img)] * len(pdf)
+            pdf["meta"] = [
+                {"format": "image/png", "width": 0, "height": 0,
+                 "channels": 0, "n_frames": 0, "sample_rate": 0}
+            ] * len(pdf)
+            yield pdf
+
+    media = base.mapInPandas(
+        attach, f"doc_id string, media binary, meta struct<{MEDIA_SCHEMA}>"
+    )
+    row = resize_images(media, out_w=6, out_h=4, codec="real").first()
+    assert row["meta"]["format"] == "image/png"
+    assert (row["meta"]["width"], row["meta"]["height"]) == (6, 4)
+    out = parse_png(bytes(row["media"]))
+    ys = np.arange(4) * 8 // 4
+    xs = np.arange(6) * 12 // 6
+    assert (out == img[ys][:, xs]).all()
