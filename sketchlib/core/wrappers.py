@@ -86,12 +86,23 @@ class HighTailView:
 
     def quantile_at_value(self, v):
         va = np.atleast_1d(np.asarray(v, dtype=np.float64))
-        out = 1.0 - np.atleast_1d(self.sk.quantile_at_value(-va))
+        out = 1.0 - np.atleast_1d(
+            self.sk.quantile_at_value(np.nextafter(-va, -np.inf))
+        )
         return out if np.ndim(v) else float(out[0])
 
     def rank(self, v):
+        """Inclusive rank #{x <= v}, matching the wrapped sketch's
+        convention.  Naively ``count - sk.rank(-v)`` counts #{x < v}
+        — off by the full atom mass on tied values (and discrete
+        token lengths tie constantly).  #{x <= v} = count -
+        #{-x < -v}, and the strict-less rank in the negated domain is
+        the inclusive rank just below ``-v`` (nextafter toward -inf),
+        since stored atoms equal to ``-v`` then fall outside it."""
         va = np.atleast_1d(np.asarray(v, dtype=np.float64))
-        out = self.count - np.atleast_1d(self.sk.rank(-va))
+        out = self.count - np.atleast_1d(
+            self.sk.rank(np.nextafter(-va, -np.inf))
+        )
         return out if np.ndim(v) else float(out[0])
 
     def merge(self, other: "HighTailView") -> "HighTailView":

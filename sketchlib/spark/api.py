@@ -57,7 +57,7 @@ def approx_quantiles(
 ):
     """Distributed quantile estimate; returns (values, sketch).
 
-    ``tail="high"`` (KLL/RC only): relative compactors concentrate
+    ``tail="high"`` (sketch="kll" only): relative compactors concentrate
     accuracy near rank 0, so the default build is exact-ish at p0.001
     but coarse at p0.9999 (ACCURACY.md §7).  ``"high"`` negates the
     column JVM-side before sketching and returns a ``HighTailView``
@@ -67,10 +67,13 @@ def approx_quantiles(
     ``tail="high"`` there is a misuse and raises."""
     if tail not in ("low", "high"):
         raise ValueError(f"tail must be 'low' or 'high', got {tail!r}")
-    if tail == "high" and sketch not in ("kll", "rc"):
+    if tail == "high" and sketch != "kll":
+        # RCSketch is also rank-0-protected but needs input_length up
+        # front, so it has no factory here; t-digest's scale functions
+        # are tail-symmetric and need no flipping
         raise ValueError(
-            "tail='high' applies to the relative-compactor sketches "
-            "('kll'/'rc'); t-digest is already tail-symmetric"
+            "tail='high' applies to the relative-compactor sketch "
+            "('kll'); t-digest is already tail-symmetric"
         )
     factory = _quantile_factory(sketch, **params)
     kind = KIND_ARRAY if is_array else KIND_DOUBLE
@@ -375,8 +378,17 @@ def corpus_overlap(
 
 #: the per-group states frame persisted by the most recent
 #: distributed-path overlap_matrix call (None when released) — see
-#: release_overlap_cache
-_last_overlap_states: DataFrame | None = None
+#: release_overlap_cache — the shared one-slot contract (cache.py)
+_overlap_cache = None
+
+
+def _get_overlap_cache():
+    global _overlap_cache
+    if _overlap_cache is None:
+        from sketchlib.spark.cache import SingleSlotCache
+
+        _overlap_cache = SingleSlotCache()
+    return _overlap_cache
 
 
 def release_overlap_cache() -> None:
@@ -387,10 +399,7 @@ def release_overlap_cache() -> None:
     it explicitly once the last returned frame has been materialized.
     Releasing early is always safe — an unevaluated consumer just
     recomputes the grouped sketches instead of reading the cache."""
-    global _last_overlap_states
-    if _last_overlap_states is not None:
-        _last_overlap_states.unpersist()
-        _last_overlap_states = None
+    _get_overlap_cache().release()
 
 
 def overlap_matrix(
@@ -524,8 +533,7 @@ def overlap_matrix(
         return spark.createDataFrame(out, out_schema)
 
     # blocked all-pairs stage
-    global _last_overlap_states
-    _last_overlap_states = states
+    _get_overlap_cache().hold(states)
     n_blocks = max(2, -(-len(keys) // target_block))
     cols = [group_col, "state"]
 

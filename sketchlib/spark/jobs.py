@@ -590,7 +590,8 @@ def job_score(args) -> None:
     if set(metrics) - {"logprob", "novelty"}:
         raise SystemExit(f"unknown metrics in {args.metrics!r}")
     if "logprob" in metrics:
-        df = unigram_logprob(df, args.col, tokens=tokens)
+        # id_col enables the large-vocab explode+join fallback
+        df = unigram_logprob(df, args.col, tokens=tokens, id_col=args.id_col)
     if "novelty" in metrics:
         df = ngram_novelty(
             df, col=args.col, id_col=args.id_col, w=args.shingle_w,

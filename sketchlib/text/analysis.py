@@ -255,9 +255,18 @@ def with_repetition_stats(df: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
-#: the internal vocabulary frame persisted by the most recent
-#: tfidf_keywords call (None when released) — see release_tfidf_cache
-_last_internal_vocab: DataFrame | None = None
+#: internal vocabulary frame persisted by the most recent
+#: tfidf_keywords call — the shared one-slot contract (spark/cache.py)
+_vocab_cache = None
+
+
+def _get_vocab_cache():
+    global _vocab_cache
+    if _vocab_cache is None:
+        from sketchlib.spark.cache import SingleSlotCache
+
+        _vocab_cache = SingleSlotCache()
+    return _vocab_cache
 
 
 def release_tfidf_cache() -> None:
@@ -269,10 +278,7 @@ def release_tfidf_cache() -> None:
     been materialized to drop that final one too.  Releasing early is
     always safe — an unevaluated consumer just recomputes the
     vocabulary instead of reading the cache."""
-    global _last_internal_vocab
-    if _last_internal_vocab is not None:
-        _last_internal_vocab.unpersist()
-        _last_internal_vocab = None
+    _get_vocab_cache().release()
 
 
 def tfidf_keywords(
@@ -324,12 +330,10 @@ def tfidf_keywords(
     # effect on their frame — persist it yourself when reusing it
     # across calls).
     if vocab is None:
-        release_tfidf_cache()
         vocab = vocabulary(df, col, min_df=min_df).persist(
             StorageLevel.MEMORY_AND_DISK
         )
-        global _last_internal_vocab
-        _last_internal_vocab = vocab
+        _get_vocab_cache().hold(vocab)  # releases the previous one
     n_terms = vocab.count()
     vocab_side = (
         F.broadcast(vocab) if n_terms <= max_broadcast_terms else vocab

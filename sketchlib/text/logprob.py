@@ -105,6 +105,31 @@ def unigram_counts(df: DataFrame, col: str = "text", tokens: bool = False) -> Da
     return partial.groupBy("term").agg(F.sum("n").alias("n"))
 
 
+#: internal count frame persisted by the most recent join-plan
+#: unigram_logprob call — the shared one-slot contract (cache.py)
+_counts_cache = None
+
+
+def _get_counts_cache():
+    global _counts_cache
+    if _counts_cache is None:
+        from sketchlib.spark.cache import SingleSlotCache
+
+        _counts_cache = SingleSlotCache()
+    return _counts_cache
+
+
+def release_logprob_cache() -> None:
+    """Unpersist the internal count frame cached by the most recent
+    join-plan :func:`unigram_logprob` call (no-op when none is held).
+    Called automatically at the start of every self-model run, so
+    loops over corpora hold at most one cached frame; call it
+    explicitly once the last returned frame has been materialized.
+    Releasing early is always safe — an unevaluated consumer just
+    recomputes the counts instead of reading the cache."""
+    _get_counts_cache().release()
+
+
 def _model_stats(counts: DataFrame) -> tuple[int, int]:
     row = counts.agg(
         F.coalesce(F.sum("n"), F.lit(0)).alias("N"),
@@ -135,13 +160,21 @@ def unigram_logprob(
     row key to re-attach scores); tokens mode is broadcast-only (BPE
     id spaces are bounded) and refuses ids above ``MAX_TOKEN_ID``.
     """
-    counts = model_counts if model_counts is not None else unigram_counts(df, col, tokens)
+    own_counts = model_counts is None
+    counts = model_counts if not own_counts else unigram_counts(df, col, tokens)
+    if own_counts:
+        # one corpus-scale explode+groupBy feeds BOTH the (N, V) stats
+        # job and the collect/join below — persist so it runs once
+        release_logprob_cache()
+        counts = counts.persist()
     n_total, vocab = _model_stats(counts)
     denom = float(n_total + vocab + 1)
     oov = -math.log(denom)
 
     if tokens:
         pdf = counts.toPandas()  # bounded: one row per vocab entry
+        if own_counts:
+            counts.unpersist()  # collected — the cache is spent
         ids = pdf["term"].to_numpy()
         if len(ids) and (ids.min() < 0 or ids.max() > MAX_TOKEN_ID):
             raise ValueError(
@@ -154,17 +187,25 @@ def unigram_logprob(
 
     if vocab <= vocab_broadcast_max:
         pdf = counts.toPandas()
+        if own_counts:
+            counts.unpersist()  # collected — the cache is spent
         lp = dict(
             zip(pdf["term"], np.log((pdf["n"].to_numpy() + 1.0) / denom))
         )
         return _score_text_pandas(df, col, lp, oov)
 
     if id_col is None:
+        if own_counts:
+            counts.unpersist()
         raise ValueError(
             f"vocabulary ({vocab}) exceeds vocab_broadcast_max "
             f"({vocab_broadcast_max}); the explode+join plan needs id_col= "
             "(a unique row key) to re-attach scores"
         )
+    if own_counts:
+        # the returned plan still references the frame lazily: hand the
+        # cache to the release slot (tfidf pattern) instead of leaking
+        _get_counts_cache().hold(counts)
     return _score_text_join(df, col, counts, id_col, denom, oov)
 
 
@@ -180,25 +221,41 @@ def _score_tokens_arrow(df: DataFrame, col: str, table: np.ndarray, oov: float) 
 
         for batch in it:
             arr = batch.column(ci)
-            # per-row lengths (0 for NULL rows) drive the segmented
-            # sums; flatten() emits only the valid rows' values, in
-            # row order, so the two stay aligned
-            n_terms = (
+            # per-row lengths (0 for NULL rows; NULL elements still
+            # counted here) drive the segmented sums; flatten() emits
+            # only the valid rows' values, in row order, so the two
+            # stay aligned
+            lens = (
                 pc.list_value_length(arr)
                 .fill_null(0)
                 .to_numpy(zero_copy_only=False)
-                .astype(np.int32)
+                .astype(np.int64)
             )
             flat = arr.flatten()
-            ids = flat.to_numpy(zero_copy_only=False)
+            if flat.null_count:
+                # NULL elements inside an array: ignored, matching the
+                # unigram_counts drop_null — excluded from both the
+                # sum and n_terms (a bare to_numpy would promote the
+                # ids to float NaN and crash the table lookup)
+                valid = ~flat.is_null().to_numpy(zero_copy_only=False)
+                ids = flat.fill_null(0).to_numpy(zero_copy_only=False)
+            else:
+                valid = None
+                ids = flat.to_numpy(zero_copy_only=False)
             lp = np.where(
                 (ids >= 0) & (ids < len(table)),
                 table[np.clip(ids, 0, len(table) - 1)],
                 oov,
             )
+            ends = np.cumsum(lens)
+            starts = ends - lens
+            if valid is not None:
+                lp = np.where(valid, lp, 0.0)
+                vcs = np.concatenate(([0], np.cumsum(valid.astype(np.int64))))
+                n_terms = (vcs[ends] - vcs[starts]).astype(np.int32)
+            else:
+                n_terms = lens.astype(np.int32)
             cs = np.concatenate(([0.0], np.cumsum(lp)))
-            ends = np.cumsum(n_terms)
-            starts = ends - n_terms
             with np.errstate(invalid="ignore", divide="ignore"):
                 avg = (cs[ends] - cs[starts]) / np.maximum(n_terms, 1)
             avg = np.where(n_terms > 0, avg, np.nan)
@@ -220,10 +277,11 @@ def _score_text_pandas(df: DataFrame, col: str, lp: dict, oov: float) -> DataFra
 
     import re
 
-    # Java regex \s (the Catalyst split) and RE2 \s (the DuckDB
-    # oracle) are ASCII-only; Python's default str.split() is
-    # unicode-aware — use the explicit ASCII class so all three
-    # tokenizations agree on exotic-whitespace inputs
+    # Java regex \s = [ \t\n\x0b\f\r] (ASCII, the Catalyst split);
+    # RE2 \s EXCLUDES \x0b and Python's default str.split() is
+    # unicode-aware — so the oracle SQL and this kernel both pin the
+    # explicit Java class and all three tokenizations agree on
+    # exotic-whitespace inputs
     ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     @pandas_udf("struct<n_terms: int, avg_logprob: double>")
@@ -279,7 +337,8 @@ WITH terms AS (
   SELECT {id_col}, t
   FROM (
     SELECT {id_col},
-           unnest(regexp_split_to_array(trim({col}), '\\s+')) AS t
+           unnest(regexp_split_to_array(trim({col}),
+                                        '[ \\t\\n\\x0b\\f\\r]+')) AS t
     FROM {table}
   )
   WHERE t <> ''

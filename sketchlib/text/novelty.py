@@ -48,8 +48,19 @@ def ngram_novelty(
     w: int = 5,
     tokens: bool = False,
     hash_grams: bool = False,
+    cache: bool = False,
 ) -> DataFrame:
-    """Append ``n_grams``, ``novel_grams``, ``novelty`` to ``docs``."""
+    """Append ``n_grams``, ``novel_grams``, ``novelty`` to ``docs``.
+
+    The occurrence lineage is read twice (once building the global
+    gram counts, once as the join probe); ``cache=True`` persists the
+    slim (id, source-column) projection so the two evaluations share
+    one source scan — the `remove_duplicate_spans` trade: the shingle
+    transform still runs twice, but that is parallel CPU next to
+    re-scanning a wide table.  The returned plan references the cached
+    frame lazily; drop it with ``spark.catalog.clearCache()`` (or keep
+    the default for one-shot scoring, where Spark's shuffle reuse
+    already avoids most of the duplication)."""
     if tokens:
         elem = dict(docs.dtypes)[col]
         if not elem.startswith("array<"):
@@ -58,7 +69,10 @@ def ngram_novelty(
     else:
         grams = word_shingles(col, w)
 
-    occ = docs.select(id_col, F.explode(grams).alias("__gram"))
+    src = docs.select(id_col, col)
+    if cache:
+        src = src.persist()
+    occ = src.select(id_col, F.explode(grams).alias("__gram"))
     if hash_grams:
         # xxhash64 accepts arrays too, so one expression covers both modes
         occ = occ.select(id_col, F.xxhash64("__gram").alias("__gram"))

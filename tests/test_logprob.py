@@ -147,3 +147,43 @@ def test_counts_tokens_match_explode(spark):
         .collect()
     }
     assert fast == exact
+
+
+def test_tokens_null_elements_ignored(spark):
+    """NULL elements inside a token array are ignored (matching the
+    unigram_counts drop_null) in BOTH n_terms and the score — and do
+    not crash the dense-lookup kernel."""
+    df = spark.createDataFrame(
+        [("d1", [1, None, 1]), ("d2", [2])],
+        "doc_id string, tokens array<int>",
+    )
+    # counts 1:2, 2:1 -> N=3 V=2 denom=6
+    out = _scores(unigram_logprob(df, "tokens", tokens=True))
+    assert out["d1"] == (2, pytest.approx(math.log(3 / 6), abs=1e-12))
+    assert out["d2"] == (1, pytest.approx(math.log(2 / 6), abs=1e-12))
+
+
+def test_oracle_whitespace_class_matches_duckdb(spark):
+    """\\x0b sits in Java's \\s but NOT in RE2's \\s — the oracle SQL
+    pins the explicit class; cross-check the three tokenizers on a
+    vertical-tab document end-to-end against DuckDB."""
+    import duckdb
+
+    from sketchlib.text.logprob import logprob_oracle_sql
+
+    rows = [(1, "a\x0bb a"), (2, "a b")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_terms"], round(r["avg_logprob"], 4))
+        for r in unigram_logprob(df, "text").collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (doc_id INT, text VARCHAR); "
+        "INSERT INTO t VALUES (1, 'a' || chr(11) || 'b a'), (2, 'a b')"
+    )
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(logprob_oracle_sql("t")).fetchall()
+    }
+    assert got == want

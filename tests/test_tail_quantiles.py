@@ -112,3 +112,20 @@ def test_tail_high_rejected_for_tdigest(spark):
         approx_quantiles(df, "v", [0.5], sketch="tdigest", tail="high")
     with pytest.raises(ValueError, match="tail must be"):
         approx_quantiles(df, "v", [0.5], sketch="kll", tail="upper")
+
+
+def test_view_inclusive_rank_on_ties():
+    """Discrete values tie constantly; rank/quantile_at_value must stay
+    INCLUSIVE (#{x <= v}) through the negation."""
+    v = np.full(1000, 5.0)
+    view = HighTailView(_neg_kll(v))
+    assert view.rank(5.0) == 1000
+    assert view.quantile_at_value(5.0) == pytest.approx(1.0)
+    assert view.rank(4.999) == 0
+    assert view.quantile_at_value(4.999) == pytest.approx(0.0)
+    # mixed atoms: 600 fives + 400 sevens
+    v2 = np.concatenate([np.full(600, 5.0), np.full(400, 7.0)])
+    view2 = HighTailView(_neg_kll(v2))
+    assert view2.rank(5.0) == 600
+    assert view2.rank(6.0) == 600
+    assert view2.rank(7.0) == 1000

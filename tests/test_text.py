@@ -296,21 +296,21 @@ def test_tfidf_cache_released_between_calls(spark):
         "doc_id long, text string",
     )
     tfidf_keywords(df, k=1).collect()
-    v1 = analysis._last_internal_vocab
+    v1 = analysis._get_vocab_cache().held
     assert v1 is not None and v1.storageLevel.useMemory
     # second call over a DIFFERENT corpus (Spark's cache manager keys
     # by logical plan — an identical plan would re-cache v1's entry)
     tfidf_keywords(df2, k=1).collect()
-    v2 = analysis._last_internal_vocab
+    v2 = analysis._get_vocab_cache().held
     assert v2 is not v1
     assert not v1.storageLevel.useMemory  # previous frame released
     assert v2.storageLevel.useMemory
     release_tfidf_cache()
-    assert analysis._last_internal_vocab is None
+    assert analysis._get_vocab_cache().held is None
     assert not v2.storageLevel.useMemory
     # caller-supplied vocab is never tracked or persisted here
     from sketchlib.text.analysis import vocabulary
 
     v = vocabulary(df, "text")
     tfidf_keywords(df, k=1, vocab=v).collect()
-    assert analysis._last_internal_vocab is None
+    assert analysis._get_vocab_cache().held is None

@@ -214,16 +214,16 @@ def test_overlap_matrix_distributed_parity(spark):
         .repartition(8)
     )
     drv = overlap_matrix(df, "src", "key", k=512).collect()
-    assert api._last_overlap_states is None  # driver path holds nothing
+    assert api._get_overlap_cache().held is None  # driver path holds nothing
     dist = overlap_matrix(
         df, "src", "key", k=512, driver_max_groups=4, target_block=3
     )
     got = dist.collect()
-    assert api._last_overlap_states is not None
+    assert api._get_overlap_cache().held is not None
     assert [tuple(r) for r in got] == [tuple(r) for r in drv]
     assert len(got) == 12 * 11 // 2
     release_overlap_cache()
-    assert api._last_overlap_states is None
+    assert api._get_overlap_cache().held is None
 
     # single group through the distributed path: well-formed empty frame
     one = spark.range(100).select(

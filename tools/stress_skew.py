@@ -148,9 +148,14 @@ def main(n_rows: int, partitions: int, bound: float = 4.0) -> None:
             f"ratio={ratio:.1f}x ({n_tasks} tasks)"
         )
     un, sa = results[0], results[8]
-    # the salt level bounds the straggler: the salted worst merge task
-    # stays within `bound` of its stage median, and is materially
-    # smaller than the unsalted straggler
+    # the evidence needs BOTH halves: the unsalted run must actually
+    # exhibit the straggler (otherwise the conclusion is vacuous — a
+    # layout/AQE accident absorbed the skew and this run demonstrated
+    # nothing), and the salt level must bound it
+    assert un[3] > bound, (
+        f"unsalted straggler ratio {un[3]:.1f}x did not exceed {bound}x — "
+        "the run shows no skew to mitigate; evidence vacuous"
+    )
     assert sa[3] <= bound, f"salted ratio {sa[3]:.1f}x exceeds {bound}x"
     assert sa[1] < un[1], (sa[1], un[1])
     print(
