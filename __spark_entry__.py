@@ -49,6 +49,21 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def _spread(df: DataFrame, key: str, mult: int = 2) -> DataFrame:
+    """Spread a single-file scan across the session's cores before a
+    heavy downstream kernel: the local test parquet files hold 1-6 row
+    groups, so the scan plans that few partitions no matter the split
+    size and a CPU-bound stage runs on a fraction of the box.  Hash
+    repartition on a high-cardinality key (row-level work — any even
+    spread is result-identical; round-robin would local-sort the wide
+    rows).  No-op on a real multi-file table, which already plans wide."""
+    sc = df.sparkSession.sparkContext
+    target = max(sc.defaultParallelism * mult, 8)
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, F.col(key))
+    return df
+
+
 def _sf_rows(sf_dir: str) -> int:
     """Deterministic token-table size for this scale factor."""
     try:
@@ -1236,8 +1251,11 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join plan must equal the plain inequality join."""
     from sketchlib.spark.sessions import interval_join
 
-    li = _read(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_shipdate"
+    li = _spread(
+        _read(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_shipdate"
+        ),
+        "l_orderkey",
     )
     ivs = (
         _read(spark, sf_dir, "orders")

@@ -540,8 +540,12 @@ def embedding_near_duplicates(
     mb = _normalize(
         np.array([np.asarray(v, dtype=np.float32) for v in side[vec_col]])
     )
+    # ship the normalized side ONCE per executor via a Spark broadcast
+    # (a closure capture re-serializes the full matrix into every task)
+    bc = df.sparkSession.sparkContext.broadcast((ids_b, mb))
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        ids_b, mb = bc.value
         for b in batches:
             ids_a = b.column(0).to_numpy(zero_copy_only=False)
             m = _normalize(_batch_matrix(b, 1))
@@ -562,6 +566,14 @@ def embedding_near_duplicates(
                 names=["id_a", "id_b", "cos"],
             )
 
-    return df.select(id_col, vec_col).mapInArrow(
-        fn, "id_a long, id_b long, cos double"
-    )
+    # spread the probe side: the broadcast-GEMM kernel is CPU-bound and
+    # a single-file scan plans 1-2 partitions — the whole N x N GEMM
+    # would run in ONE python worker (hash repartition by id: row-level
+    # work, any even spread is correct; round-robin would local-sort
+    # the wide embedding rows).  No-op cost at scale: n <= max_side.
+    probe = df.select(id_col, vec_col)
+    para = df.sparkSession.sparkContext.defaultParallelism
+    target = max(para * 2, 8)
+    if probe.rdd.getNumPartitions() < target:
+        probe = probe.repartition(target, F.col(id_col))
+    return probe.mapInArrow(fn, "id_a long, id_b long, cos double")

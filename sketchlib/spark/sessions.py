@@ -293,7 +293,7 @@ def interval_join(
                 f"got {max_bucket_pairs!r}"
             )
         max_bucket_pairs = AUTO_MAX_BUCKET_PAIRS
-    for scratch in ("__b", "__f"):
+    for scratch in ("__b", "__f", "__ts", "__lo", "__hi"):
         if scratch in points.columns or scratch in intervals.columns:
             raise ValueError(f"column '{scratch}' already exists")
     overlap = set(points.columns) & set(intervals.columns) - set(by)
@@ -311,10 +311,18 @@ def interval_join(
     p_t = points.schema[ts_col].dataType
     lo_t = intervals.schema[lo_col].dataType
     hi_t = intervals.schema[hi_col].dataType
-    p_us = epoch_micros(ts_col, p_t)
-    lo_us = epoch_micros(lo_col, lo_t)
-    hi_us = epoch_micros(hi_col, hi_t)
-    pts = points.withColumn("__b", F.floor(p_us / F.lit(width_us)))
+    # epoch-micros are MATERIALIZED as int64 columns once per input row
+    # (guide §2.3/§3: the join condition runs per CANDIDATE pair — with
+    # a dense time axis that is points x intervals-per-bucket rows, and
+    # re-evaluating timestampdiff-on-cast there dominated the join; two
+    # long comparisons per candidate are ~10x cheaper, for +8 bytes/row)
+    pts = points.withColumn("__ts", epoch_micros(ts_col, p_t))
+    p_us = F.col("__ts")
+    intervals = intervals.withColumn(
+        "__lo", epoch_micros(lo_col, lo_t)
+    ).withColumn("__hi", epoch_micros(hi_col, hi_t))
+    lo_us, hi_us = F.col("__lo"), F.col("__hi")
+    pts = pts.withColumn("__b", F.floor(p_us / F.lit(width_us)))
     ivs = (
         intervals.filter(lo_us < hi_us)
         .withColumn(
@@ -387,13 +395,12 @@ def interval_join(
         )
         hotj = pts_h.join(ivs_h, on=key + ["__f"], how="inner").drop("__f")
         joined = cold.unionByName(hotj)
-    # re-derive the bounds on the JOINED frame by name (the exact
-    # containment predicate), then drop the bucket
+    # exact containment on the precomputed int64 bounds (two long
+    # compares per candidate), then drop every scratch column
     out = joined.filter(
-        (epoch_micros(ts_col, p_t) >= epoch_micros(lo_col, lo_t))
-        & (epoch_micros(ts_col, p_t) < epoch_micros(hi_col, hi_t))
+        (F.col("__ts") >= F.col("__lo")) & (F.col("__ts") < F.col("__hi"))
     )
-    return out.drop("__b")
+    return out.drop("__b", "__ts", "__lo", "__hi")
 
 
 def _as_timestamp(df: DataFrame, col: str, role: str) -> DataFrame:
