@@ -144,6 +144,84 @@ def _grouped_rank_ok(
     return out
 
 
+def _exact_quantile_check(
+    df: DataFrame, col: str, qs: list[float], ests: list[float]
+) -> tuple[list[float], list[bool]]:
+    """Exact interpolated percentiles + rank-interval checks from ONE
+    distinct-value count frame.
+
+    ``F.percentile`` builds a per-partition value->count hash map and
+    merges every map in a single final task — measured 19s of a 21.5s
+    query on 6M rows / ~1M distinct values.  The same exact numbers
+    fall out of ``groupBy(value).count()`` (map-side combined, shuffles
+    only DISTINCT values) + a running-count rank: value_at(floor/ceil
+    of q*(n-1)) interpolated with Spark's own symmetric formula
+    ``(hi-pos)*v_lo + (pos-lo)*v_hi`` (Percentile.getPercentile) —
+    bit-identical, asserted by tests/test_entry_exact_percentile.py.
+    The rank-CDF fractions are conditional SUMS of the same counts
+    (sum/n == the former avg-of-indicators: both are exact small-int
+    doubles).  The running count runs on the distinct-value frame
+    (bounded: price-grid / measurement columns have ~fixed granularity);
+    2 light jobs on a persisted ~MB frame replace the map-merge."""
+    import math as _math
+
+    c = F.col(col).cast("double")
+    vc = (
+        df.filter(c.isNotNull())
+        .groupBy(c.alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .persist()
+    )
+    try:
+        v = F.col("__v")
+        aggs = [F.sum("__c").alias("n")]
+        for i, e in enumerate(ests):
+            r = float(np.rint(e))
+            for tag, cond in (
+                ("lt", v < float(e)),
+                ("le", v <= float(e)),
+                ("rlt", v < r),
+                ("rle", v <= r),
+            ):
+                aggs.append(F.sum(F.when(cond, F.col("__c"))).alias(f"{tag}{i}"))
+        s = vc.agg(*aggs).first()
+        n = int(s["n"] or 0)
+        row = {"n": n}
+        for i in range(len(ests)):
+            for tag in ("lt", "le", "rlt", "rle"):
+                row[f"{tag}{i}"] = float(s[f"{tag}{i}"] or 0) / max(n, 1)
+        oks = _rank_oks(row, qs)
+        positions = [q * (n - 1) for q in qs]
+        ranks = sorted(
+            {int(_math.floor(p)) for p in positions}
+            | {int(_math.ceil(p)) for p in positions}
+        )
+        from pyspark.sql.window import Window
+
+        w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+        cum = vc.withColumn("__cum", F.sum("__c").over(w))
+        cond = None
+        for rk in ranks:
+            t = ((F.col("__cum") - F.col("__c")) <= rk) & (rk < F.col("__cum"))
+            cond = t if cond is None else (cond | t)
+        val_at: dict[int, float] = {}
+        for h in cum.filter(cond).collect():
+            lo_c, hi_c = h["__cum"] - h["__c"], h["__cum"]
+            for rk in ranks:
+                if lo_c <= rk < hi_c:
+                    val_at[rk] = float(h["__v"])
+        exact = []
+        for p in positions:
+            lo, hi = int(_math.floor(p)), int(_math.ceil(p))
+            if lo == hi:
+                exact.append(val_at[lo])
+            else:
+                exact.append((hi - p) * val_at[lo] + (p - lo) * val_at[hi])
+        return exact, oks
+    finally:
+        vc.unpersist()
+
+
 def _quantile_query(
     spark: SparkSession,
     sf_dir: str,
@@ -155,16 +233,7 @@ def _quantile_query(
 ) -> DataFrame:
     df = _read(spark, sf_dir, table).filter(F.col(col).isNotNull())
     ests, _sk = approx_quantiles(df, col, qs, sketch=sketch, **params)
-    # exact percentiles + rank-interval fractions fused into ONE
-    # aggregation job (was two separate actions over the same scan)
-    aggs = _rank_aggs(col, ests) + [
-        F.percentile(
-            F.col(col).cast("double"), F.array(*[F.lit(q) for q in qs])
-        ).alias("p")
-    ]
-    row = df.agg(*aggs).first()
-    exact = row["p"]
-    oks = _rank_oks(row, qs)
+    exact, oks = _exact_quantile_check(df, col, qs, ests)
     rows = [
         (float(q), float(round(x, 4)), bool(ok))
         for q, x, ok in zip(qs, exact, oks)
