@@ -2182,8 +2182,9 @@ def q_pipeline_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sketchlib.pipeline import run_pipeline_spec
 
     # single-file source: spread the scan so the CPU-bound shingle
-    # build isn't single-task (gate-input choice, not an operator one)
-    docs = _read(spark, sf_dir, "documents").repartition(8)
+    # build isn't single-task (gate-input choice, not an operator one;
+    # scale-adaptive — a fixed 8 left 3/4 of a 32-core box idle at sf1)
+    docs = _spread(_read(spark, sf_dir, "documents"), "doc_id")
     weyl = "pmod(CAST(doc_id AS BIGINT) * 2654435761, 1048576)"
     spec = {
         "steps": [
@@ -2198,7 +2199,8 @@ def q_pipeline_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
              "weights": {"train": 0.875, "eval": 0.125}, "key_sql": weyl},
         ]
     }
-    out, counters = run_pipeline_spec(docs, spec)
+    pins: list = []
+    out, counters = run_pipeline_spec(docs, spec, pins=pins)
     final = out.agg(
         F.count(F.lit(1)).alias("n"),
         F.coalesce(F.sum(F.expr(weyl)), F.lit(0)).alias("fp"),
@@ -2207,6 +2209,8 @@ def q_pipeline_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).alias("tr"),
     ).first()  # the ONE action — fires every per-step observation
+    for p in pins:  # step-boundary pins live only for this action
+        p.unpersist()
     rows = [(label, int(obs.get["rows"])) for label, obs in counters]
     rows += [
         ("final:rows", int(final["n"])),
@@ -2488,10 +2492,9 @@ def q_tokens_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sketchlib.pipeline import run_pipeline_spec
 
     # single-file source: spread before the CPU-bound encode kernel
-    docs = (
-        _read(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .repartition(8)
+    # (scale-adaptive — a fixed 8 left 3/4 of a 32-core box idle at sf1)
+    docs = _spread(
+        _read(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
     )
     spec = {
         "steps": [
@@ -2508,13 +2511,16 @@ def q_tokens_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
              "order_col": "doc_id"},
         ]
     }
-    out, counters = run_pipeline_spec(docs, spec)
+    pins: list = []
+    out, counters = run_pipeline_spec(docs, spec, pins=pins)
     wins = out.select(
         F.lit("win").alias("kind"),
         F.col("seq_id").cast("long").alias("k"),
         F.col("n_tokens").cast("long").alias("v"),
         F.md5(F.concat_ws(" ", "tokens")).alias("s"),
     ).collect()  # the ONE action — fires every per-step observation
+    for p in pins:  # step-boundary pins live only for this action
+        p.unpersist()
     rows = [
         ("step", i, int(obs.get["rows"]), label)
         for i, (label, obs) in enumerate(counters)

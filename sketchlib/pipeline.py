@@ -305,7 +305,27 @@ SPEC_STEPS = {
 }
 
 
-def run_pipeline_spec(docs: DataFrame, spec: dict) -> tuple[DataFrame, list]:
+#: steps whose operator references its input frame MORE THAN ONCE
+#: (anti-join dedup, shingle-join decontamination, span removal, BPE's
+#: eager train + lazy encode).  Without truncation each such step
+#: duplicates the whole upstream subtree in the final plan — the
+#: 5-step tokens pipeline scanned its source 19x with 94 Exchanges
+#: (measured, OPTIMIZATION_r08.md): at corpus scale that is 19 full
+#: reads.  With ``pins`` the runner persists these steps' inputs so
+#: every subtree executes once; the caller unpersists after its one
+#: materializing action.
+MULTI_REF_STEPS = {
+    "dedup_exact",
+    "dedup_minhash",
+    "decontaminate",
+    "dedup_spans",
+    "bpe_encode",
+}
+
+
+def run_pipeline_spec(
+    docs: DataFrame, spec: dict, pins: list | None = None
+) -> tuple[DataFrame, list]:
     """Interpret a declarative curation spec — ``{"steps": [{"op":
     "normalize"}, {"op": "quality_filter", "min_score": 0.2}, ...]}``
     — over a documents frame.  Returns ``(result_df, counters)`` where
@@ -319,7 +339,17 @@ def run_pipeline_spec(docs: DataFrame, spec: dict) -> tuple[DataFrame, list]:
     ``tokens_col`` (default "tokens", reassigned by a ``bpe_encode``
     step's out_col) names the token-array column that tokens-mode
     steps (``decontaminate``/``dedup_spans`` with ``tokens: true``,
-    ``materialize_packed``) operate on."""
+    ``materialize_packed``) operate on.
+
+    ``pins`` (optional, recommended for multi-step specs): a caller
+    list the runner appends persisted intermediate frames to.  Steps in
+    :data:`MULTI_REF_STEPS` reference their input more than once; the
+    runner persists those inputs (MEMORY_AND_DISK) so each upstream
+    subtree computes ONCE instead of compounding 2^k-style through the
+    chain.  The caller MUST unpersist every frame in ``pins`` after its
+    materializing action: ``for p in pins: p.unpersist()``.  With
+    ``pins=None`` (default) nothing is persisted — the fully lazy
+    single-lineage plan of old, correct but with duplicated subtrees."""
     steps = spec.get("steps")
     if not steps:
         raise ValueError("spec.steps must be a non-empty list")
@@ -336,6 +366,11 @@ def run_pipeline_spec(docs: DataFrame, spec: dict) -> tuple[DataFrame, list]:
     df = docs
     counters: list = []
     for i, step in enumerate(steps):
+        if pins is not None and step["op"] in MULTI_REF_STEPS:
+            from pyspark.storagelevel import StorageLevel
+
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            pins.append(df)
         df = SPEC_STEPS[step["op"]](df, step, ctx)
         obs = Observation()
         df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
