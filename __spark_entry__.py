@@ -146,7 +146,7 @@ def _grouped_rank_ok(
 
 def _exact_quantile_check(
     df: DataFrame, col: str, qs: list[float], ests: list[float]
-) -> tuple[list[float], list[bool]]:
+) -> tuple[list[float], list[bool], int]:
     """Exact interpolated percentiles + rank-interval checks from ONE
     distinct-value count frame.
 
@@ -217,7 +217,7 @@ def _exact_quantile_check(
                 exact.append(val_at[lo])
             else:
                 exact.append((hi - p) * val_at[lo] + (p - lo) * val_at[hi])
-        return exact, oks
+        return exact, oks, n
     finally:
         vc.unpersist()
 
@@ -233,7 +233,7 @@ def _quantile_query(
 ) -> DataFrame:
     df = _read(spark, sf_dir, table).filter(F.col(col).isNotNull())
     ests, _sk = approx_quantiles(df, col, qs, sketch=sketch, **params)
-    exact, oks = _exact_quantile_check(df, col, qs, ests)
+    exact, oks, _n = _exact_quantile_check(df, col, qs, ests)
     rows = [
         (float(q), float(round(x, 4)), bool(ok))
         for q, x, ok in zip(qs, exact, oks)
@@ -750,20 +750,41 @@ def q_quantile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _read(spark, sf_dir, "events").select("event_id", "value")
     out = with_quantile_rank(ev, "value", buckets=10)
-    exact = ev.withColumn(
-        "exact", F.percent_rank().over(Window.orderBy("value"))
-    ).select("event_id", "exact")
-    j = out.join(exact, "event_id")
+    # exact percent_rank WITHOUT the global single-partition window
+    # over every row (WindowExec funnels the whole table into one
+    # task): percent_rank(v) == (#rows < v) / (n-1), so a running
+    # count over the ~30k DISTINCT values (broadcast back by value)
+    # gives the identical double — long/long division on the same
+    # operands Spark's PercentRank divides.  The former event_id join
+    # and the second groupBy action fuse into ONE conditional agg.
     n = ev.count()
-    worst = j.agg(
-        F.max(F.abs(F.col("q_rank") - F.col("exact")))
-    ).collect()[0][0]
-    sizes = [
-        r["count"]
-        for r in j.groupBy("q_bucket").count().collect()
+    c = F.col("value").cast("double")
+    vc = ev.groupBy(c.alias("__v")).agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    ranks = vc.withColumn(
+        "__lt", F.coalesce(F.sum("__c").over(w), F.lit(0))
+    ).select("__v", "__lt")
+    exact_col = (
+        (F.col("__lt") / F.lit(n - 1)) if n > 1 else F.lit(0.0)
+    ).alias("exact")
+    j = out.join(F.broadcast(ranks), c == F.col("__v")).select(
+        "q_rank", "q_bucket", exact_col
+    )
+    aggs = [
+        F.max(F.abs(F.col("q_rank") - F.col("exact"))).alias("worst"),
+        F.count_distinct(F.col("q_bucket")).alias("cd"),
+        F.count(F.when(F.col("q_bucket").isNull(), 1)).alias("nullb"),
+    ] + [
+        F.count(F.when(F.col("q_bucket") == b, 1)).alias(f"b{b}")
+        for b in range(10)
     ]
-    balanced = len(sizes) == 10 and all(
-        0.08 * n <= s <= 0.12 * n for s in sizes
+    row = j.agg(*aggs).first()
+    worst = row["worst"]
+    sizes = [row[f"b{b}"] for b in range(10)]
+    balanced = (
+        row["cd"] == 10
+        and row["nullb"] == 0
+        and all(0.08 * n <= s <= 0.12 * n for s in sizes)
     )
     rows = [
         ("rank_abs_err_le_0.01", bool(worst <= 0.01)),
@@ -1810,17 +1831,13 @@ def q_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ingested, "value", qs, sketch="tdigest", delta=1000
     )
     ests_batch = [float(v) for v in ests_batch]
-    # ONE fused aggregation: exact count + exact percentiles + rank
-    # intervals for all 6 estimates (3 streamed, 3 batch)
-    aggs = _rank_aggs("value", ests_stream + ests_batch) + [
-        F.percentile(
-            F.col("value").cast("double"), F.array(*[F.lit(x) for x in qs])
-        ).alias("p")
-    ]
-    row = events.agg(*aggs).first()
-    oks = _rank_oks(row, qs + qs)
+    # exact count + exact percentiles + rank intervals for all 6
+    # estimates (3 streamed, 3 batch) from the distinct-value-count
+    # plan (bit-identical to F.percentile; see _exact_quantile_check)
+    exact_p, oks, n_exact = _exact_quantile_check(
+        events, "value", qs + qs, ests_stream + ests_batch
+    )
     oks_stream, oks_batch = oks[: len(qs)], oks[len(qs):]
-    n_exact = int(row["n"])
     count_ok = sk is not None and sk.count == n_exact
     n_batches = len(
         [d for d in __import__("os").listdir(f"{work}/ledger")]
@@ -1832,7 +1849,7 @@ def q_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             "stream_q",
             float(qx),
-            float(round(row["p"][i], 4)),
+            float(round(exact_p[i], 4)),
             bool(oks_stream[i] and oks_batch[i]),
         )
         for i, qx in enumerate(qs)
@@ -2249,11 +2266,17 @@ def q_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("g"), F.col("l_orderkey").alias("k")
     )
     est = overlap_matrix(li, "g", "k", k=4096)  # 3-row driver-built DF
-    w = li.distinct()
-    d = w.groupBy("g").agg(F.count(F.lit(1)).alias("nd"))
+    # exact verification: ONE groupBy(k) collect_set shuffle replaces
+    # the former distinct + self-join-on-k (two wide shuffles); per-key
+    # flag sets are tiny (<= |groups|), and exploding their ordered
+    # pairs gives the same exact intersection counts
+    sets = li.groupBy("k").agg(F.sort_array(F.collect_set("g")).alias("gs"))
+    d = sets.select(F.explode("gs").alias("g")).groupBy("g").agg(
+        F.count(F.lit(1)).alias("nd")
+    )
     pairs = (
-        w.select(F.col("g").alias("ga"), "k")
-        .join(w.select(F.col("g").alias("gb"), "k"), "k")
+        sets.select(F.explode("gs").alias("ga"), "gs")
+        .select("ga", F.explode("gs").alias("gb"))
         .filter(F.col("ga") < F.col("gb"))
         .groupBy(F.col("ga").alias("group_a"), F.col("gb").alias("group_b"))
         .agg(F.count(F.lit(1)).alias("inter"))

@@ -487,16 +487,21 @@ def overlap_matrix(
     states = grouped_sketch(
         df, [group_col], col, lambda: ThetaSketch(k=k), kind
     ).persist()
-    keys = [r[0] for r in states.select(group_col).collect()]
-    if len(keys) > max_groups:
+    # cardinality gate EXECUTOR-SIDE first (advisor r7): collecting the
+    # keys of a mistakenly-keyed group column could itself OOM the
+    # driver before the guard fires; the count runs on the persisted
+    # frame the consumer needs anyway
+    n_groups = states.count()
+    if n_groups > max_groups:
         states.unpersist()
         raise ValueError(
-            f"overlap_matrix: {len(keys)} distinct groups exceeds "
+            f"overlap_matrix: {n_groups} distinct groups exceeds "
             f"max_groups={max_groups}.  The op builds G*(G-1)/2 pair "
             "rows — it assumes a SMALL group column (sources, shards, "
             "languages), not a key.  Raise max_groups only if the "
             "quadratic output is really what you want."
         )
+    keys = [r[0] for r in states.select(group_col).collect()]
     try:
         keys.sort()  # orderability probe for the group_a < group_b contract
     except TypeError:
