@@ -420,7 +420,9 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle)."""
     from sketchlib.spark.api import heavy_hitters
 
-    events = _read(spark, sf_dir, "events")
+    # six actions touch only user_id: persist the narrow projection for
+    # the query's lifetime (unpersisted before returning)
+    events = _read(spark, sf_dir, "events").select("user_id").persist()
     got = heavy_hitters(events, "user_id", k=10).collect()  # SS default
     got_cms = heavy_hitters(events, "user_id", k=10, backend="cms").collect()
     got_keys = [r["user_id"] for r in got]
@@ -456,6 +458,7 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     }
     ss_ok = top5_hashed <= ss_keys
+    events.unpersist()
 
     rows = [
         ("hh_top5_contained", bool(containment_ok)),
@@ -2012,13 +2015,39 @@ def q_sampling_and_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
       within 25% of perfectly balanced (Zipf-proof balance check).
 
     Oracle carries the constant shape."""
-    from sketchlib.spark.api import range_partition_bounds, sample_column
+    from sketchlib.core.reservoir import ReservoirSample
+    from sketchlib.core.tdigest import TDigest
+    from sketchlib.spark.aggregate import (
+        KIND_DOUBLE,
+        sketch_columns,
+        task_partition_salt,
+    )
 
     li = _read(spark, sf_dir, "lineitem").filter(
         F.col("l_extendedprice").isNotNull()
     )
     cap = 2000
-    sk = sample_column(li, "l_extendedprice", capacity=cap, seed=7)
+    # ONE scan builds BOTH sketches (sample + bounds t-digest) via the
+    # multi-column pass on an aliased projection; bottom-k sampling is
+    # feed-order-independent, so the sample content matches the former
+    # dedicated scan.  Was: two separate full scans.
+    two = li.select(
+        F.col("l_extendedprice").alias("__s"),
+        F.col("l_extendedprice").alias("__t"),
+    )
+    sks = sketch_columns(
+        two,
+        {
+            "__s": (
+                lambda: ReservoirSample(
+                    capacity=cap, seed=7, salt=task_partition_salt()
+                ),
+                KIND_DOUBLE,
+            ),
+            "__t": (lambda: TDigest(delta=2000), KIND_DOUBLE),
+        },
+    )
+    sk, td = sks.get("__s"), sks.get("__t")
     stats = li.agg(
         F.count("l_extendedprice").alias("n"),
         F.avg("l_extendedprice").alias("mean"),
@@ -2029,25 +2058,35 @@ def q_sampling_and_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     se = stats["sd"] / np.sqrt(max(s.size, 1))
     mean_ok = abs(s.mean() - stats["mean"]) <= 4 * se + 1e-9
     med = float(np.median(s))
-    med_rank = li.agg(
-        F.avg((F.col("l_extendedprice") <= F.lit(med)).cast("double"))
-    ).first()[0]
-    median_ok = abs(med_rank - 0.5) <= 0.05
 
     n_buckets = 8
-    bounds = range_partition_bounds(
-        li, "l_extendedprice", n_buckets, delta=2000
-    )
+    # same bounds the dedicated range_partition_bounds pass produced:
+    # (i/n)-quantiles of the t-digest, non-decreasing-enforced
+    qs_b = [i / n_buckets for i in range(1, n_buckets)]
+    vals = np.atleast_1d(td.value_at_quantile(np.asarray(qs_b, dtype=np.float64)))
+    bounds = []
+    prev = -np.inf
+    for v in vals:
+        prev = max(float(v), prev)
+        bounds.append(float(prev))
     bucket = F.lit(0)
     for b in bounds:
         bucket = bucket + (F.col("l_extendedprice") > F.lit(b)).cast("int")
-    per = (
-        li.select(bucket.alias("b")).groupBy("b").count().collect()
-    )
-    cnts = {r["b"]: r["count"] for r in per}
+    # median rank check + per-bucket counts fused into ONE aggregation
+    row = li.agg(
+        F.avg(
+            (F.col("l_extendedprice") <= F.lit(med)).cast("double")
+        ).alias("mr"),
+        *[
+            F.count(F.when(bucket == b, 1)).alias(f"b{b}")
+            for b in range(n_buckets)
+        ],
+    ).first()
+    median_ok = abs(row["mr"] - 0.5) <= 0.05
+    cnts = [row[f"b{b}"] for b in range(n_buckets)]
     target = stats["n"] / n_buckets
-    balance_ok = len(cnts) == n_buckets and all(
-        abs(c - target) <= 0.25 * target + 2 for c in cnts.values()
+    balance_ok = all(c > 0 for c in cnts) and all(
+        abs(c - target) <= 0.25 * target + 2 for c in cnts
     )
 
     rows = [
