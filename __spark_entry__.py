@@ -1540,7 +1540,8 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the sf documents table is ONE parquet file, so the (CPU-bound)
     # Catalyst shingle construction would run in a single task;
     # spreading the scan is a gate-input choice, not an operator one
-    docs = _read(spark, sf_dir, "documents").repartition(8)
+    # (scale-adaptive — a fixed 8 under-fills a 32-core box at sf1)
+    docs = _spread(_read(spark, sf_dir, "documents"), "doc_id")
     eval_df = docs.filter(F.col("doc_id") % 17 == 0)
     kept = decontaminate(docs, eval_df, shingle_w=5, threshold=1)
     return kept.select(F.col("doc_id").cast("bigint"))
@@ -1625,7 +1626,8 @@ def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sketchlib.text.analysis import tfidf_keywords
 
     # spread the one-file scan: the explode + counts are CPU-bound
-    docs = _read(spark, sf_dir, "documents").repartition(8)
+    # (scale-adaptive — a fixed 8 under-fills a 32-core box at sf1)
+    docs = _spread(_read(spark, sf_dir, "documents"), "doc_id")
     out = tfidf_keywords(docs, "text", k=3, idf="ratio")
     return out.select(
         F.col("id").cast("bigint"), "rank", "term",
@@ -2180,7 +2182,9 @@ def q_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     word, so each word encodes to exactly one piece."""
     from sketchlib.text.bpe import bpe_decode_column, bpe_encode, train_bpe
 
-    docs = _read(spark, sf_dir, "documents")
+    # spread the one-file scan: train's word count and the encode
+    # kernel are CPU-bound (single row group -> one task otherwise)
+    docs = _spread(_read(spark, sf_dir, "documents"), "doc_id")
     merges = train_bpe(docs, num_merges=256)
     enc = bpe_encode(docs, merges)
     # reference normalization/word count use the SAME Java-\s word
