@@ -709,7 +709,13 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(F.split("text", " "), lambda w, i: (i % 20) != 19), " "
         ).alias("text"),
     )
-    pairs = ngram_jaccard_pairs(docs.union(mutated), w=3, threshold=0.5)
+    # hash_grams narrows every shuffle/cache row to 8-byte gram keys
+    # (measured ~1.4x on this gate at sf1.0); results are identical
+    # short of an xxhash64 collision among the corpus' ~30k distinct
+    # grams (~2e-11) — the string-gram DuckDB oracle still pins parity
+    pairs = ngram_jaccard_pairs(
+        docs.union(mutated), w=3, threshold=0.5, hash_grams=True
+    )
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
     )

@@ -136,11 +136,21 @@ def ngram_jaccard_pairs(
             "__id", "__n", "__gram"
         )
         a, b = g2.alias("a"), g2.alias("b")
+        # size-compatibility prune (AllPairs family): J >= t forces
+        # min(n) >= t*max(n), so pairs outside the length band can
+        # never clear the final threshold filter — dropping them AT THE
+        # JOIN removes their pair rows from the count shuffle.
+        # Lossless: the tiny slack only ADMITS borderline integer
+        # ratios, never drops one.
+        eps = F.lit(1e-9)
+        t = F.lit(threshold)
         pairs = (
             a.join(
                 b,
                 (F.col("a.__gram") == F.col("b.__gram"))
-                & (F.col("a.__id") < F.col("b.__id")),
+                & (F.col("a.__id") < F.col("b.__id"))
+                & (F.col("a.__n") >= t * F.col("b.__n") - eps)
+                & (F.col("b.__n") >= t * F.col("a.__n") - eps),
             )
             .groupBy(
                 F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
