@@ -46,9 +46,10 @@ def test_bit_identical_to_spark_percentile(spark, data):
     df = spark.createDataFrame([(float(x),) for x in data], "x double")
     ref = _spark_percentile(spark, df, "x", QS)
     ests = [float(np.percentile(data, q * 100)) for q in QS]
-    exact, oks = E._exact_quantile_check(df, "x", QS, ests)
+    exact, oks, n = E._exact_quantile_check(df, "x", QS, ests)
     assert exact == ref  # bit-for-bit, no tolerance
     assert len(oks) == len(QS)
+    assert n == len(data)
 
 
 def test_matches_on_lineitem(spark):
@@ -61,7 +62,7 @@ def test_matches_on_lineitem(spark):
     qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
     ref = _spark_percentile(spark, df, "l_extendedprice", qs)
     ests = list(ref)  # any estimates work for the value comparison
-    exact, _ = E._exact_quantile_check(df, "l_extendedprice", qs, ests)
+    exact, _, _ = E._exact_quantile_check(df, "l_extendedprice", qs, ests)
     assert exact == ref
 
 
@@ -77,5 +78,5 @@ def test_rank_oks_match_row_level_aggs(spark):
     ests = [float(np.percentile(data, q * 100)) + 0.3 for q in qs]
     row = df.agg(*E._rank_aggs("x", ests)).first()
     oks_old = E._rank_oks(row, qs)
-    _, oks_new = E._exact_quantile_check(df, "x", qs, ests)
+    _, oks_new, _ = E._exact_quantile_check(df, "x", qs, ests)
     assert oks_new == oks_old
