@@ -145,7 +145,7 @@ def _grouped_rank_ok(
 
 
 def _exact_quantile_check(
-    df: DataFrame, col: str, qs: list[float], ests: list[float]
+    df: DataFrame, col: str, qs: list[float], ests: list[float], vc=None
 ) -> tuple[list[float], list[bool], int]:
     """Exact interpolated percentiles + rank-interval checks from ONE
     distinct-value count frame.
@@ -166,12 +166,15 @@ def _exact_quantile_check(
     import math as _math
 
     c = F.col(col).cast("double")
-    vc = (
-        df.filter(c.isNotNull())
-        .groupBy(c.alias("__v"))
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .persist()
-    )
+    if vc is None:
+        vc = (
+            df.filter(c.isNotNull())
+            .groupBy(c.alias("__v"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .persist()
+        )
+    # else: caller-built persisted (__v, __c) frame — ownership moves
+    # here (unpersisted in the finally)
     try:
         v = F.col("__v")
         aggs = [F.sum("__c").alias("n")]
@@ -232,8 +235,26 @@ def _quantile_query(
     **params,
 ) -> DataFrame:
     df = _read(spark, sf_dir, table).filter(F.col(col).isNotNull())
-    ests, _sk = approx_quantiles(df, col, qs, sketch=sketch, **params)
-    exact, oks, _n = _exact_quantile_check(df, col, qs, ests)
+    # the sketch build and the distinct-value-count materialization are
+    # independent jobs: overlap them from two driver threads (guide
+    # §2.6) — the rank/percentile aggs then run on the warm vc cache
+    from concurrent.futures import ThreadPoolExecutor
+
+    c = F.col(col).cast("double")
+    vc = (
+        df.filter(c.isNotNull())
+        .groupBy(c.alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .persist()
+    )
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_est = pool.submit(
+            approx_quantiles, df, col, qs, sketch=sketch, **params
+        )
+        f_mat = pool.submit(vc.count)
+        ests, _sk = f_est.result()
+        f_mat.result()
+    exact, oks, _n = _exact_quantile_check(df, col, qs, ests, vc=vc)
     rows = [
         (float(q), float(round(x, 4)), bool(ok))
         for q, x, ok in zip(qs, exact, oks)
@@ -348,13 +369,22 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("events.user_id", "events", "user_id"),
         ("part.p_partkey", "part", "p_partkey"),
     ]
-    rows = []
-    for metric, table, col in specs:
+    # six independent small jobs (3 tables x sketch+exact): overlap
+    # them from a driver thread pool so the next job's tasks back-fill
+    # the current one's tail (guide-standard; results are per-job
+    # deterministic and unchanged)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(spec):
+        metric, table, col = spec
         df = _read(spark, sf_dir, table)
         est, sk = approx_distinct(df, col, p=14)
         exact = df.select(F.countDistinct(col).alias("d")).first()["d"]
         ok = abs(est - exact) / max(exact, 1) <= 4 * sk.relative_std_error()
-        rows.append((metric, int(exact), bool(ok)))
+        return (metric, int(exact), bool(ok))
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        rows = list(pool.map(one, specs))
     return spark.createDataFrame(rows, "metric string, exact_count bigint, ok boolean")
 
 
@@ -365,15 +395,24 @@ def q_grouped_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sketchlib.spark.api import grouped_distinct
 
     events = _read(spark, sf_dir, "events")
-    est_rows = grouped_distinct(
-        events, ["event_type"], "user_id", p=14, salt_buckets=4
-    ).collect()
+    # the grouped-sketch job and the exact countDistinct are
+    # independent — overlap them (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_est = pool.submit(
+            lambda: grouped_distinct(
+                events, ["event_type"], "user_id", p=14, salt_buckets=4
+            ).collect()
+        )
+        f_exact = pool.submit(
+            events.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("d"))
+            .collect
+        )
+        est_rows = f_est.result()
+        exact_rows = f_exact.result()
     est = {r["event_type"]: (r["estimate"], r["rse"]) for r in est_rows}
-    exact_rows = (
-        events.groupBy("event_type")
-        .agg(F.countDistinct("user_id").alias("d"))
-        .collect()
-    )
     rows = sorted(
         (
             r["event_type"],
@@ -394,12 +433,17 @@ def q_cms_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min frequencies of events.event_type: estimates must be
     >= exact and within the eps*N bound."""
     events = _read(spark, sf_dir, "events")
-    cms = build_cms(events, "event_type", depth=5, width=16384)
+    # the CMS build and the exact counts are independent — overlap them
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_cms = pool.submit(build_cms, events, "event_type", 5, 16384)
+        f_exact = pool.submit(
+            events.groupBy("event_type").agg(F.count("*").alias("cnt")).collect
+        )
+        cms = f_cms.result()
+        exact = {r["event_type"]: r["cnt"] for r in f_exact.result()}
     est_pdf = cms_frequencies(cms, events, "event_type").toPandas()
-    exact = {
-        r["event_type"]: r["cnt"]
-        for r in events.groupBy("event_type").agg(F.count("*").alias("cnt")).collect()
-    }
     bound = cms.error_bound()
     rows = []
     for _, r in est_pdf.iterrows():
@@ -420,43 +464,55 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle)."""
     from sketchlib.spark.api import heavy_hitters
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    from sketchlib.spark.api import heavy_hitters_spacesaving
+
     # six actions touch only user_id: persist the narrow projection for
-    # the query's lifetime (unpersisted before returning)
+    # the query's lifetime (unpersisted before returning), and overlap
+    # the independent jobs in two waves (guide §2.6)
     events = _read(spark, sf_dir, "events").select("user_id").persist()
-    got = heavy_hitters(events, "user_id", k=10).collect()  # SS default
-    got_cms = heavy_hitters(events, "user_id", k=10, backend="cms").collect()
+    exact = events.groupBy("user_id").count()
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_got = pool.submit(
+            lambda: heavy_hitters(events, "user_id", k=10).collect()
+        )
+        f_cms = pool.submit(
+            lambda: heavy_hitters(
+                events, "user_id", k=10, backend="cms"
+            ).collect()
+        )
+        f_top5 = pool.submit(
+            exact.orderBy(F.desc("count"), F.asc("user_id")).limit(5).collect
+        )
+        got, got_cms = f_got.result(), f_cms.result()
+        top5 = [r["user_id"] for r in f_top5.result()]
     got_keys = [r["user_id"] for r in got]
     cms_keys = [r["user_id"] for r in got_cms]
-    exact = events.groupBy("user_id").count()
-    top5 = [
-        r["user_id"]
-        for r in exact.orderBy(F.desc("count"), F.asc("user_id")).limit(5).collect()
-    ]
-    true_counts = {
-        r["user_id"]: r["count"]
-        for r in exact.filter(
-            F.col("user_id").isin(got_keys + cms_keys)
-        ).collect()
-    }
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_counts = pool.submit(
+            exact.filter(F.col("user_id").isin(got_keys + cms_keys)).collect
+        )
+        f_ss = pool.submit(
+            lambda: heavy_hitters_spacesaving(
+                events, "user_id", k=10, capacity=4096
+            ).collect()
+        )
+        f_h5 = pool.submit(
+            events.filter(F.col("user_id").isin(top5))
+            .select(F.xxhash64("user_id").alias("h"))
+            .distinct()
+            .collect
+        )
+        true_counts = {r["user_id"]: r["count"] for r in f_counts.result()}
+        ss_keys = {r["key_hash"] for r in f_ss.result()}
+        top5_hashed = {r["h"] for r in f_h5.result()}
     containment_ok = all(k in got_keys for k in top5) and all(
         k in cms_keys for k in top5
     )
     no_undercount = all(
         r["est_count"] >= true_counts[r["user_id"]] for r in got + got_cms
     )
-
-    # SpaceSaving backend: guaranteed tracking of the same top-5
-    from sketchlib.spark.api import heavy_hitters_spacesaving
-
-    ss_rows = heavy_hitters_spacesaving(events, "user_id", k=10, capacity=4096)
-    ss_keys = {r["key_hash"] for r in ss_rows.collect()}
-    top5_hashed = {
-        r["h"]
-        for r in events.filter(F.col("user_id").isin(top5))
-        .select(F.xxhash64("user_id").alias("h"))
-        .distinct()
-        .collect()
-    }
     ss_ok = top5_hashed <= ss_keys
     events.unpersist()
 
@@ -494,10 +550,16 @@ def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = docs.count()
     off = n // 2
     b_df = docs.select((F.col("doc_id") + off).alias("doc_id"))
-    a = build_theta(docs, "doc_id", k=4096)
-    b = build_theta(b_df, "doc_id", k=4096)
-    exact_inter = docs.join(b_df, "doc_id", "semi").count()
-    exact_union = docs.union(b_df).distinct().count()
+    # four independent jobs — overlap them (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_a = pool.submit(build_theta, docs, "doc_id", 4096)
+        f_b = pool.submit(build_theta, b_df, "doc_id", 4096)
+        f_i = pool.submit(docs.join(b_df, "doc_id", "semi").count)
+        f_u = pool.submit(docs.union(b_df).distinct().count)
+        a, b = f_a.result(), f_b.result()
+        exact_inter, exact_union = f_i.result(), f_u.result()
     tol = 4 * a.relative_std_error() + 0.01
     ests = {
         "distinct_a": (a.estimate(), n),
@@ -538,14 +600,26 @@ def q_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = token_sequences(spark, n, seed=42).persist()
     qs = [0.1, 0.5, 0.9, 0.99]
 
-    ests_row, _ = approx_quantiles(df, "n_tok", qs, sketch="tdigest", delta=2000)
-    oks_row = _rank_ok(df, "n_tok", qs, ests_row)
+    # the row-level and token-level chains are independent — overlap
+    # them (guide §2.6); cache block computation is per-partition
+    # locked, so the first jobs co-materialize the persisted table
+    from concurrent.futures import ThreadPoolExecutor
 
-    ests_tok, _ = approx_quantiles(
-        df, "tokens", qs, sketch="kll", is_array=True, k=200
-    )
-    flat = df.select(F.explode("tokens").alias("t"))
-    oks_tok = _rank_ok(flat, "t", qs, ests_tok)
+    def row_chain():
+        ests, _ = approx_quantiles(df, "n_tok", qs, sketch="tdigest", delta=2000)
+        return _rank_ok(df, "n_tok", qs, ests)
+
+    def tok_chain():
+        ests, _ = approx_quantiles(
+            df, "tokens", qs, sketch="kll", is_array=True, k=200
+        )
+        flat = df.select(F.explode("tokens").alias("t"))
+        return _rank_ok(flat, "t", qs, ests)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_row = pool.submit(row_chain)
+        f_tok = pool.submit(tok_chain)
+        oks_row, oks_tok = f_row.result(), f_tok.result()
     df.unpersist()
 
     rows = [
@@ -582,13 +656,30 @@ def q_token_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_token_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL over doc_id and distinct token ids of the token table,
     verified Spark-side against exact distinct counts."""
+    from sketchlib.core.hll import HyperLogLog
+    from sketchlib.spark.aggregate import (
+        KIND_ARRAY_HASH,
+        KIND_HASH64,
+        sketch_columns,
+    )
+
     n = _sf_rows(sf_dir)
-    # three actions over the same deterministic table: materialize once
-    # per invocation (unpersisted before returning)
+    # two actions over the same deterministic table: materialize once
+    # per invocation (unpersisted before returning); BOTH HLLs build in
+    # ONE scan (register maxes are feed-order-independent, so the
+    # fused build equals the two dedicated ones)
     df = token_sequences(spark, n, seed=42).persist()
-    est_doc, sk_doc = approx_distinct(df, "doc_id", p=14)
+    sks = sketch_columns(
+        df,
+        {
+            "doc_id": (lambda: HyperLogLog(p=14), KIND_HASH64),
+            "tokens": (lambda: HyperLogLog(p=14), KIND_ARRAY_HASH),
+        },
+    )
+    sk_doc = sks.get("doc_id", HyperLogLog(p=14))
+    sk_tok = sks.get("tokens", HyperLogLog(p=14))
+    est_doc, est_tok = sk_doc.estimate(), sk_tok.estimate()
     ok_doc = abs(est_doc - n) / n <= 4 * sk_doc.relative_std_error()
-    est_tok, sk_tok = approx_distinct(df, "tokens", p=14, is_array=True)
     exact_tok = (
         df.select(F.explode("tokens").alias("t")).agg(F.countDistinct("t")).first()[0]
     )
