@@ -314,9 +314,20 @@ def _score_text_pandas(df: DataFrame, col: str, lp: dict, oov: float) -> DataFra
             starts = ends - lens
             kcs = np.concatenate(([0], np.cumsum(keep.astype(np.int64))))
             n_terms = (kcs[ends] - kcs[starts]).astype(np.int32)
-            cs = np.concatenate(([0.0], np.cumsum(vals)))
+            # per-row sums via reduceat, NOT a global cumsum-diff: the
+            # running-sum formulation makes a row's float sum depend on
+            # its BATCH position, so byte-identical docs in different
+            # replicas scored unequally (caught by stress_score's
+            # replica-identity invariant).  reduceat applies + strictly
+            # left-to-right per segment — bit-identical to the former
+            # per-row Python loop (masked empties add exact 0.0; lp
+            # values are strictly negative, so no -0.0 edge).
+            sums = np.zeros(lens.size, dtype=np.float64)
+            ne = np.flatnonzero(lens > 0)
+            if vals.size:
+                sums[ne] = np.add.reduceat(vals, starts[ne])
             with np.errstate(invalid="ignore", divide="ignore"):
-                avg = (cs[ends] - cs[starts]) / np.maximum(n_terms, 1)
+                avg = sums / np.maximum(n_terms, 1)
             avg = np.where(n_terms > 0, avg, np.nan)
             yield pa.RecordBatch.from_arrays(
                 [batch.column(i) for i in range(batch.num_columns)]
