@@ -25,6 +25,7 @@ the (n-1)*q linear-interpolation convention).
 from __future__ import annotations
 
 import math
+import os
 from collections.abc import Callable
 
 import numpy as np
@@ -49,6 +50,20 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+#: per-task (file) bytes used to size a spread: the target partition
+#: count for a narrow plan is size_estimate // this, capped at
+#: 2 x cores.  64 KB of compressed text per task reproduces the two
+#: measured optima — ~8-9 tasks for the sf0.1 documents gates (the
+#: round-7 hand-tuned ``repartition(8)``; an unconditional 64 there
+#: regressed those gates 0.4-1.7s in scheduling + an extra stage)
+#: and the full 64-way spread at sf1's >= 5 MB inputs where the wins
+#: came from.  Parameterised, with the cap derived from
+#: defaultParallelism — nothing here is local[32]-specific.
+SPREAD_BYTES_PER_TASK = int(
+    os.environ.get("SKETCH_SPREAD_BYTES_PER_TASK", 64 * 1024)
+)
+
+
 def _spread(df: DataFrame, key: str, mult: int = 2) -> DataFrame:
     """Spread a single-file scan across the session's cores before a
     heavy downstream kernel: the local test parquet files hold 1-6 row
@@ -56,11 +71,20 @@ def _spread(df: DataFrame, key: str, mult: int = 2) -> DataFrame:
     size and a CPU-bound stage runs on a fraction of the box.  Hash
     repartition on a high-cardinality key (row-level work — any even
     spread is result-identical; round-robin would local-sort the wide
-    rows).  No-op on a real multi-file table, which already plans wide."""
+    rows).  No-op on a real multi-file table, which already plans
+    wide; a small input spreads only as far as its Catalyst size
+    estimate warrants (SPREAD_BYTES_PER_TASK), so the repartition
+    never costs more scheduling than the kernel it feeds saves."""
+    from sketchlib.spark.api import _plan_size_bytes
+
     sc = df.sparkSession.sparkContext
-    target = max(sc.defaultParallelism * mult, 8)
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target, F.col(key))
+    cap = max(sc.defaultParallelism * mult, 8)
+    cur = df.rdd.getNumPartitions()
+    if cur < cap:
+        size = _plan_size_bytes(df, assume=SPREAD_BYTES_PER_TASK * cap)
+        want = min(cap, int(size // SPREAD_BYTES_PER_TASK))
+        if want > cur:
+            df = df.repartition(want, F.col(key))
     return df
 
 

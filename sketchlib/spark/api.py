@@ -899,6 +899,22 @@ def _plan_partitions(df: DataFrame, assume: int) -> int:
         return assume
 
 
+def _plan_size_bytes(df: DataFrame, assume: int) -> int:
+    """Catalyst's optimized-plan size estimate in bytes (driver-side,
+    no job; for a parquet scan this is essentially the file bytes).
+    Falls back to ``assume`` on internal API drift.  Used by the
+    spread gates to decide whether a narrow plan is narrow because the
+    input is SMALL (leave it alone — repartitioning a few thousand
+    rows to 2x cores costs more scheduling than it buys) or because a
+    sizeable file planned few row groups (spread it)."""
+    try:
+        return int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:  # pragma: no cover - internal API drift
+        return assume
+
+
 #: partition gate shared by the corpus operators that spread + cache
 #: (dedup/ngram.py, dedup/spans.py): at or below this planned
 #: partition count an input is "small" — worth persisting its derived
