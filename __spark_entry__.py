@@ -75,11 +75,11 @@ def _spread(df: DataFrame, key: str, mult: int = 2) -> DataFrame:
     wide; a small input spreads only as far as its Catalyst size
     estimate warrants (SPREAD_BYTES_PER_TASK), so the repartition
     never costs more scheduling than the kernel it feeds saves."""
-    from sketchlib.spark.api import _plan_size_bytes
+    from sketchlib.spark.api import _plan_partitions, _plan_size_bytes
 
     sc = df.sparkSession.sparkContext
     cap = max(sc.defaultParallelism * mult, 8)
-    cur = df.rdd.getNumPartitions()
+    cur = _plan_partitions(df, assume=cap)
     if cur < cap:
         size = _plan_size_bytes(df, assume=SPREAD_BYTES_PER_TASK * cap)
         want = min(cap, int(size // SPREAD_BYTES_PER_TASK))

@@ -305,21 +305,34 @@ SPEC_STEPS = {
 }
 
 
-#: steps whose operator references its input frame MORE THAN ONCE
-#: (anti-join dedup, shingle-join decontamination, span removal, BPE's
-#: eager train + lazy encode).  Without truncation each such step
-#: duplicates the whole upstream subtree in the final plan — the
-#: 5-step tokens pipeline scanned its source 19x with 94 Exchanges
-#: (measured, OPTIMIZATION_r08.md): at corpus scale that is 19 full
-#: reads.  With ``pins`` the runner persists these steps' inputs so
-#: every subtree executes once; the caller unpersists after its one
-#: materializing action.
+#: steps whose input the runner persists (``pins``).  Two reasons a
+#: step belongs here — both measured, OPTIMIZATION_r08.md:
+#:
+#: 1. the operator references its input frame MORE THAN ONCE
+#:    (anti-join dedup, shingle-join decontamination, span removal,
+#:    BPE's eager train + lazy encode).  Without truncation each such
+#:    step duplicates the whole upstream subtree in the final plan —
+#:    the 5-step tokens pipeline scanned its source 19x with 94
+#:    Exchanges: at corpus scale that is 19 full reads.
+#: 2. the operator runs MORE THAN ONE QUERY EXECUTION over its input
+#:    (materialize_packed: pack_sequences' partition probe + the
+#:    caller's action), and — the bigger effect — persisting the input
+#:    makes every downstream frame analyze against the registered
+#:    cache entry, so the analyzed plans are rooted at the (tiny)
+#:    cached relation instead of the full duplicated upstream tree.
+#:    Driver-side plan canonicalization of that tree alone cost ~4s
+#:    per tokens_pipeline invocation; with the pin the whole
+#:    build+action dropped 11.4s -> 5.5s at the 50k-doc scale shape.
+#:
+#: With ``pins`` each upstream subtree computes once; the caller
+#: unpersists after its one materializing action.
 MULTI_REF_STEPS = {
     "dedup_exact",
     "dedup_minhash",
     "decontaminate",
     "dedup_spans",
     "bpe_encode",
+    "materialize_packed",
 }
 
 

@@ -70,16 +70,12 @@ def _global_topk(
     from pyspark.sql.window import Window
 
     pre = partial
-    try:
-        # JVM-side accessor: ~0.2ms and the planned queryExecution is
-        # reused at execution.  (df.rdd would build the Python RDD
-        # wrapper + serializer pipeline: ~160ms per query.)
-        # queryExecution().toRdd(), NOT Dataset.rdd: the latter posts
-        # a listener event with empty observed metrics that zeroes any
-        # un-fired upstream Observation (see api._plan_partitions).
-        nparts = partial._jdf.queryExecution().toRdd().getNumPartitions()
-    except Exception:  # pragma: no cover - internal API drift
-        nparts = two_level_min_partitions + 1  # assume big: safe plan
+    # shared AQE-off probe (api._plan_partitions): plans without
+    # executing upstream stages and without posting the listener event
+    # that zeroes un-fired Observations; assume big on drift (safe plan)
+    from sketchlib.spark.api import _plan_partitions
+
+    nparts = _plan_partitions(partial, assume=two_level_min_partitions + 1)
     if nparts > two_level_min_partitions:
         salted = partial.withColumn(
             "__s", F.spark_partition_id() % F.lit(pre_salt)
@@ -576,13 +572,13 @@ def embedding_near_duplicates(
     # file bytes per task), so a trivial probe side is not repartitioned
     # to 2 x cores for nothing (measured +0.3s at sf0.1's 2k vectors)
     # while a >= 4 MB probe still fans out to the full cap.
-    from sketchlib.spark.api import _plan_size_bytes
+    from sketchlib.spark.api import _plan_partitions, _plan_size_bytes
 
     _per_task = 64 * 1024
     probe = df.select(id_col, vec_col)
     para = df.sparkSession.sparkContext.defaultParallelism
     cap = max(para * 2, 8)
-    cur = probe.rdd.getNumPartitions()
+    cur = _plan_partitions(probe, assume=cap)
     if cur < cap:
         size = _plan_size_bytes(probe, assume=_per_task * cap)
         want = min(cap, int(size // _per_task))

@@ -882,19 +882,39 @@ def _string_order_bounds(
 
 
 def _plan_partitions(df: DataFrame, assume: int) -> int:
-    """Planned partition count via the JVM-side accessor (~0.2ms; the
-    queryExecution is reused at execution — df.rdd would build the
-    Python RDD wrapper for ~160ms).  Falls back to ``assume`` on
-    internal API drift.
+    """Planned partition count via the JVM-side accessor (~0.2ms on a
+    scan; the queryExecution is reused at execution — df.rdd would
+    build the Python RDD wrapper for ~160ms).  Falls back to
+    ``assume`` on internal API drift.
 
     Goes through ``queryExecution().toRdd()`` and NOT ``Dataset.rdd``:
     the latter wraps the conversion in a listener-visible execution
     event whose observed metrics are EMPTY, and any un-fired
     Observation upstream latches that first event — silently zeroing
     the caller's metrics (found via the pipeline spec runner, where
-    every step count after a shuffle_rows read 0)."""
+    every step count after a shuffle_rows read 0).
+
+    The probe plans with AQE DISABLED (a fresh Dataset is created so
+    its lazy QueryExecution picks the toggled conf up; restored in
+    ``finally``): under AQE, ``toRdd()`` on a post-shuffle frame
+    materializes every upstream query stage — i.e. the probe SILENTLY
+    EXECUTES the whole input pipeline once before the caller's real
+    action runs it again (measured: +4s per tokens_pipeline invocation
+    from pack_sequences' probe alone).  With AQE off the partition
+    count comes from the static plan (shuffle.partitions), executing
+    nothing; scans are unaffected either way.  The toggle only spans
+    driver-side planning of the probe Dataset and never affects result
+    correctness of concurrently planned queries (AQE is a physical
+    optimization)."""
     try:
-        return df._jdf.queryExecution().toRdd().getNumPartitions()
+        sess = df.sparkSession
+        old = sess.conf.get("spark.sql.adaptive.enabled", "true")
+        try:
+            sess.conf.set("spark.sql.adaptive.enabled", "false")
+            probe = df.where(F.lit(True))  # fresh lazy QueryExecution
+            return probe._jdf.queryExecution().toRdd().getNumPartitions()
+        finally:
+            sess.conf.set("spark.sql.adaptive.enabled", old)
     except Exception:  # pragma: no cover - internal API drift
         return assume
 

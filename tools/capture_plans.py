@@ -28,7 +28,10 @@ qs = E.queries()
 os.makedirs(outdir, exist_ok=True)
 for name in names:
     try:
-        df = qs[name](spark, "/root/testdata/sf1.0")
+        df = qs[name](
+            spark,
+            os.environ.get("SPARK_GRAFT_SF_DIR", "/root/sf1.0_local"),
+        )
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
